@@ -1,0 +1,58 @@
+"""orbital-tpu: a TPU-native gravitational N-body framework.
+
+Rebuild of the capabilities of ``trevormcguire/orbital-physics`` designed
+for TPU hardware: Keplerian scene definition on host, structure-of-arrays
+state in HBM, softened O(N^2) gravity as dense XLA / tiled Pallas kernels,
+leapfrog (KDK) stepping under ``lax.scan``, masked collision handling,
+vmappable ensembles, and shard_map ring sharding across chips.
+"""
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+from .models.constants import (  # noqa: F401
+    ASTRO,
+    J2000_JD,
+    STANDARD,
+    IntegratorParams,
+    UnitProfile,
+    UnitSystem,
+    get_unit_profile,
+)
+from .models.body import Body, System  # noqa: F401
+from .models.datasets import solar_system, solar_system_v2  # noqa: F401
+from .models.kepler import solve_kepler  # noqa: F401
+from .models.objects import (  # noqa: F401
+    Coordinates,
+    Object,
+    ObjectCollection,
+    collide_spheres,
+    pairwise_accelerations,
+    set_circular_orbit,
+)
+from .models.rigid import moment_of_inertia, random_angular_velocity  # noqa: F401
+from .engine.state import NBodyState, Precision, Rescale, make_state  # noqa: F401
+from .engine.rollout import Trajectory, init_forces, rollout, rollout_jit  # noqa: F401
+from .utils.config import SimConfig  # noqa: F401
+
+__all__ = [
+    "__version__",
+    "ASTRO", "J2000_JD", "STANDARD", "IntegratorParams", "UnitProfile",
+    "UnitSystem", "get_unit_profile",
+    "Body", "System", "solar_system", "solar_system_v2", "solve_kepler",
+    "Coordinates", "Object", "ObjectCollection", "collide_spheres",
+    "pairwise_accelerations", "set_circular_orbit",
+    "moment_of_inertia", "random_angular_velocity",
+    "NBodyState", "Precision", "Rescale", "make_state",
+    "Trajectory", "init_forces", "rollout", "rollout_jit", "SimConfig",
+    "SimulationEngine", "run_simulation",
+]
+
+
+def __getattr__(name):
+    # Lazy: the engine facade pulls in collision/viz machinery.
+    if name in ("SimulationEngine", "run_simulation"):
+        from .engine.engine import SimulationEngine, run_simulation
+
+        return {"SimulationEngine": SimulationEngine, "run_simulation": run_simulation}[name]
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,113 @@
+"""Jittable integrators: leapfrog KDK and semi-implicit Euler.
+
+The reference's step (core/engine.py:65-97) — half-kick, drift, force
+re-evaluation, half-kick, collision sweep, history append — becomes a pure
+function ``NBodyState -> NBodyState`` built once per :class:`SimConfig`.
+History recording and I/O live outside (``rollout``), so the whole step
+fuses into a single XLA program.
+
+Under the ds32 precision policy, position/velocity accumulation uses
+compensated double-single arithmetic (see ``dsfloat``): the *increments*
+(a*dt, v*dt) are plain f32, the *accumulators* carry a correction term.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import collisions as coll
+from ..utils.config import SimConfig
+from .dsfloat import ds_add
+from .state import NBodyState
+
+__all__ = ["make_step_fn", "ForceFn"]
+
+# (pos, mass, alive) -> (acc, potential)
+ForceFn = Callable[[jax.Array, jax.Array, jax.Array], tuple[jax.Array, jax.Array]]
+
+
+def _accumulate(hi, lo: Optional[jax.Array], *increments):
+    """hi(+lo) += sum(increments), compensated when lo is present."""
+    if lo is None:
+        for inc in increments:
+            hi = hi + inc
+        return hi, None
+    for inc in increments:
+        hi, lo = ds_add(hi, lo, inc)
+    return hi, lo
+
+
+def _apply_collisions(cfg: SimConfig, state: NBodyState) -> NBodyState:
+    if cfg.collisions == "none":
+        return state
+    if cfg.collisions == "bounce":
+        dpos, dvel = coll.bounce_deltas(
+            state.pos, state.vel, state.mass, state.radius, state.alive,
+            restitution=cfg.restitution,
+        )
+        pos, pos_lo = _accumulate(state.pos, state.pos_lo, dpos)
+        vel, vel_lo = _accumulate(state.vel, state.vel_lo, dvel)
+        return state.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)
+    # merge: rewrites pos/vel/mass/radius/alive wholesale; compensation terms
+    # of merged bodies are dropped (a one-time sub-ulp loss on merge events).
+    pos, vel, mass, radius, alive = coll.merge_groups(
+        state.pos_full(), state.vel_full(), state.mass, state.radius, state.alive
+    )
+    zeros = None if state.pos_lo is None else jnp.zeros_like(state.pos_lo)
+    return state.replace(
+        pos=pos, vel=vel, mass=mass, radius=radius, alive=alive,
+        pos_lo=zeros, vel_lo=zeros,
+    )
+
+
+def make_step_fn(cfg: SimConfig, force_fn: ForceFn) -> Callable[[NBodyState], NBodyState]:
+    """Build the jittable single-step function for a config.
+
+    KDK (velocity-Verlet) order matches the reference exactly
+    (core/engine.py:65-97): the cached ``state.acc`` is a(t); collisions run
+    after the second kick and the acceleration cache is *not* refreshed
+    afterwards (the next step's first kick uses pre-collision forces, as in
+    the reference).
+    """
+    dt = cfg.dt
+
+    def kdk(state: NBodyState) -> NBodyState:
+        # half-kick with cached a(t)
+        vel, vel_lo = _accumulate(state.vel, state.vel_lo, 0.5 * dt * state.acc)
+        # drift with the full-precision velocity
+        if vel_lo is None:
+            pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel)
+        else:
+            pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel, dt * vel_lo)
+        # force re-evaluation at r(t+dt)
+        acc, potential = force_fn(pos, state.mass, state.alive)
+        # half-kick with a(t+dt)
+        vel, vel_lo = _accumulate(vel, vel_lo, 0.5 * dt * acc)
+
+        state = state.replace(
+            pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo,
+            acc=acc, potential=potential,
+            time=state.time + dt, step=state.step + 1,
+        )
+        return _apply_collisions(cfg, state)
+
+    def euler(state: NBodyState) -> NBodyState:
+        # v(t+dt) = v(t) + a(t) dt; r(t+dt) = r(t) + v(t+dt) dt
+        # (reference Object.update, core/physics.py:315-332), then refresh
+        # forces for the next step.
+        vel, vel_lo = _accumulate(state.vel, state.vel_lo, dt * state.acc)
+        if vel_lo is None:
+            pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel)
+        else:
+            pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel, dt * vel_lo)
+        acc, potential = force_fn(pos, state.mass, state.alive)
+        state = state.replace(
+            pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo,
+            acc=acc, potential=potential,
+            time=state.time + dt, step=state.step + 1,
+        )
+        return _apply_collisions(cfg, state)
+
+    return kdk if cfg.integrator == "kdk" else euler

@@ -1,0 +1,142 @@
+"""Compiled multi-step rollouts with on-device trajectory recording.
+
+The reference advances with a Python loop appending positions to dicts and
+writing JSONL inside the step (core/engine.py:88-101). Here the whole
+rollout is one ``lax.scan``: the carry is the :class:`NBodyState`, the scan
+ys are strided position snapshots recorded *on device*, and the host gets
+one transfer per rollout call. File I/O (checkpoints, JSONL frames) happens
+between rollout calls, never inside the compiled step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.forces import pairwise_acc_chunked, pairwise_acc_dense
+from ..utils.config import SimConfig
+from .integrators import ForceFn, make_step_fn
+from .state import NBodyState
+
+__all__ = ["Trajectory", "resolve_force_fn", "init_forces", "rollout", "rollout_jit"]
+
+# Above this body count the dense [N, N] path gives way to row-blocked or
+# Pallas kernels ("auto" policy).
+_DENSE_MAX_N = 4096
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["pos", "vel", "time", "energy", "ang_mom"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class Trajectory:
+    """Strided rollout recording, time-major: [n_records, ...]."""
+
+    pos: jax.Array      # [R, N, 3]
+    vel: jax.Array      # [R, N, 3]
+    time: jax.Array     # [R]
+    energy: jax.Array   # [R] kinetic + cached softened potential
+    ang_mom: jax.Array  # [R, 3]
+
+    @property
+    def n_records(self) -> int:
+        return self.pos.shape[0]
+
+
+def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
+    """Pick the force implementation for a config and body count."""
+    impl = cfg.force_impl
+    if impl == "auto":
+        if n <= _DENSE_MAX_N:
+            impl = "dense"
+        elif jax.default_backend() == "tpu" and n % cfg.chunk == 0:
+            impl = "pallas"
+        else:
+            impl = "chunked"
+
+    if impl == "dense":
+        return lambda pos, mass, alive: pairwise_acc_dense(
+            pos, mass, alive, G=cfg.G, eps2=cfg.eps2
+        )
+    if impl == "chunked":
+        return lambda pos, mass, alive: pairwise_acc_chunked(
+            pos, mass, alive, G=cfg.G, eps2=cfg.eps2, chunk=min(cfg.chunk, n)
+        )
+    if impl == "pallas":
+        from ..ops.pallas_forces import pairwise_acc_pallas
+
+        return lambda pos, mass, alive: pairwise_acc_pallas(
+            pos, mass, alive, G=cfg.G, eps2=cfg.eps2
+        )
+    if impl == "ring":
+        if cfg.shard_axis is None:
+            raise ValueError("force_impl='ring' requires cfg.shard_axis")
+        from ..parallel.sharded import ring_force_fn
+
+        return ring_force_fn(cfg)
+    raise ValueError(f"unknown force_impl {impl!r}")
+
+
+def init_forces(state: NBodyState, cfg: SimConfig, force_fn: Optional[ForceFn] = None) -> NBodyState:
+    """Seed the acceleration cache (the reference does this in the engine
+    constructor, core/engine.py:41)."""
+    fn = force_fn or resolve_force_fn(cfg, state.n_bodies)
+    acc, potential = fn(state.pos, state.mass, state.alive)
+    return state.replace(acc=acc, potential=potential)
+
+
+def _snapshot(state: NBodyState) -> dict:
+    from ..ops import diagnostics as diag
+
+    vel = state.vel_full()
+    return dict(
+        pos=state.pos_full(),
+        vel=vel,
+        time=state.time,
+        energy=diag.total_energy(vel, state.mass, state.potential),
+        ang_mom=diag.angular_momentum(state.pos_full(), vel, state.mass),
+    )
+
+
+def rollout(
+    state: NBodyState,
+    cfg: SimConfig,
+    steps: int,
+    record_every: int = 0,
+    force_fn: Optional[ForceFn] = None,
+) -> tuple[NBodyState, Optional[Trajectory]]:
+    """Advance ``steps`` steps; optionally record every ``record_every``-th.
+
+    With recording, ``steps`` must divide into records; the snapshot after
+    each block of ``record_every`` steps is stored (the initial state is not
+    included — prepend it host-side for reference-style seeded history,
+    core/engine.py:34).
+    """
+    fn = force_fn or resolve_force_fn(cfg, state.n_bodies)
+    step_fn = make_step_fn(cfg, fn)
+
+    if record_every <= 0:
+        final = lax.fori_loop(0, steps, lambda _, s: step_fn(s), state)
+        return final, None
+
+    if steps % record_every != 0:
+        raise ValueError(f"steps={steps} not divisible by record_every={record_every}")
+    n_records = steps // record_every
+
+    def block(s: NBodyState, _):
+        s = lax.fori_loop(0, record_every, lambda _, x: step_fn(x), s)
+        return s, _snapshot(s)
+
+    final, ys = lax.scan(block, state, None, length=n_records)
+    return final, Trajectory(**ys)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "record_every"))
+def rollout_jit(
+    state: NBodyState, cfg: SimConfig, steps: int, record_every: int = 0
+) -> tuple[NBodyState, Optional[Trajectory]]:
+    """jit-wrapped :func:`rollout` (cfg/steps/record_every static)."""
+    return rollout(state, cfg, steps, record_every)

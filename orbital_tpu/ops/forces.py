@@ -1,0 +1,137 @@
+"""Softened O(N^2) pairwise gravity as dense XLA array ops.
+
+This is the jnp reference implementation of the hot kernel (the reference's
+scalar pair loop, core/physics.py:125-159, becomes a broadcasted matrix of
+interactions): for every pair,
+
+    a_i += G m_j (r_j - r_i) / (|r_j - r_i|^2 + eps^2)^(3/2)
+    U   += -G m_i m_j / sqrt(|r_j - r_i|^2 + eps^2)   (each pair once)
+
+Dead/padding bodies participate with mass 0, so they exert no force and
+contribute no potential; their own acceleration rows are zeroed by the
+alive mask. Everything here is jit/vmap/grad-safe with static shapes.
+
+Three flavors:
+  * :func:`pairwise_acc_dense`   — materializes [N, N] per-coordinate
+    difference matrices; the fastest XLA-only path up to N ~ 8k.
+  * :func:`pairwise_acc_chunked` — `lax.map` over row-blocks; O(C*N)
+    memory, arbitrary N without Pallas.
+  * ``orbital_tpu.ops.pallas_forces`` — the tiled Pallas TPU kernel for
+    large N (same contract, same math).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["pairwise_acc_dense", "pairwise_acc_chunked", "soften_potential_pairs"]
+
+
+def _masked_inverse_r(r2, mask, eps2):
+    """1/sqrt(r2 + eps2) with masked entries (self-pairs, dead bodies)
+    forced to exactly zero, avoiding inf/NaN when eps = 0."""
+    r2s = r2 + eps2
+    safe = r2s > 0.0
+    inv_r = jnp.where(safe, lax.rsqrt(jnp.where(safe, r2s, 1.0)), 0.0)
+    return jnp.where(mask, inv_r, 0.0)
+
+
+def _block_acc_potential(pos_i, pos_j, mass_j, mask, eps2, G):
+    """Accelerations on a row-block of bodies from a column-block.
+
+    pos_i: [I, 3], pos_j: [J, 3], mass_j: [J], mask: [I, J] valid-pair mask.
+    Returns (acc [I, 3], pe_row [I]) where pe_row_i = sum_j m_j * inv_r_ij
+    (caller multiplies by -G m_i and halves for double counting).
+    """
+    # Per-coordinate difference matrices keep peak memory at 3 [I, J] buffers
+    # (not one [I, J, 3]) and map directly onto 8x128 VPU tiles.
+    dx = pos_j[None, :, 0] - pos_i[:, None, 0]
+    dy = pos_j[None, :, 1] - pos_i[:, None, 1]
+    dz = pos_j[None, :, 2] - pos_i[:, None, 2]
+    r2 = dx * dx + dy * dy + dz * dz
+    inv_r = _masked_inverse_r(r2, mask, eps2)
+    inv_r3 = inv_r * inv_r * inv_r
+    w = mass_j[None, :] * inv_r3  # [I, J]
+    ax = jnp.sum(w * dx, axis=1)
+    ay = jnp.sum(w * dy, axis=1)
+    az = jnp.sum(w * dz, axis=1)
+    pe_row = jnp.sum(mass_j[None, :] * inv_r, axis=1)
+    return G * jnp.stack([ax, ay, az], axis=-1), pe_row
+
+
+@partial(jax.jit, static_argnames=("G", "eps2"))
+def pairwise_acc_dense(
+    pos: jax.Array,
+    mass: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    G: float,
+    eps2: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense softened pairwise accelerations and total potential.
+
+    Args:
+        pos: [N, 3] positions. mass: [N]. alive: optional [N] bool mask.
+        G: gravitational constant (static). eps2: softening squared (static).
+
+    Returns:
+        acc [N, 3] and the scalar softened potential U (pairs counted once),
+        matching the reference contract (core/physics.py:125-159).
+    """
+    n = pos.shape[0]
+    mass_eff = mass if alive is None else mass * alive.astype(mass.dtype)
+    eye = jnp.eye(n, dtype=bool)
+    mask = ~eye
+    acc, pe_row = _block_acc_potential(pos, pos, mass_eff, mask, eps2, G)
+    if alive is not None:
+        acc = acc * alive[:, None].astype(acc.dtype)
+    U = -0.5 * G * jnp.sum(mass_eff * pe_row)
+    return acc, U
+
+
+@partial(jax.jit, static_argnames=("G", "eps2", "chunk"))
+def pairwise_acc_chunked(
+    pos: jax.Array,
+    mass: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    G: float,
+    eps2: float,
+    chunk: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Row-blocked pairwise accelerations: O(chunk * N) live memory.
+
+    N must be divisible by ``chunk`` (pad the state; see
+    ``engine.state.make_state(pad_to=...)``).
+    """
+    n = pos.shape[0]
+    if n % chunk != 0:
+        raise ValueError(f"N={n} must be a multiple of chunk={chunk}")
+    mass_eff = mass if alive is None else mass * alive.astype(mass.dtype)
+
+    col_ids = jnp.arange(n)
+
+    def row_block(start):
+        pos_i = lax.dynamic_slice_in_dim(pos, start, chunk, axis=0)
+        row_ids = start + jnp.arange(chunk)
+        mask = row_ids[:, None] != col_ids[None, :]
+        return _block_acc_potential(pos_i, pos, mass_eff, mask, eps2, G)
+
+    starts = jnp.arange(0, n, chunk)
+    acc_blocks, pe_blocks = lax.map(row_block, starts)
+    acc = acc_blocks.reshape(n, 3)
+    pe_row = pe_blocks.reshape(n)
+    if alive is not None:
+        acc = acc * alive[:, None].astype(acc.dtype)
+    U = -0.5 * G * jnp.sum(mass_eff * pe_row)
+    return acc, U
+
+
+def soften_potential_pairs(pos, mass, *, G, eps2):
+    """Total softened potential only (diagnostics helper)."""
+    _, U = pairwise_acc_dense(pos, mass, G=G, eps2=eps2)
+    return U

@@ -1,0 +1,56 @@
+"""Simulation configuration.
+
+One frozen, hashable dataclass carries every static knob of the compiled
+step function (the reference scatters these across engine kwargs and env
+vars, core/engine.py:19-29, app/app.py:69-76). Being hashable, a SimConfig
+is a valid ``jax.jit`` static argument, so changing any field triggers
+exactly one recompile and nothing is read from Python inside the hot loop.
+
+All physical quantities here are in *internal* (device) units; the engine
+facade converts from scene units via ``engine.state.Rescale``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+__all__ = ["SimConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static parameters of the compiled stepper.
+
+    Attributes:
+        dt: time step (internal units).
+        G: gravitational constant (internal units; 1.0 under natural rescale).
+        eps2: squared softening length (internal units).
+        restitution: coefficient of restitution for bounce collisions.
+        collisions: "none" | "bounce" | "merge".
+        integrator: "kdk" (leapfrog, reference: core/engine.py:65-97) |
+            "euler" (semi-implicit, reference: core/physics.py:315-332).
+        force_impl: "auto" | "dense" | "chunked" | "pallas" | "ring".
+        chunk: row-block size for the chunked/pallas force paths.
+        shard_axis: mesh axis name for the ring force path (None = unsharded).
+    """
+
+    dt: float
+    G: float = 1.0
+    eps2: float = 0.0
+    restitution: float = 1.0
+    collisions: str = "none"
+    integrator: str = "kdk"
+    force_impl: str = "auto"
+    chunk: int = 1024
+    shard_axis: Optional[str] = None
+
+    def __post_init__(self):
+        if self.collisions not in ("none", "bounce", "merge"):
+            raise ValueError(f"bad collisions mode: {self.collisions!r}")
+        if self.integrator not in ("kdk", "euler"):
+            raise ValueError(f"bad integrator: {self.integrator!r}")
+        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "ring"):
+            raise ValueError(f"bad force_impl: {self.force_impl!r}")
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)

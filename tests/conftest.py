@@ -1,0 +1,50 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Multi-chip sharding (shard_map/pjit over a Mesh) is validated on a virtual
+CPU mesh; the axon TPU plugin otherwise grabs the backend (and its f64
+emulation is range-limited), so tests must run on CPU. x64 is enabled:
+the f64 precision path is the golden reference against the CPU reference
+implementation.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import sys  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_PATH = Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Import the reference implementation (golden comparisons); skip if the
+    reference checkout is not mounted."""
+    if not (REFERENCE_PATH / "core").exists():
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, str(REFERENCE_PATH))
+    import core.body
+    import core.datasets
+    import core.engine
+    import core.physics
+
+    yield sys.modules
+    sys.path.remove(str(REFERENCE_PATH))
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

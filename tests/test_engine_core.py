@@ -1,0 +1,225 @@
+"""Integrators, rollout, collisions-as-array-ops, precision policies."""
+import numpy as np
+import pytest
+
+import orbital_tpu as ot
+from orbital_tpu.engine.dsfloat import ds_add, ds_from_f64, two_sum
+from orbital_tpu.engine.state import Rescale, make_state
+from orbital_tpu.ops import collisions as coll
+from orbital_tpu.ops.diagnostics import angular_momentum, momentum, total_energy
+
+G_SI = ot.STANDARD.G
+
+
+def _em_state(precision="f64", rescale=None, pad_to=1):
+    """Earth-Moon circular pair."""
+    from orbital_tpu.models.objects import Coordinates, Object, set_circular_orbit
+
+    a = Object(5.972e24, 6.371e6, velocity=np.zeros(3), coordinates=Coordinates(0, 0, 0))
+    b = Object(7.348e22, 1.737e6, velocity=np.zeros(3), coordinates=Coordinates(3.844e8, 0, 0))
+    set_circular_orbit(a, b)
+    pos = np.stack([a.position(), b.position()])
+    vel = np.stack([a.velocity, b.velocity])
+    mass = np.array([a.mass, b.mass])
+    radius = np.array([a.radius, b.radius])
+    return make_state(pos, vel, mass, radius, precision=precision,
+                      rescale=rescale, pad_to=pad_to)
+
+
+def test_dsfloat_identities(rng):
+    a = rng.normal(size=128).astype(np.float32)
+    b = (rng.normal(size=128) * 1e-6).astype(np.float32)
+    s, e = two_sum(a, b)
+    np.testing.assert_array_equal(
+        np.asarray(s, np.float64) + np.asarray(e, np.float64),
+        a.astype(np.float64) + b.astype(np.float64),
+    )
+    x64 = rng.normal(size=64)
+    hi, lo = ds_from_f64(x64)
+    np.testing.assert_allclose(np.asarray(hi, np.float64) + np.asarray(lo, np.float64),
+                               x64, rtol=0, atol=1e-14)
+
+
+def test_kdk_energy_conservation_f64():
+    st = _em_state("f64")
+    cfg = ot.SimConfig(dt=3600.0, G=G_SI, eps2=1e6)
+    st = ot.init_forces(st, cfg)
+    E0 = float(total_energy(st.vel, st.mass, st.potential))
+    fin, _ = ot.rollout_jit(st, cfg, 2000)
+    E1 = float(total_energy(fin.vel, fin.mass, fin.potential))
+    # leapfrog: energy error is a bounded oscillation with relative
+    # amplitude O((omega dt)^2) ~ 9e-5 here, with no secular growth.
+    envelope = (3600.0 * 2 * np.pi / 2.36e6) ** 2
+    assert abs((E1 - E0) / E0) < envelope
+    fin2, _ = ot.rollout_jit(st, cfg, 4000)
+    E2 = float(total_energy(fin2.vel, fin2.mass, fin2.potential))
+    assert abs((E2 - E0) / E0) < envelope
+    L0 = np.asarray(angular_momentum(st.pos, st.vel, st.mass))
+    L1 = np.asarray(angular_momentum(fin.pos, fin.vel, fin.mass))
+    assert np.linalg.norm(L1 - L0) / np.linalg.norm(L0) < 1e-12
+
+
+def test_orbit_returns_after_period():
+    # set_circular_orbit puts the full relative circular speed on the
+    # secondary (reference: core/physics.py:443-449), so the relative orbit
+    # is slightly super-circular/elliptical; compute its true period via
+    # vis-viva and check the system returns to the initial configuration.
+    st = _em_state("f64")
+    R = 3.844e8
+    m1, m2 = 5.972e24, 7.348e22
+    mu = G_SI * (m1 + m2)
+    v_rel = (1.0 + m2 / m1) * np.sqrt(mu / R)
+    a_orb = 1.0 / (2.0 / R - v_rel**2 / mu)
+    T = 2 * np.pi * np.sqrt(a_orb**3 / mu)
+    dt = T / 2000.0
+    cfg = ot.SimConfig(dt=float(dt), G=G_SI, eps2=0.0)
+    st = ot.init_forces(st, cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 2000)
+    # returns to start up to leapfrog phase error, O((omega dt)^2) per orbit
+    np.testing.assert_allclose(np.asarray(fin.pos), np.asarray(st.pos), atol=3e-4 * R)
+
+
+def test_ds32_beats_f32():
+    rs = Rescale.natural(np.array([[0, 0, 0], [3.844e8, 0, 0]]),
+                         np.array([5.972e24, 7.348e22]), G_SI)
+    drifts = {}
+    for prec in ("f32", "ds32"):
+        st = _em_state(prec, rescale=rs)
+        cfg = ot.SimConfig(dt=3600.0 / rs.time, G=rs.g_internal(G_SI), eps2=0.0)
+        st = ot.init_forces(st, cfg)
+
+        def energy64(s):
+            p = np.asarray(s.pos, np.float64) + (np.asarray(s.pos_lo, np.float64) if s.pos_lo is not None else 0.0)
+            v = np.asarray(s.vel, np.float64) + (np.asarray(s.vel_lo, np.float64) if s.vel_lo is not None else 0.0)
+            m = np.asarray(s.mass, np.float64)
+            K = 0.5 * np.sum(m * np.sum(v * v, -1))
+            r = np.linalg.norm(p[0] - p[1])
+            return K - cfg.G * m[0] * m[1] / r
+
+        E0 = energy64(st)
+        fin, _ = ot.rollout_jit(st, cfg, 5000)
+        drifts[prec] = abs((energy64(fin) - E0) / E0)
+    assert drifts["ds32"] < drifts["f32"] / 3
+    assert drifts["ds32"] < 2e-6
+
+
+def test_euler_integrator_runs():
+    st = _em_state("f64")
+    cfg = ot.SimConfig(dt=60.0, G=G_SI, integrator="euler")
+    st = ot.init_forces(st, cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 100)
+    assert float(fin.time) == pytest.approx(6000.0)
+    assert np.all(np.isfinite(np.asarray(fin.pos)))
+
+
+def test_rollout_recording():
+    st = _em_state("f64")
+    cfg = ot.SimConfig(dt=3600.0, G=G_SI)
+    st = ot.init_forces(st, cfg)
+    fin, traj = ot.rollout_jit(st, cfg, 100, record_every=10)
+    assert traj.pos.shape == (10, 2, 3)
+    assert traj.time.shape == (10,)
+    np.testing.assert_allclose(np.asarray(traj.time), 3600.0 * np.arange(10, 101, 10))
+    np.testing.assert_allclose(np.asarray(traj.pos[-1]), np.asarray(fin.pos))
+    # recording does not perturb dynamics
+    fin2, _ = ot.rollout_jit(st, cfg, 100)
+    np.testing.assert_allclose(np.asarray(fin2.pos), np.asarray(fin.pos))
+    with pytest.raises(ValueError):
+        ot.rollout(st, cfg, 105, record_every=10)
+
+
+def test_padding_is_inert():
+    st = _em_state("f64")
+    stp = _em_state("f64", pad_to=8)
+    assert stp.n_bodies == 8 and bool(np.sum(np.asarray(stp.alive))) and np.asarray(stp.alive)[2:].sum() == 0
+    cfg = ot.SimConfig(dt=3600.0, G=G_SI, eps2=1e6)
+    fin, _ = ot.rollout_jit(ot.init_forces(st, cfg), cfg, 50)
+    finp, _ = ot.rollout_jit(ot.init_forces(stp, cfg), cfg, 50)
+    np.testing.assert_allclose(np.asarray(finp.pos)[:2], np.asarray(fin.pos), rtol=1e-14)
+    assert float(finp.potential) == pytest.approx(float(fin.potential), rel=1e-14)
+
+
+def test_bounce_deltas_headon():
+    pos = np.array([[0.0, 0, 0], [1.5, 0, 0]])
+    vel = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
+    mass = np.array([5.0, 5.0])
+    radius = np.array([1.0, 1.0])
+    alive = np.ones(2, bool)
+    dpos, dvel = coll.bounce_deltas(pos, vel, mass, radius, alive, restitution=1.0)
+    np.testing.assert_allclose(np.asarray(dvel), [[-2.0, 0, 0], [2.0, 0, 0]], atol=1e-12)
+    # de-overlap: total separation grows by the overlap (0.5)
+    sep = (pos[1] + np.asarray(dpos)[1]) - (pos[0] + np.asarray(dpos)[0])
+    assert sep[0] == pytest.approx(2.0)
+
+
+def test_bounce_separating_and_nonoverlapping_noop(rng):
+    pos = rng.uniform(-10, 10, (6, 3))
+    vel = rng.normal(size=(6, 3))
+    mass = rng.uniform(1, 2, 6)
+    radius = np.full(6, 1e-3)
+    alive = np.ones(6, bool)
+    dpos, dvel = coll.bounce_deltas(pos, vel, mass, radius, alive, restitution=1.0)
+    np.testing.assert_array_equal(np.asarray(dvel), 0.0)
+    np.testing.assert_array_equal(np.asarray(dpos), 0.0)
+
+
+def test_merge_groups_conservation():
+    pos = np.array([[0.0, 0, 0], [1.0, 0, 0], [10.0, 0, 0]])
+    vel = np.array([[1.0, 0, 0], [-2.0, 0, 0], [3.0, 0, 0]])
+    mass = np.array([6.0, 3.0, 7.0])
+    radius = np.array([1.0, 1.0, 1.0])
+    alive = np.ones(3, bool)
+    p, v, m, r, a = (np.asarray(x) for x in coll.merge_groups(pos, vel, mass, radius, alive))
+    assert list(a) == [True, False, True]
+    assert m[0] == 9.0 and m[2] == 7.0
+    np.testing.assert_allclose(v[0], [(6 - 6) / 9.0, 0, 0])
+    np.testing.assert_allclose(p[0], [3.0 / 9.0, 0, 0])
+    assert r[0] == pytest.approx(2 ** (1 / 3))
+    # untouched body is bit-identical
+    np.testing.assert_array_equal(p[2], pos[2])
+    np.testing.assert_array_equal(v[2], vel[2])
+
+
+def test_merge_chain_transitive():
+    # a-b overlap, b-c overlap, a-c don't: all three merge into index 0
+    pos = np.array([[0.0, 0, 0], [1.5, 0, 0], [3.0, 0, 0], [99.0, 0, 0]])
+    vel = np.zeros((4, 3))
+    mass = np.array([1.0, 1.0, 1.0, 1.0])
+    radius = np.array([1.0, 1.0, 1.0, 1.0])
+    alive = np.ones(4, bool)
+    p, v, m, r, a = (np.asarray(x) for x in coll.merge_groups(pos, vel, mass, radius, alive))
+    assert list(a) == [True, False, False, True]
+    assert m[0] == 3.0
+    np.testing.assert_allclose(p[0], [1.5, 0, 0])
+
+
+def test_bounce_collisions_in_rollout_conserve_momentum():
+    pos = np.array([[0.0, 0, 0], [5.0, 0, 0]])
+    vel = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
+    mass = np.array([2.0, 3.0])
+    radius = np.array([1.0, 1.0])
+    st = make_state(pos, vel, mass, radius, precision="f64")
+    cfg = ot.SimConfig(dt=0.05, G=1e-20, collisions="bounce", restitution=1.0)
+    st = ot.init_forces(st, cfg)
+    p0 = np.asarray(momentum(st.vel, st.mass))
+    fin, _ = ot.rollout_jit(st, cfg, 200)
+    p1 = np.asarray(momentum(fin.vel, fin.mass))
+    np.testing.assert_allclose(p1, p0, atol=1e-12)
+    # they bounced: both moving apart now
+    v = np.asarray(fin.vel)
+    assert v[0, 0] < 0 < v[1, 0]
+
+
+def test_merge_collisions_in_rollout():
+    pos = np.array([[0.0, 0, 0], [5.0, 0, 0]])
+    vel = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
+    mass = np.array([2.0, 3.0])
+    radius = np.array([1.0, 1.0])
+    st = make_state(pos, vel, mass, radius, precision="f64")
+    cfg = ot.SimConfig(dt=0.05, G=1e-20, collisions="merge")
+    st = ot.init_forces(st, cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 200)
+    alive = np.asarray(fin.alive)
+    assert alive.tolist() == [True, False]
+    assert float(np.asarray(fin.mass)[0]) == 5.0
+    np.testing.assert_allclose(np.asarray(fin.vel)[0], [(2 - 3) / 5.0, 0, 0], atol=1e-12)
