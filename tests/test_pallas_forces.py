@@ -1,0 +1,86 @@
+"""Pallas force kernel vs the dense jnp oracle (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+from orbital_tpu.ops.forces import pairwise_acc_dense
+from orbital_tpu.ops.pallas_forces import _pick_tiles, pairwise_acc_pallas
+
+
+@pytest.fixture
+def cluster(rng):
+    n = 256
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    return pos, mass
+
+
+def _relerr(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.abs(a - b).max() / np.abs(b).max()
+
+
+def test_matches_dense_softened(cluster):
+    pos, mass = cluster
+    a_ref, U_ref = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-4)
+    a, U = pairwise_acc_pallas(pos, mass, G=1.0, eps2=1e-4, tile_i=64, tile_j=128)
+    assert _relerr(a, a_ref) < 1e-5
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-5)
+
+
+def test_matches_dense_unsoftened(cluster):
+    # eps2 == 0 exercises the masked branch
+    pos, mass = cluster
+    a_ref, U_ref = pairwise_acc_dense(pos, mass, G=1.0, eps2=0.0)
+    a, U = pairwise_acc_pallas(pos, mass, G=1.0, eps2=0.0, tile_i=64, tile_j=128)
+    assert np.all(np.isfinite(np.asarray(a)))
+    assert _relerr(a, a_ref) < 1e-5
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-5)
+
+
+def test_alive_mask_and_padding(cluster):
+    pos, mass = cluster
+    alive = np.ones(len(mass), bool)
+    alive[200:] = False
+    pos[200:] = 0.0  # padding parked at the origin (coincident)
+    a_ref, U_ref = pairwise_acc_dense(pos, mass, alive, G=1.0, eps2=1e-4)
+    a, U = pairwise_acc_pallas(pos, mass, alive, G=1.0, eps2=1e-4,
+                               tile_i=64, tile_j=128)
+    assert np.all(np.isfinite(np.asarray(a)))
+    np.testing.assert_array_equal(np.asarray(a)[~alive], 0.0)
+    assert _relerr(np.asarray(a)[alive], np.asarray(a_ref)[alive]) < 1e-5
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-5)
+
+
+def test_no_potential_variant(cluster):
+    pos, mass = cluster
+    a_pe, _ = pairwise_acc_pallas(pos, mass, G=1.0, eps2=1e-4, tile_i=64, tile_j=128)
+    a, U = pairwise_acc_pallas(pos, mass, G=1.0, eps2=1e-4, tile_i=64,
+                               tile_j=128, with_potential=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a_pe))
+    assert float(U) == 0.0
+
+
+def test_tile_shrinking():
+    assert _pick_tiles(512, 256, 1024) == (256, 512)
+    assert _pick_tiles(384, 256, 1024) == (128, 128)
+    with pytest.raises(ValueError):
+        _pick_tiles(100, 256, 1024)
+
+
+def test_in_rollout(rng):
+    # pallas force path drives the KDK stepper identically to dense
+    import orbital_tpu as ot
+    from orbital_tpu.engine.state import make_state
+
+    n = 128
+    pos = rng.normal(size=(n, 3))
+    vel = rng.normal(size=(n, 3)) * 0.1
+    mass = rng.uniform(0.5, 1.5, n) / n
+    outs = {}
+    for impl in ("dense", "pallas"):
+        st = make_state(pos, vel, mass, precision="f32")
+        cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, force_impl=impl, chunk=64)
+        st = ot.init_forces(st, cfg)
+        fin, _ = ot.rollout_jit(st, cfg, 20)
+        outs[impl] = np.asarray(fin.pos)
+    np.testing.assert_allclose(outs["pallas"], outs["dense"], rtol=0, atol=1e-5)
