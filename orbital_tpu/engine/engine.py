@@ -1,0 +1,340 @@
+"""``SimulationEngine``: the reference-parity OO facade over device state.
+
+Same constructor surface and step semantics as the reference engine
+(core/engine.py:8-121) — ObjectCollection in, leapfrog KDK with per-step
+collision handling, uuid-keyed position history, throttled JSONL frame
+cache, energy/angular-momentum diagnostics — but all stepping happens on
+device: ``run(n)`` executes one compiled ``lax.scan`` rollout and the host
+sees a single transfer of recorded snapshots, instead of N Python loops.
+
+Differences from the reference (deliberate):
+  * ``max_hist=-1`` (the reference default) trims history to length 1 every
+    step due to an off-by-default quirk (core/engine.py:88-92, verified by
+    execution). Here any ``max_hist <= 0`` or ``None`` means unlimited;
+    positive values are a real ring buffer.
+  * velocities stay float64 host-side (the reference coerces to float32 in
+    the Object constructor, core/physics.py:184).
+  * checkpoints are a real round trip (``checkpoint()`` / ``resume()``);
+    the reference writes JSONL frames but never reads them back.
+  * on TPU, SI-magnitude scenes are internally rescaled to natural units
+    (exact change of units) so float32/ds32 state stays well-conditioned.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..models.constants import STANDARD, UnitProfile
+from ..models.objects import Coordinates, Object, ObjectCollection
+from ..models.scene import compile_objects
+from ..ops import diagnostics as diag
+from ..utils.config import SimConfig
+from ..utils.io import append_jsonl, last_jsonl
+from . import checkpoint as ckpt
+from .rollout import resolve_force_fn, rollout
+from .integrators import make_step_fn
+from .state import NBodyState, Rescale, make_state
+
+__all__ = ["SimulationEngine", "run_simulation"]
+
+
+class SimulationEngine:
+    """Advance an orbital simulation on TPU with a host-side object view."""
+
+    def __init__(
+        self,
+        objects: ObjectCollection,
+        dt: float = 1.0,
+        softening: float = 0.0,
+        restitution: float = 1.0,
+        max_hist: Optional[int] = -1,
+        cache: bool = True,
+        cache_fp: str = "history.jsonl",
+        cache_every_n: int = 300,
+        *,
+        merge_on_capture: bool = False,
+        collisions: Optional[str] = None,
+        precision: Optional[str] = None,
+        force_impl: str = "auto",
+        unit_profile: UnitProfile = STANDARD,
+        rescale: Optional[Rescale] = None,
+        record_history: bool = True,
+    ):
+        if isinstance(objects, (list, tuple)):
+            objects = ObjectCollection(list(objects))
+        self.objects = objects
+        self.dt = float(dt)
+        self.softening = float(softening)
+        self.restitution = float(restitution)
+        self.max_hist = max_hist
+        self.cache = cache
+        if cache_fp and not cache_fp.endswith(".jsonl"):
+            raise ValueError("cache_fp must end with .jsonl")
+        self.cache_fp = cache_fp
+        self.cache_every_n = cache_every_n if cache else 0
+        self.unit_profile = unit_profile
+        self.record_history = record_history
+
+        if precision is None:
+            precision = "f64" if jax.config.read("jax_enable_x64") else "ds32"
+        self.precision = precision
+
+        scene = compile_objects(objects)
+        if rescale is None:
+            rescale = (
+                Rescale.identity()
+                if precision == "f64"
+                else Rescale.natural(scene.pos, scene.mass, unit_profile.G)
+            )
+        self.rescale = rescale
+
+        mode = collisions if collisions is not None else (
+            "merge" if merge_on_capture else "bounce"
+        )
+        self.config = SimConfig(
+            dt=self.dt / rescale.time,
+            G=rescale.g_internal(unit_profile.G),
+            eps2=(self.softening / rescale.length) ** 2,
+            restitution=self.restitution,
+            collisions=mode,
+            force_impl=force_impl,
+        )
+
+        self.state = make_state(
+            scene.pos, scene.vel, scene.mass, scene.radius,
+            precision=precision, rescale=rescale,
+        )
+        self._uuids = list(scene.uuids)
+        self._force_fn = resolve_force_fn(self.config, self.state.n_bodies)
+        self._step_fn = jax.jit(make_step_fn(self.config, self._force_fn))
+
+        # initial force evaluation (reference: core/engine.py:41)
+        acc0, U0 = self._force_fn(self.state.pos, self.state.mass, self.state.alive)
+        self.state = self.state.replace(acc=acc0, potential=U0)
+
+        self.history: dict[str, list[list[float]]] = {
+            obj.uuid: [obj.position().copy().tolist()] for obj in self.objects
+        }
+        self.time_elapsed = 0.0
+        self.step_idx = 0
+
+    # -- unit conversion helpers ---------------------------------------------
+
+    def _pos_phys(self, state: Optional[NBodyState] = None) -> np.ndarray:
+        s = state or self.state
+        return np.asarray(s.pos_full(), np.float64) * self.rescale.length
+
+    def _vel_phys(self, state: Optional[NBodyState] = None) -> np.ndarray:
+        s = state or self.state
+        return np.asarray(s.vel_full(), np.float64) * self.rescale.velocity
+
+    @property
+    def acc(self) -> dict[str, np.ndarray]:
+        """uuid -> acceleration (physical units), as the reference exposes."""
+        a = np.asarray(self.state.acc, np.float64) * (
+            self.rescale.length / self.rescale.time**2
+        )
+        return {u: a[i] for i, u in enumerate(self._uuids) if u is not None}
+
+    @property
+    def last_potential(self) -> float:
+        return float(self.state.potential) * self.rescale.energy
+
+    # -- host synchronization --------------------------------------------------
+
+    def _sync_objects(self) -> None:
+        """Refresh host Objects from device state; prune merged-away bodies."""
+        pos = self._pos_phys()
+        vel = self._vel_phys()
+        mass = np.asarray(self.state.mass, np.float64) * self.rescale.mass
+        radius = np.asarray(self.state.radius, np.float64) * self.rescale.length
+        alive = np.asarray(self.state.alive)
+        dead = []
+        for i, uuid in enumerate(self._uuids):
+            if uuid is None:
+                continue
+            obj = next((o for o in self.objects if o.uuid == uuid), None)
+            if obj is None:
+                continue
+            if not alive[i]:
+                dead.append((i, obj))
+                continue
+            obj.coordinates = Coordinates.from_iterable(pos[i])
+            obj.velocity = vel[i]
+            obj.mass = float(mass[i])
+            obj.radius = float(radius[i])
+        for i, obj in dead:
+            self.objects.remove(obj)
+            self._uuids[i] = None
+
+    def _append_history(self, pos_phys: np.ndarray, alive: np.ndarray) -> None:
+        unlimited = self.max_hist is None or self.max_hist <= 0
+        for i, uuid in enumerate(self._uuids):
+            if uuid is None or not alive[i]:
+                continue
+            h = self.history[uuid]
+            h.append(pos_phys[i].tolist())
+            if not unlimited and len(h) > self.max_hist:
+                del h[: len(h) - self.max_hist]
+
+    # -- public stepping API -----------------------------------------------------
+
+    def step(self) -> None:
+        """Advance one KDK step (reference semantics, core/engine.py:65-97)."""
+        self.state = self._step_fn(self.state)
+        self.time_elapsed += self.dt
+        pos = self._pos_phys()
+        alive = np.asarray(self.state.alive)
+        if self.record_history:
+            self._append_history(pos, alive)
+        if self.cache and self.cache_every_n and (self.step_idx % self.cache_every_n == 0):
+            self._sync_objects()
+            self.save_frame()
+        self.step_idx += 1
+        self._sync_objects()
+
+    def run(self, steps: int) -> None:
+        """Advance ``steps`` steps in one compiled rollout (single host
+        transfer), preserving per-step history append and throttled frame
+        cache semantics."""
+        steps = int(steps)
+        if steps <= 0:
+            return
+        want_frames = bool(self.cache and self.cache_every_n)
+        record = 1 if (self.record_history or want_frames) else 0
+        final, traj = rollout(self.state, self.config, steps,
+                              record_every=record, force_fn=self._force_fn)
+        start_idx = self.step_idx
+        self.state = final
+        self.time_elapsed += self.dt * steps
+        self.step_idx += steps
+        self._sync_objects()
+
+        if traj is not None:
+            pos_all = np.asarray(traj.pos, np.float64) * self.rescale.length
+            vel_all = np.asarray(traj.vel, np.float64) * self.rescale.velocity
+            alive = np.asarray(final.alive)
+            by_uuid = {o.uuid: o for o in self.objects}
+            for s in range(steps):
+                if self.record_history:
+                    self._append_history(pos_all[s], alive)
+                if want_frames and ((start_idx + s) % self.cache_every_n == 0):
+                    # frame at the state of step s (masses/radii are the
+                    # current ones; exact except across mid-chunk merges)
+                    objs = []
+                    for i, uuid in enumerate(self._uuids):
+                        obj = by_uuid.get(uuid)
+                        if obj is None:
+                            continue
+                        d = obj.to_dict()
+                        d["coordinates"] = {"x": pos_all[s, i, 0],
+                                            "y": pos_all[s, i, 1],
+                                            "z": pos_all[s, i, 2]}
+                        d["velocity"] = vel_all[s, i].tolist()
+                        objs.append(d)
+                    append_jsonl(self.cache_fp, {
+                        "time_elapsed": self.time_elapsed - self.dt * (steps - 1 - s),
+                        "objects": objs,
+                        "history": {
+                            o.name: [pos_all[s, i].tolist()]
+                            for i, u in enumerate(self._uuids)
+                            if (o := by_uuid.get(u)) is not None
+                        },
+                    })
+
+    # -- history / frames -----------------------------------------------------
+
+    def named_history(self, limit: int = 0) -> dict[str, list[list[float]]]:
+        """History keyed by body name (reference: core/engine.py:59-63)."""
+        if limit > 0:
+            return {o.name: self.history[o.uuid][-limit:] for o in self.objects}
+        return {o.name: self.history[o.uuid] for o in self.objects}
+
+    def save_frame(self) -> None:
+        """Append the current state to the JSONL cache (same schema as the
+        reference, core/engine.py:48-57)."""
+        append_jsonl(self.cache_fp, {
+            "time_elapsed": self.time_elapsed,
+            "objects": self.objects.to_dict(),
+            "history": self.named_history(limit=1),
+        })
+
+    # -- checkpoint / resume -----------------------------------------------------
+
+    def checkpoint(self, path: str | Path) -> None:
+        """Full-fidelity device-state checkpoint (npz or orbax dir)."""
+        ckpt.save_state(self.state, path, meta={
+            "time_elapsed": self.time_elapsed,
+            "step_idx": self.step_idx,
+            "dt": self.dt,
+            "softening": self.softening,
+            "rescale": dataclasses.asdict(self.rescale),
+            "uuids": self._uuids,
+            "names": [o.name for o in self.objects],
+        })
+
+    def resume(self, path: str | Path) -> None:
+        """Restore device state from :meth:`checkpoint` output."""
+        state, meta = ckpt.load_state(path)
+        self.state = state
+        self.time_elapsed = meta.get("time_elapsed", 0.0)
+        self.step_idx = meta.get("step_idx", 0)
+        self._sync_objects()
+
+    def resume_from_cache(self, cache_fp: Optional[str] = None) -> bool:
+        """Resume host objects + clock from the last JSONL frame — the load
+        path the reference never implemented. Returns True if a frame was
+        found."""
+        frame = last_jsonl(cache_fp or self.cache_fp)
+        if frame is None:
+            return False
+        self.objects = ObjectCollection.from_dict(frame["objects"])
+        self.time_elapsed = frame["time_elapsed"]
+        scene = compile_objects(self.objects)
+        self.state = make_state(
+            scene.pos, scene.vel, scene.mass, scene.radius,
+            precision=self.precision, rescale=self.rescale,
+        )
+        acc0, U0 = self._force_fn(self.state.pos, self.state.mass, self.state.alive)
+        self.state = self.state.replace(acc=acc0, potential=U0)
+        self._uuids = list(scene.uuids)
+        for o in self.objects:
+            self.history.setdefault(o.uuid, [o.position().tolist()])
+        return True
+
+    # -- diagnostics ---------------------------------------------------------------
+
+    def total_energy(self) -> float:
+        """K + U with U from the last force evaluation
+        (reference: core/engine.py:104-112)."""
+        E = diag.total_energy(self.state.vel_full(), self.state.mass,
+                              self.state.potential)
+        return float(E) * self.rescale.energy
+
+    def angular_momentum(self) -> np.ndarray:
+        """L = sum r x mv (reference: core/engine.py:114-121)."""
+        L = diag.angular_momentum(self.state.pos_full(), self.state.vel_full(),
+                                  self.state.mass)
+        return np.asarray(L, np.float64) * self.rescale.angular_momentum
+
+
+def run_simulation(engine: SimulationEngine, steps: int, print_every: int = 100):
+    """Drive an engine while printing relative energy / angular-momentum
+    drift (reference: core/engine.py:124-134). Steps are executed in
+    compiled chunks of ``print_every``."""
+    E0 = engine.total_energy()
+    L0 = engine.angular_momentum()
+    done = 0
+    while done < steps:
+        chunk = min(print_every, steps - done)
+        engine.run(chunk)
+        done += chunk
+        E = engine.total_energy()
+        L = engine.angular_momentum()
+        dE = (E - E0) / abs(E0)
+        dL = np.linalg.norm(L - L0) / (np.linalg.norm(L0) + 1e-30)
+        print(f"step {done}: dE={dE:.3e}, dL={dL:.3e}")

@@ -109,6 +109,9 @@ class Object:
             "moi": self.moi,
             "angular_velocity": np.asarray(self.angular_velocity).tolist(),
             "uuid": self.uuid,
+            # the reference's from_dict reads "name" but its to_dict never
+            # writes it (core/physics.py:193-229); we close that round trip
+            "name": self.name,
             "unit_profile": self.unit_profile.name.value
             if isinstance(self.unit_profile.name, UnitSystem)
             else str(self.unit_profile.name),

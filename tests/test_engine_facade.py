@@ -1,0 +1,166 @@
+"""SimulationEngine facade: reference-parity stepping, history, JSONL cache,
+checkpoint/resume, diagnostics, merge pruning."""
+import json
+
+import numpy as np
+import pytest
+
+from orbital_tpu import SimulationEngine, run_simulation
+from orbital_tpu.models.objects import (
+    Coordinates,
+    Object,
+    ObjectCollection,
+    set_circular_orbit,
+)
+
+
+@pytest.fixture
+def em_engine(tmp_path):
+    a = Object(5.972e24, 6.371e6, velocity=np.zeros(3),
+               coordinates=Coordinates(0, 0, 0), name="earth")
+    b = Object(7.348e22, 1.737e6, velocity=np.zeros(3),
+               coordinates=Coordinates(3.844e8, 0, 0), name="moon")
+    set_circular_orbit(a, b)
+    return SimulationEngine(
+        ObjectCollection([a, b]), dt=3600.0, softening=1e3,
+        cache=True, cache_fp=str(tmp_path / "h.jsonl"), cache_every_n=100,
+        max_hist=None,
+    )
+
+
+def test_step_matches_reference_engine(em_engine, reference):
+    ref = reference["core.physics"]
+    reng = reference["core.engine"]
+    objs = []
+    for o in em_engine.objects:
+        r = ref.Object(o.mass, o.radius, velocity=np.zeros(3),
+                       coordinates=ref.Coordinates(*o.position()))
+        r.velocity = np.asarray(o.velocity, np.float64).copy()
+        objs.append(r)
+    eng_ref = reng.SimulationEngine(ref.ObjectCollection(objs), dt=3600.0,
+                                    softening=1e3, cache=False, max_hist=None)
+    for _ in range(10):
+        em_engine.step()
+        eng_ref.step()
+    for ours, theirs in zip(em_engine.objects, eng_ref.objects):
+        np.testing.assert_allclose(ours.position(), theirs.position(), atol=1e-6)
+        np.testing.assert_allclose(ours.velocity, theirs.velocity, atol=1e-12)
+    assert em_engine.total_energy() == pytest.approx(eng_ref.total_energy(), rel=1e-12)
+    np.testing.assert_allclose(em_engine.angular_momentum(),
+                               eng_ref.angular_momentum(), rtol=1e-12)
+
+
+def test_run_equals_stepping(em_engine):
+    import copy
+
+    run_engine = em_engine
+    pos_step = None
+    # run(50) in one compiled rollout
+    run_engine.run(50)
+    pos_run = [o.position().copy() for o in run_engine.objects]
+    hist_run = {k: list(v) for k, v in run_engine.named_history().items()}
+
+    # fresh engine, 50 individual steps
+    a = Object(5.972e24, 6.371e6, velocity=np.zeros(3),
+               coordinates=Coordinates(0, 0, 0), name="earth")
+    b = Object(7.348e22, 1.737e6, velocity=np.zeros(3),
+               coordinates=Coordinates(3.844e8, 0, 0), name="moon")
+    set_circular_orbit(a, b)
+    eng2 = SimulationEngine(ObjectCollection([a, b]), dt=3600.0,
+                            softening=1e3, cache=False, max_hist=None)
+    for _ in range(50):
+        eng2.step()
+    pos_step = [o.position().copy() for o in eng2.objects]
+    np.testing.assert_allclose(pos_run, pos_step, rtol=1e-14)
+    assert len(hist_run["moon"]) == 51  # seeded + 50
+    np.testing.assert_allclose(hist_run["moon"],
+                               eng2.named_history()["moon"], rtol=1e-14)
+    assert run_engine.step_idx == 50
+    assert run_engine.time_elapsed == pytest.approx(50 * 3600.0)
+
+
+def test_history_ring_buffer(em_engine):
+    em_engine.max_hist = 10
+    em_engine.run(30)
+    for o in em_engine.objects:
+        assert len(em_engine.history[o.uuid]) == 10
+    # unlimited modes
+    em_engine.max_hist = None
+    em_engine.run(5)
+    assert len(em_engine.history[em_engine.objects[0].uuid]) == 15
+
+
+def test_jsonl_cache_schema(em_engine, tmp_path):
+    em_engine.run(250)
+    frames = [json.loads(line) for line in open(em_engine.cache_fp)]
+    assert len(frames) == 3  # steps 0, 100, 200
+    f = frames[-1]
+    assert set(f) == {"time_elapsed", "objects", "history"}
+    assert f["time_elapsed"] == pytest.approx(201 * 3600.0)
+    assert {o["uuid"] for o in f["objects"]} == {o.uuid for o in em_engine.objects}
+    assert set(f["history"]) == {"earth", "moon"}
+    assert len(f["history"]["moon"]) == 1
+
+
+def test_checkpoint_roundtrip(em_engine, tmp_path):
+    em_engine.run(20)
+    ck = tmp_path / "state.npz"
+    em_engine.checkpoint(ck)
+    pos_before = [o.position().copy() for o in em_engine.objects]
+    t_before = em_engine.time_elapsed
+    em_engine.run(50)
+    em_engine.resume(ck)
+    np.testing.assert_allclose([o.position() for o in em_engine.objects], pos_before)
+    assert em_engine.time_elapsed == t_before
+    # resuming then running gives the same future
+    em_engine.run(10)
+    pos_a = [o.position().copy() for o in em_engine.objects]
+    em_engine.resume(ck)
+    em_engine.run(10)
+    np.testing.assert_allclose([o.position() for o in em_engine.objects], pos_a)
+
+
+def test_resume_from_jsonl_cache(em_engine):
+    em_engine.run(150)
+    t = em_engine.time_elapsed
+    a = Object(5.972e24, 6.371e6, velocity=np.zeros(3),
+               coordinates=Coordinates(0, 0, 0), name="earth")
+    b = Object(7.348e22, 1.737e6, velocity=np.zeros(3),
+               coordinates=Coordinates(3.844e8, 0, 0), name="moon")
+    eng2 = SimulationEngine(ObjectCollection([a, b]), dt=3600.0, softening=1e3,
+                            cache=False)
+    assert eng2.resume_from_cache(em_engine.cache_fp)
+    # resumed from the last cached frame (step 100), not the live state
+    assert eng2.time_elapsed == pytest.approx(101 * 3600.0)
+    assert t > eng2.time_elapsed
+    names = {o.name for o in eng2.objects}
+    assert names == {"earth", "moon"}
+
+
+def test_merge_prunes_objects():
+    a = Object(6.0, 1.0, velocity=np.array([1.0, 0, 0]),
+               coordinates=Coordinates(0, 0, 0), name="big")
+    b = Object(3.0, 1.0, velocity=np.array([-1.0, 0, 0]),
+               coordinates=Coordinates(5.0, 0, 0), name="small")
+    eng = SimulationEngine(ObjectCollection([a, b]), dt=0.05,
+                           merge_on_capture=True, cache=False, max_hist=None,
+                           precision="f64")
+    eng.run(200)
+    assert len(eng.objects) == 1
+    assert eng.objects[0].name == "big"
+    assert eng.objects[0].mass == pytest.approx(9.0)
+    np.testing.assert_allclose(eng.objects[0].velocity, [(6 - 3) / 9.0, 0, 0],
+                               atol=1e-12)
+
+
+def test_run_simulation_prints_drift(em_engine, capsys):
+    run_simulation(em_engine, 100, print_every=50)
+    out = capsys.readouterr().out
+    assert "dE=" in out and "dL=" in out
+    assert out.count("step ") == 2
+
+
+def test_cache_fp_validation():
+    a = Object(1.0, 1.0, velocity=np.zeros(3), coordinates=Coordinates(0, 0, 0))
+    with pytest.raises(ValueError):
+        SimulationEngine(ObjectCollection([a]), cache_fp="frames.json")
