@@ -1,0 +1,114 @@
+"""Headline benchmark: body-steps/s/chip for the leapfrog KDK stepper.
+
+Prints ONE JSON line:
+  {"metric": "body-steps/s/chip @ N=65536", "value": ..., "unit": "body-steps/s",
+   "vs_baseline": ..., "extras": {...}}
+
+Baseline: the reference's pure-Python engine measured in this container
+extrapolates to ~2.7 body-steps/s at N=65536 (BASELINE.md); ~44 at N=4096.
+
+Configs (BASELINE.json 3-4): random virialized cluster in natural units
+(G=1), softened dense O(N^2) gravity via the Pallas kernel, ds32 state.
+Timing uses dependency-chained loops with slope extraction (the tunnel's
+device->host fetch RTT is ~30 ms; see orbital_tpu.utils.timing).
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+BASELINE_65K = 2.7     # body-steps/s, reference extrapolation at N=65536
+BASELINE_4K = 44.0     # body-steps/s, reference extrapolation at N=4096
+
+
+def device_potential(pos32, mass32, eps2: float) -> float:
+    """Softened pairwise potential via the device kernel (f32 sums)."""
+    from orbital_tpu.ops.pallas_forces import pairwise_acc_pallas
+
+    _, U = pairwise_acc_pallas(pos32, mass32, G=1.0, eps2=eps2)
+    return float(U)
+
+
+def make_cluster(n: int, seed: int = 0):
+    """Virialized Plummer-like cluster, natural units (G = 1, M = 1)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    pos = rng.normal(size=(n, 3))
+    vel = rng.normal(size=(n, 3))
+    mass = np.full(n, 1.0 / n)
+    eps2 = 1e-4
+    U = device_potential(jnp.asarray(pos, jnp.float32),
+                         jnp.asarray(mass, jnp.float32), eps2)
+    K = 0.5 * float(np.sum(mass * np.sum(vel * vel, -1)))
+    vel *= np.sqrt(0.5 * abs(U) / K)
+    return pos, vel, mass, eps2
+
+
+def energy_hybrid(state, eps2: float) -> float:
+    """Energy: kinetic in f64 from the ds32 state, potential via the f32
+    device kernel (~1e-7 relative noise on U — the drift-report floor)."""
+    import jax.numpy as jnp
+
+    vel = np.asarray(state.vel, np.float64)
+    if state.vel_lo is not None:
+        vel = vel + np.asarray(state.vel_lo, np.float64)
+    mass = np.asarray(state.mass, np.float64)
+    K = 0.5 * float(np.sum(mass * np.sum(vel * vel, -1)))
+    U = device_potential(state.pos, state.mass.astype(jnp.float32), eps2)
+    return K + U
+
+
+def bench_config(n: int, drift_steps: int, iters: int):
+    import jax
+
+    import orbital_tpu as ot
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import resolve_force_fn
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.utils.timing import bench_chained
+
+    pos, vel, mass, eps2 = make_cluster(n)
+    state = make_state(pos, vel, mass, precision="ds32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="auto")
+    state = ot.init_forces(state, cfg)
+    step = make_step_fn(cfg, resolve_force_fn(cfg, n))
+
+    sec_per_step = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
+    rate = n / sec_per_step
+
+    E0 = energy_hybrid(state, eps2)
+    final, _ = ot.rollout_jit(state, cfg, drift_steps)
+    E1 = energy_hybrid(final, eps2)
+    drift = abs((E1 - E0) / E0)
+    return rate, sec_per_step, drift
+
+
+def main() -> None:
+    import jax
+
+    backend = jax.default_backend()
+    rate_65k, sps_65k, drift_65k = bench_config(65536, drift_steps=3000, iters=4)
+    rate_4k, sps_4k, drift_4k = bench_config(4096, drift_steps=10000, iters=100)
+
+    print(json.dumps({
+        "metric": "body-steps/s/chip @ N=65536 (KDK leapfrog, softened O(N^2) Pallas gravity, ds32)",
+        "value": round(rate_65k, 1),
+        "unit": "body-steps/s",
+        "vs_baseline": round(rate_65k / BASELINE_65K, 1),
+        "extras": {
+            "backend": backend,
+            "ms_per_step_65536": round(sps_65k * 1e3, 3),
+            "energy_drift_65536_3000steps": drift_65k,
+            "body_steps_per_s_4096": round(rate_4k, 1),
+            "vs_baseline_4096": round(rate_4k / BASELINE_4K, 1),
+            "ms_per_step_4096": round(sps_4k * 1e3, 4),
+            "energy_drift_4096_10000steps": drift_4k,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,145 @@
+"""Body-sharded O(N^2) forces: a shard_map ppermute ring over ICI.
+
+The O(N^2) interaction sweep is structurally identical to unnormalized
+attention scores, so the multi-chip strategy is ring attention's (see
+SURVEY §5): each device keeps its body shard ("queries") resident and a
+rotating copy of another shard ("keys" = positions+masses) streams around
+the ring via ``lax.ppermute``; every round contributes partial
+accelerations and potential. After D rounds every shard has seen every
+body. XLA overlaps the ppermute with the force block of the previous round.
+
+No NCCL/MPI equivalent is hand-built: the collectives are XLA's, laid out
+by ``shard_map`` over a ``Mesh`` so the permute rides ICI.
+
+Softening must be > 0 in sharded mode (the mask-free self-pair
+cancellation; see ``ops.pallas_forces``). Collisions across shard
+boundaries are not implemented yet — use ``collisions="none"`` with the
+ring path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..engine.integrators import ForceFn, make_step_fn
+from ..engine.state import NBodyState
+from ..utils.config import SimConfig
+
+__all__ = ["ring_force_fn", "make_sharded_step", "state_sharding", "shard_state"]
+
+
+def _block_force(pos_i, pos_j, mass_j, *, G: float, eps2: float):
+    """Mask-free partial forces of shard j on shard i (requires eps2 > 0 or
+    fully distinct positions; self-pairs cancel through dx == 0)."""
+    dx = pos_j[None, :, 0] - pos_i[:, None, 0]
+    dy = pos_j[None, :, 1] - pos_i[:, None, 1]
+    dz = pos_j[None, :, 2] - pos_i[:, None, 2]
+    r2 = dx * dx + dy * dy + dz * dz
+    if eps2 > 0.0:
+        inv_r = lax.rsqrt(r2 + eps2)
+    else:
+        safe = r2 > 0.0
+        inv_r = jnp.where(safe, lax.rsqrt(jnp.where(safe, r2, 1.0)), 0.0)
+    inv_r3 = inv_r * inv_r * inv_r
+    w = mass_j[None, :] * inv_r3
+    acc = G * jnp.stack(
+        [jnp.sum(w * dx, axis=1), jnp.sum(w * dy, axis=1), jnp.sum(w * dz, axis=1)],
+        axis=-1,
+    )
+    pe_row = jnp.sum(mass_j[None, :] * inv_r, axis=1)
+    return acc, pe_row
+
+
+def ring_force_fn(cfg: SimConfig, n_shards: int) -> ForceFn:
+    """ForceFn for use *inside* shard_map: per-device shards in, per-device
+    acc shard + replicated total potential out."""
+    axis = cfg.shard_axis
+    if axis is None:
+        raise ValueError("ring force requires cfg.shard_axis")
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def fn(pos, mass, alive):
+        mass_eff = mass * alive.astype(mass.dtype)
+
+        def round_k(k, carry):
+            acc, pe, pos_j, mass_j = carry
+            a_k, pe_k = _block_force(pos, pos_j, mass_j, G=cfg.G, eps2=cfg.eps2)
+            acc = acc + a_k
+            pe = pe + pe_k
+            pos_j = lax.ppermute(pos_j, axis, perm=fwd)
+            mass_j = lax.ppermute(mass_j, axis, perm=fwd)
+            return acc, pe, pos_j, mass_j
+
+        acc0 = jnp.zeros_like(pos)
+        pe0 = jnp.zeros_like(mass)
+        acc, pe_row, _, _ = lax.fori_loop(
+            0, n_shards, round_k, (acc0, pe0, pos, mass_eff)
+        )
+        acc = acc * alive[:, None].astype(acc.dtype)
+        if cfg.eps2 > 0.0:
+            # remove the analytic self-term included by the mask-free sweep
+            pe_row = pe_row - mass_eff * (1.0 / float(cfg.eps2) ** 0.5)
+        U = -0.5 * cfg.G * lax.psum(jnp.sum(mass_eff * pe_row), axis)
+        return acc, U
+
+    return fn
+
+
+def state_sharding(mesh: Mesh, state: NBodyState, axis: str = "body"):
+    """NamedSharding pytree for a body-sharded state (scalars replicated)."""
+    specs = _state_specs(state, axis)
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_state(mesh: Mesh, state: NBodyState, axis: str = "body") -> NBodyState:
+    """Place a host-built state onto the mesh with body sharding."""
+    return jax.device_put(state, state_sharding(mesh, state, axis))
+
+
+def _state_specs(state: NBodyState, axis: str) -> NBodyState:
+    """PartitionSpec pytree matching a state (scalars replicated)."""
+    mat, vec, rep = P(axis, None), P(axis), P()
+    return NBodyState(
+        pos=mat, vel=mat, mass=vec, radius=vec, alive=vec, acc=mat,
+        potential=rep, time=rep, step=rep,
+        pos_lo=mat if state.pos_lo is not None else None,
+        vel_lo=mat if state.vel_lo is not None else None,
+    )
+
+
+def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
+                      axis: Optional[str] = None):
+    """Compiled full simulation step over a body-sharded mesh.
+
+    Returns a jitted ``step(state) -> state`` where every body array of
+    ``state`` is sharded along ``axis`` of ``mesh``. The KDK update runs
+    elementwise on local shards; the force evaluation is the ppermute ring;
+    the only other collective is one psum for the potential.
+    """
+    axis = axis or cfg.shard_axis or "body"
+    cfg = cfg.replace(shard_axis=axis, force_impl="ring")
+    if cfg.collisions != "none":
+        raise NotImplementedError(
+            "cross-shard collisions are not implemented; use collisions='none'"
+        )
+    n_shards = mesh.shape[axis]
+    n_bodies = state_example.n_bodies
+    if n_bodies % n_shards != 0:
+        raise ValueError(f"N={n_bodies} must divide across {n_shards} shards "
+                         f"(pad via make_state(pad_to=...))")
+
+    force = ring_force_fn(cfg, n_shards)
+    local_step = make_step_fn(cfg, force)
+    spec = _state_specs(state_example, axis)
+    sharded = jax.shard_map(local_step, mesh=mesh, in_specs=(spec,),
+                            out_specs=spec)
+    return jax.jit(sharded)

@@ -1,0 +1,76 @@
+"""Flask service: routes, payload schema, thread safety setup."""
+import importlib
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def client():
+    os.environ.update({
+        "SIM_INITIAL_STEPS": "20",
+        "SIM_MAX_HISTORY": "100",
+        "SIM_DISABLE_THREAD": "true",
+        "SIM_MOONS": "false",
+        "USE_CACHE": "false",
+    })
+    sys.modules.pop("app.app", None)
+    mod = importlib.import_module("app.app")
+    mod.app.config["TESTING"] = True
+    with mod.app.test_client() as c:
+        yield c, mod
+
+
+def test_health(client):
+    c, _ = client
+    r = c.get("/health")
+    assert r.status_code == 200
+    assert r.get_json() == {"status": "ok"}
+
+
+def test_api_state_schema(client):
+    c, mod = client
+    r = c.get("/api/state")
+    assert r.status_code == 200
+    data = r.get_json()
+    assert set(data) >= {"bodies", "mass_min", "mass_max", "radius_min",
+                         "radius_max", "time_elapsed", "sim_time_jd",
+                         "sim_time_iso"}
+    assert len(data["bodies"]) == 15
+    body = next(b for b in data["bodies"] if b["name"] == "Earth")
+    assert set(body) == {"id", "name", "mass_kg", "radius_km", "T_seconds",
+                         "fg_ms2", "position"}
+    assert body["radius_km"] == pytest.approx(6371.0)
+    assert body["T_seconds"] == pytest.approx(365.25 * 86400, rel=2e-3)
+    # warmed up 20 steps of 1800 s
+    assert data["time_elapsed"] == pytest.approx(20 * 1800.0)
+    assert data["sim_time_iso"].startswith("2000-01-01T22:00")  # J2000 epoch 12:00 UTC + 10 h
+
+
+def test_index_bootstrap(client):
+    c, _ = client
+    r = c.get("/")
+    assert r.status_code == 200
+    html = r.data.decode()
+    assert "__BOOTSTRAP__" in html and "orbital-tpu" in html
+
+
+def test_snapshot_advances(client):
+    c, mod = client
+    t0 = c.get("/api/state").get_json()["time_elapsed"]
+    with mod.engine_lock:
+        mod.engine.step()
+        mod._snapshot = mod.build_snapshot()
+    t1 = c.get("/api/state").get_json()["time_elapsed"]
+    assert t1 == pytest.approx(t0 + mod.INTERVAL)
+
+
+def test_checkpoint_endpoint(client, tmp_path):
+    c, mod = client
+    os.environ["CHECKPOINT_FP"] = str(tmp_path / "ck.npz")
+    r = c.post("/api/checkpoint")
+    assert r.status_code == 200
+    assert (tmp_path / "ck.npz").exists()

@@ -1,0 +1,101 @@
+"""Sharded ring forces on a virtual 8-device CPU mesh + vmapped ensembles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import orbital_tpu as ot
+from orbital_tpu.engine.state import make_state
+from orbital_tpu.engine.rollout import resolve_force_fn
+from orbital_tpu.engine.integrators import make_step_fn
+from orbital_tpu.parallel.ensemble import energy_drift, ensemble_rollout, make_ensemble
+from orbital_tpu.parallel.mesh import make_mesh
+from orbital_tpu.parallel.sharded import make_sharded_step, ring_force_fn, shard_state
+
+
+@pytest.fixture
+def cluster_state(rng):
+    n = 64
+    pos = rng.normal(size=(n, 3))
+    vel = rng.normal(size=(n, 3)) * 0.1
+    mass = rng.uniform(0.5, 1.5, n) / n
+    return make_state(pos, vel, mass, precision="f32")
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.shape["body"] == 8
+
+
+def test_ring_force_matches_dense(cluster_state, rng):
+    mesh = make_mesh()
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, shard_axis="body")
+    st = cluster_state
+    a_ref, U_ref = resolve_force_fn(cfg.replace(force_impl="dense"), st.n_bodies)(
+        st.pos, st.mass, st.alive)
+
+    from jax.sharding import PartitionSpec as P
+    ring = ring_force_fn(cfg, 8)
+    f = jax.jit(jax.shard_map(
+        ring, mesh=mesh,
+        in_specs=(P("body", None), P("body"), P("body")),
+        out_specs=(P("body", None), P()),
+    ))
+    a, U = f(st.pos, st.mass, st.alive)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref), rtol=2e-5, atol=1e-6)
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-5)
+
+
+def test_sharded_step_matches_unsharded(cluster_state):
+    mesh = make_mesh()
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4)
+    st = ot.init_forces(cluster_state, cfg)
+
+    step_ref = make_step_fn(cfg, resolve_force_fn(cfg.replace(force_impl="dense"), st.n_bodies))
+    ref = step_ref(step_ref(st))
+
+    sharded_step = make_sharded_step(cfg, mesh, st, axis="body")
+    st_sh = shard_state(mesh, st, "body")
+    out = sharded_step(sharded_step(st_sh))
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               rtol=2e-5, atol=1e-6)
+    assert float(out.time) == pytest.approx(float(ref.time))
+    assert int(out.step) == 2
+
+
+def test_sharded_rejects_collisions(cluster_state):
+    mesh = make_mesh()
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, collisions="bounce")
+    with pytest.raises(NotImplementedError):
+        make_sharded_step(cfg, mesh, cluster_state)
+
+
+def test_ensemble_rollout(rng):
+    n, E = 8, 16
+    pos = rng.normal(size=(n, 3))
+    vel = rng.normal(size=(n, 3)) * 0.1
+    mass = rng.uniform(0.5, 1.5, n) / n
+    base = make_state(pos, vel, mass, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-3)
+
+    states = make_ensemble(base, E, jax.random.key(0), pos_sigma=1e-4)
+    assert states.pos.shape == (E, n, 3)
+    # member 0 unperturbed
+    np.testing.assert_array_equal(np.asarray(states.pos[0]), np.asarray(base.pos))
+    assert not np.allclose(np.asarray(states.pos[1]), np.asarray(base.pos))
+
+    finals, trajs = ensemble_rollout(states, cfg, 50, record_every=10)
+    assert finals.pos.shape == (E, n, 3)
+    assert trajs.pos.shape == (E, 5, n, 3)
+    drift = energy_drift(trajs)
+    assert drift.shape == (E,)
+    assert np.all(np.isfinite(drift))
+
+    # ensemble member 0 equals a plain unbatched rollout
+    st0 = ot.init_forces(base, cfg)
+    fin0, _ = ot.rollout_jit(st0, cfg, 50)
+    np.testing.assert_allclose(np.asarray(finals.pos[0]), np.asarray(fin0.pos),
+                               rtol=1e-6, atol=1e-7)
