@@ -80,7 +80,15 @@ def bench_config(n: int, drift_steps: int, iters: int):
     rate = n / sec_per_step
 
     E0 = energy_hybrid(state, eps2)
-    final, _ = ot.rollout_jit(state, cfg, drift_steps)
+    # chunked: single XLA programs much past ~60 s can trip the TPU worker
+    # watchdog on this platform, so sync to host between chunks
+    chunk = min(drift_steps, 500 if n > 16384 else drift_steps)
+    final = state
+    done = 0
+    while done < drift_steps:
+        final, _ = ot.rollout_jit(final, cfg, min(chunk, drift_steps - done))
+        float(final.time)  # host sync
+        done += chunk
     E1 = energy_hybrid(final, eps2)
     drift = abs((E1 - E0) / E0)
     return rate, sec_per_step, drift

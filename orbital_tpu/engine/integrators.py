@@ -74,18 +74,57 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn) -> Callable[[NBodyState], NB
     dt = cfg.dt
 
     def kdk(state: NBodyState) -> NBodyState:
-        # half-kick with cached a(t)
-        vel, vel_lo = _accumulate(state.vel, state.vel_lo, 0.5 * dt * state.acc)
-        # drift with the full-precision velocity
-        if vel_lo is None:
-            pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel)
-        else:
-            pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel, dt * vel_lo)
-        # force re-evaluation at r(t+dt)
-        acc, potential = force_fn(pos, state.mass, state.alive)
-        # half-kick with a(t+dt)
-        vel, vel_lo = _accumulate(vel, vel_lo, 0.5 * dt * acc)
+        with jax.named_scope("kdk.kick1"):
+            vel, vel_lo = _accumulate(state.vel, state.vel_lo, 0.5 * dt * state.acc)
+        with jax.named_scope("kdk.drift"):
+            if vel_lo is None:
+                pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel)
+            else:
+                pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel, dt * vel_lo)
+        with jax.named_scope("kdk.forces"):
+            acc, potential = force_fn(pos, state.mass, state.alive)
+        with jax.named_scope("kdk.kick2"):
+            vel, vel_lo = _accumulate(vel, vel_lo, 0.5 * dt * acc)
 
+        state = state.replace(
+            pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo,
+            acc=acc, potential=potential,
+            time=state.time + dt, step=state.step + 1,
+        )
+        with jax.named_scope("collisions"):
+            return _apply_collisions(cfg, state)
+
+    def rk4(state: NBodyState) -> NBodyState:
+        """Classical RK4 (BASELINE north star names it alongside leapfrog).
+
+        Non-symplectic but 4th-order accurate; 4 force evaluations per step
+        (the cached ``state.acc`` serves as k1's acceleration, and the
+        closing evaluation at r(t+dt) is cached for the next step and for
+        energy diagnostics).
+        """
+        r0 = state.pos_full()
+        v0 = state.vel_full()
+        a1 = state.acc
+        half = 0.5 * dt
+
+        r2 = r0 + half * v0
+        v2 = v0 + half * a1
+        a2, _ = force_fn(r2, state.mass, state.alive)
+
+        r3 = r0 + half * v2
+        v3 = v0 + half * a2
+        a3, _ = force_fn(r3, state.mass, state.alive)
+
+        r4 = r0 + dt * v3
+        v4 = v0 + dt * a3
+        a4, _ = force_fn(r4, state.mass, state.alive)
+
+        dr = (dt / 6.0) * (v0 + 2.0 * v2 + 2.0 * v3 + v4)
+        dv = (dt / 6.0) * (a1 + 2.0 * a2 + 2.0 * a3 + a4)
+        pos, pos_lo = _accumulate(state.pos, state.pos_lo, dr)
+        vel, vel_lo = _accumulate(state.vel, state.vel_lo, dv)
+
+        acc, potential = force_fn(pos, state.mass, state.alive)
         state = state.replace(
             pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo,
             acc=acc, potential=potential,
@@ -110,4 +149,4 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn) -> Callable[[NBodyState], NB
         )
         return _apply_collisions(cfg, state)
 
-    return kdk if cfg.integrator == "kdk" else euler
+    return {"kdk": kdk, "euler": euler, "rk4": rk4}[cfg.integrator]

@@ -28,7 +28,8 @@ class SimConfig:
         restitution: coefficient of restitution for bounce collisions.
         collisions: "none" | "bounce" | "merge".
         integrator: "kdk" (leapfrog, reference: core/engine.py:65-97) |
-            "euler" (semi-implicit, reference: core/physics.py:315-332).
+            "euler" (semi-implicit, reference: core/physics.py:315-332) |
+            "rk4" (classical 4th order; 4 force evals/step).
         force_impl: "auto" | "dense" | "chunked" | "pallas" | "ring".
         chunk: row-block size for the chunked/pallas force paths.
         shard_axis: mesh axis name for the ring force path (None = unsharded).
@@ -47,7 +48,7 @@ class SimConfig:
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
-        if self.integrator not in ("kdk", "euler"):
+        if self.integrator not in ("kdk", "euler", "rk4"):
             raise ValueError(f"bad integrator: {self.integrator!r}")
         if self.force_impl not in ("auto", "dense", "chunked", "pallas", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")

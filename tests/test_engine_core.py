@@ -223,3 +223,41 @@ def test_merge_collisions_in_rollout():
     assert alive.tolist() == [True, False]
     assert float(np.asarray(fin.mass)[0]) == 5.0
     np.testing.assert_allclose(np.asarray(fin.vel)[0], [(2 - 3) / 5.0, 0, 0], atol=1e-12)
+
+
+def test_rk4_more_accurate_than_kdk():
+    # one full orbit: RK4's position error is orders of magnitude below
+    # leapfrog's at the same dt
+    R = 3.844e8
+    m1, m2 = 5.972e24, 7.348e22
+    mu = G_SI * (m1 + m2)
+    v_rel = (1.0 + m2 / m1) * np.sqrt(mu / R)
+    a_orb = 1.0 / (2.0 / R - v_rel**2 / mu)
+    T = 2 * np.pi * np.sqrt(a_orb**3 / mu)
+    errs = {}
+    for integ in ("kdk", "rk4"):
+        st = _em_state("f64")
+        cfg = ot.SimConfig(dt=float(T / 500.0), G=G_SI, integrator=integ)
+        st = ot.init_forces(st, cfg)
+        fin, _ = ot.rollout_jit(st, cfg, 500)
+        errs[integ] = np.abs(np.asarray(fin.pos) - np.asarray(st.pos)).max()
+    assert errs["rk4"] < errs["kdk"] / 100.0
+
+
+def test_rk4_converges_4th_order():
+    st = _em_state("f64")
+    base_dt = 4000.0
+    horizon = 16  # steps at base dt
+    finals = {}
+    for k in (1, 2):
+        cfg = ot.SimConfig(dt=base_dt / k, G=G_SI, integrator="rk4")
+        s = ot.init_forces(st, cfg)
+        fin, _ = ot.rollout_jit(s, cfg, horizon * k)
+        finals[k] = np.asarray(fin.pos)
+    # error(dt) ~ C dt^4: halving dt shrinks the Richardson difference ~16x
+    cfg = ot.SimConfig(dt=base_dt / 4, G=G_SI, integrator="rk4")
+    fin, _ = ot.rollout_jit(ot.init_forces(st, cfg), cfg, horizon * 4)
+    ref = np.asarray(fin.pos)
+    e1 = np.abs(finals[1] - ref).max()
+    e2 = np.abs(finals[2] - ref).max()
+    assert e1 / e2 > 10.0  # ~16 for clean 4th order

@@ -136,3 +136,34 @@ def test_system_standardize_roundtrip():
     # to_json collapses Units to floats
     j = s.to_json()
     assert isinstance(j["Earth"]["a"], float)
+
+
+def test_device_kepler_matches_host():
+    import jax.numpy as jnp
+
+    from orbital_tpu.ops.kepler import elements_to_state
+    from orbital_tpu.ops.kepler import solve_kepler as solve_dev
+
+    M = np.linspace(0.0, 2 * math.pi, 33)
+    for e in (0.0, 0.3, 0.9):
+        E_host = solve_kepler(M, np.full_like(M, e))
+        E_dev = np.asarray(solve_dev(jnp.asarray(M), jnp.asarray(np.full_like(M, e))))
+        np.testing.assert_allclose(E_dev, E_host, atol=1e-10)
+
+    # elements->state agrees with Body.get_state for the whole dataset
+    sys_ = solar_system_v2(moons=True)
+    sys_.standardize_units(mass_unit="kilograms", distance_unit="meters",
+                           angle_unit="radians", time_unit="seconds")
+    bodies = [b for b in sys_ if b.parent is not None]
+    a = np.array([b.a.value for b in bodies])
+    e = np.array([b.e for b in bodies])
+    inc = np.array([b.I.value for b in bodies])
+    ln = np.array([b.long_node.value for b in bodies])
+    ap = np.array([b.arg_peri.value for b in bodies])
+    Ma = np.array([b.M.value for b in bodies])
+    mu = np.array([b.parent.mu for b in bodies])
+    pos, vel = elements_to_state(a, e, inc, ln, ap, Ma, mu)
+    for i, b in enumerate(bodies):
+        r, v = b.get_state()
+        np.testing.assert_allclose(np.asarray(pos)[i], r, rtol=1e-10, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vel)[i], v, rtol=1e-10, atol=1e-10)
