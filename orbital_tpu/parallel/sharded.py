@@ -56,6 +56,84 @@ def _block_force(pos_i, pos_j, mass_j, *, G: float, eps2: float):
     return acc, pe_row
 
 
+def _block_bounce(pos_i, vel_i, mass_i, radius_i,
+                  pos_j, vel_j, mass_j, radius_j, alive_j,
+                  *, restitution: float):
+    """Partial bounce impulses of visiting shard j on local shard i.
+
+    Mirrors ``ops.collisions.bounce_deltas`` pair math (reference impulse
+    model, core/physics.py:391-422) for an (i-shard, j-shard) block. Exact
+    self-pairs are excluded by the dist > 0 requirement, so the diagonal
+    round needs no index masking.
+    """
+    dx = pos_i[:, None, 0] - pos_j[None, :, 0]
+    dy = pos_i[:, None, 1] - pos_j[None, :, 1]
+    dz = pos_i[:, None, 2] - pos_j[None, :, 2]
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    touching = (
+        alive_j[None, :]
+        & (dist <= radius_i[:, None] + radius_j[None, :])
+        & (dist > 0.0)
+        & (mass_j[None, :] > 0.0)
+    )
+    inv_d = jnp.where(dist > 0.0, 1.0 / jnp.where(dist > 0.0, dist, 1.0), 0.0)
+    nx, ny, nz = dx * inv_d, dy * inv_d, dz * inv_d
+
+    v_rel_n = ((vel_i[:, None, 0] - vel_j[None, :, 0]) * nx
+               + (vel_i[:, None, 1] - vel_j[None, :, 1]) * ny
+               + (vel_i[:, None, 2] - vel_j[None, :, 2]) * nz)
+    active = touching & (v_rel_n < 0.0)
+
+    inv_mi = jnp.where(mass_i > 0.0, 1.0 / jnp.where(mass_i > 0.0, mass_i, 1.0), 0.0)
+    inv_mj = jnp.where(mass_j > 0.0, 1.0 / jnp.where(mass_j > 0.0, mass_j, 1.0), 0.0)
+    inv_sum = inv_mi[:, None] + inv_mj[None, :]
+    e = min(max(float(restitution), 0.0), 1.0)
+    j_mag = jnp.where(active, -(1.0 + e) * v_rel_n / inv_sum, 0.0)
+
+    scale_v = j_mag * inv_mi[:, None]
+    dvel = jnp.stack([jnp.sum(scale_v * nx, axis=1),
+                      jnp.sum(scale_v * ny, axis=1),
+                      jnp.sum(scale_v * nz, axis=1)], axis=-1)
+
+    overlap = radius_i[:, None] + radius_j[None, :] - dist
+    corr = jnp.where(active & (overlap > 0.0), overlap / inv_sum, 0.0)
+    scale_r = corr * inv_mi[:, None]
+    dpos = jnp.stack([jnp.sum(scale_r * nx, axis=1),
+                      jnp.sum(scale_r * ny, axis=1),
+                      jnp.sum(scale_r * nz, axis=1)], axis=-1)
+    return dpos, dvel
+
+
+def ring_bounce_fn(cfg: SimConfig, n_shards: int):
+    """Cross-shard restitution collisions over the same ppermute ring as
+    the forces: each round contributes the visiting shard's impulses on the
+    local bodies; impulses are computed from pre-collision velocities
+    everywhere (consistent with the unsharded ``bounce_deltas``)."""
+    axis = cfg.shard_axis
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def fn(pos, vel, mass, radius, alive):
+        mass_eff = mass * alive.astype(mass.dtype)
+
+        def round_k(k, carry):
+            dpos, dvel, visit = carry
+            pos_j, vel_j, mass_j, radius_j, alive_j = visit
+            dp, dv = _block_bounce(pos, vel, mass_eff, radius,
+                                   pos_j, vel_j, mass_j, radius_j, alive_j,
+                                   restitution=cfg.restitution)
+            visit = tuple(lax.ppermute(x, axis, perm=fwd) for x in visit)
+            return dpos + dp, dvel + dv, visit
+
+        zeros = jnp.zeros_like(pos)
+        visit0 = (pos, vel, mass_eff, radius, alive)
+        dpos, dvel, _ = lax.fori_loop(0, n_shards, round_k,
+                                      (zeros, zeros, visit0))
+        keep = alive[:, None].astype(pos.dtype)
+        return dpos * keep, dvel * keep
+
+    return fn
+
+
 def ring_force_fn(cfg: SimConfig, n_shards: int) -> ForceFn:
     """ForceFn for use *inside* shard_map: per-device shards in, per-device
     acc shard + replicated total potential out."""
@@ -127,9 +205,9 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
     """
     axis = axis or cfg.shard_axis or "body"
     cfg = cfg.replace(shard_axis=axis, force_impl="ring")
-    if cfg.collisions != "none":
+    if cfg.collisions == "merge":
         raise NotImplementedError(
-            "cross-shard collisions are not implemented; use collisions='none'"
+            "cross-shard merge needs global contact chains; use 'bounce' or 'none'"
         )
     n_shards = mesh.shape[axis]
     n_bodies = state_example.n_bodies
@@ -138,7 +216,23 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
                          f"(pad via make_state(pad_to=...))")
 
     force = ring_force_fn(cfg, n_shards)
-    local_step = make_step_fn(cfg, force)
+    kdk = make_step_fn(cfg.replace(collisions="none"), force)
+
+    if cfg.collisions == "bounce":
+        from ..engine.integrators import _accumulate
+
+        bounce = ring_bounce_fn(cfg, n_shards)
+
+        def local_step(state: NBodyState) -> NBodyState:
+            state = kdk(state)
+            dpos, dvel = bounce(state.pos, state.vel, state.mass,
+                                state.radius, state.alive)
+            pos, pos_lo = _accumulate(state.pos, state.pos_lo, dpos)
+            vel, vel_lo = _accumulate(state.vel, state.vel_lo, dvel)
+            return state.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)
+    else:
+        local_step = kdk
+
     spec = _state_specs(state_example, axis)
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=(spec,),
                             out_specs=spec)

@@ -66,11 +66,46 @@ def test_sharded_step_matches_unsharded(cluster_state):
     assert int(out.step) == 2
 
 
-def test_sharded_rejects_collisions(cluster_state):
+def test_sharded_rejects_merge(cluster_state):
     mesh = make_mesh()
-    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, collisions="bounce")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, collisions="merge")
     with pytest.raises(NotImplementedError):
         make_sharded_step(cfg, mesh, cluster_state)
+
+
+def test_sharded_bounce_matches_unsharded(rng):
+    # dense cluster with large radii so collisions actually happen
+    n = 32
+    pos = rng.normal(size=(n, 3)) * 0.8
+    vel = rng.normal(size=(n, 3)) * 0.3
+    mass = rng.uniform(0.5, 1.5, n) / n
+    radius = np.full(n, 0.15)
+    st = make_state(pos, vel, mass, radius, precision="f32")
+    cfg = ot.SimConfig(dt=1e-2, G=1.0, eps2=1e-4, collisions="bounce",
+                       restitution=0.8)
+    st = ot.init_forces(st, cfg)
+
+    step_ref = make_step_fn(cfg, resolve_force_fn(cfg.replace(force_impl="dense"), n))
+    ref = st
+    for _ in range(3):
+        ref = step_ref(ref)
+
+    mesh = make_mesh()
+    sharded_step = make_sharded_step(cfg, mesh, st, axis="body")
+    out = shard_state(mesh, st, "body")
+    for _ in range(3):
+        out = sharded_step(out)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=3e-5, atol=3e-6)
+    # collisions occurred (otherwise this test is vacuous)
+    no_coll = make_step_fn(cfg.replace(collisions="none"),
+                           resolve_force_fn(cfg.replace(force_impl="dense"), n))
+    ref_nc = st
+    for _ in range(3):
+        ref_nc = no_coll(ref_nc)
+    assert not np.allclose(np.asarray(ref.vel), np.asarray(ref_nc.vel))
 
 
 def test_ensemble_rollout(rng):
