@@ -164,3 +164,22 @@ def test_cache_fp_validation():
     a = Object(1.0, 1.0, velocity=np.zeros(3), coordinates=Coordinates(0, 0, 0))
     with pytest.raises(ValueError):
         SimulationEngine(ObjectCollection([a]), cache_fp="frames.json")
+
+
+def test_metrics_recorder(em_engine):
+    from orbital_tpu.utils.metrics import MetricsRecorder
+
+    emitted = []
+    rec = MetricsRecorder.start(em_engine, emit=emitted.append)
+    em_engine.run(100)
+    w = rec.record(em_engine)
+    em_engine.run(50)
+    rec.record(em_engine)
+    assert len(rec.windows) == 2 and emitted == rec.windows
+    assert w.step == 100 and rec.windows[1].step == 150
+    assert w.n_alive == 2 and w.n_merged == 0
+    assert abs(w.dE_rel) < 1e-4 and w.dL_rel < 1e-12
+    assert w.steps_per_s > 0
+    import json
+
+    assert json.loads(w.to_json())["step"] == 100
