@@ -94,12 +94,40 @@ def bench_config(n: int, drift_steps: int, iters: int):
     return rate, sec_per_step, drift
 
 
+def bench_ensemble(n_ens: int = 1024) -> float:
+    """Config 5: vmapped perturbed solar systems; ensemble body-steps/s."""
+    import jax
+
+    import orbital_tpu as ot
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import resolve_force_fn
+    from orbital_tpu.engine.state import Rescale, make_state
+    from orbital_tpu.models.scene import compile_system
+    from orbital_tpu.parallel.ensemble import make_ensemble
+    from orbital_tpu.utils.timing import bench_chained
+
+    scene = compile_system(ot.solar_system_v2(moons=True), compose_parents=True)
+    rs = Rescale.natural(scene.pos, scene.mass, ot.STANDARD.G)
+    base = make_state(scene.pos, scene.vel, scene.mass, scene.radius,
+                      precision="ds32", rescale=rs)
+    cfg = ot.SimConfig(dt=1800.0 / rs.time, G=rs.g_internal(ot.STANDARD.G),
+                       eps2=(1e6 / rs.length) ** 2)
+    states = make_ensemble(base, n_ens, jax.random.key(7), pos_sigma=1e-8)
+    force = resolve_force_fn(cfg, base.n_bodies)
+    acc, U = jax.vmap(force)(states.pos, states.mass, states.alive)
+    states = states.replace(acc=acc, potential=U)
+    vstep = jax.vmap(make_step_fn(cfg, force))
+    sec = bench_chained(vstep, states, iters=200, iters_hi=600)
+    return n_ens * base.n_bodies / sec
+
+
 def main() -> None:
     import jax
 
     backend = jax.default_backend()
     rate_65k, sps_65k, drift_65k = bench_config(65536, drift_steps=3000, iters=4)
     rate_4k, sps_4k, drift_4k = bench_config(4096, drift_steps=10000, iters=100)
+    rate_ens = bench_ensemble(1024)
 
     print(json.dumps({
         "metric": "body-steps/s/chip @ N=65536 (KDK leapfrog, softened O(N^2) Pallas gravity, ds32)",
@@ -114,6 +142,7 @@ def main() -> None:
             "vs_baseline_4096": round(rate_4k / BASELINE_4K, 1),
             "ms_per_step_4096": round(sps_4k * 1e3, 4),
             "energy_drift_4096_10000steps": drift_4k,
+            "ensemble_1024x26solar_body_steps_per_s": round(rate_ens, 1),
         },
     }))
 

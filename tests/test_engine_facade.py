@@ -183,3 +183,36 @@ def test_metrics_recorder(em_engine):
     import json
 
     assert json.loads(w.to_json())["step"] == 100
+
+
+def test_checkpoint_orbax_directory(em_engine, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    em_engine.run(10)
+    ck = tmp_path / "orbax_ck"
+    em_engine.checkpoint(ck)
+    pos_before = [o.position().copy() for o in em_engine.objects]
+    em_engine.run(20)
+    em_engine.resume(ck)
+    np.testing.assert_allclose([o.position() for o in em_engine.objects],
+                               pos_before)
+
+
+def test_astro_unit_profile_engine():
+    # a two-body system specified in ASTRO units (AU, M_sun, day)
+    import orbital_tpu as ot
+
+    sun = Object(1.0, 0.00465, velocity=np.zeros(3),
+                 coordinates=Coordinates(0, 0, 0), name="sun",
+                 unit_profile=ot.ASTRO)
+    planet = Object(3e-6, 4.26e-5, velocity=np.zeros(3),
+                    coordinates=Coordinates(1.0, 0, 0), name="planet",
+                    unit_profile=ot.ASTRO)
+    set_circular_orbit(sun, planet, unit_profile=ot.ASTRO)
+    eng = SimulationEngine(ObjectCollection([sun, planet]), dt=1.0,
+                           softening=1e-6, cache=False, max_hist=None,
+                           unit_profile=ot.ASTRO, precision="f64")
+    E0 = eng.total_energy()
+    eng.run(365)
+    # one year later the planet is back near its start
+    assert np.linalg.norm(planet.position() - np.array([1.0, 0, 0])) < 0.05
+    assert abs((eng.total_energy() - E0) / E0) < 1e-8
