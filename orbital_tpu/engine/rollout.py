@@ -69,14 +69,16 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
         from ..ops.pallas_forces import pairwise_acc_pallas
 
         return lambda pos, mass, alive: pairwise_acc_pallas(
-            pos, mass, alive, G=cfg.G, eps2=cfg.eps2
+            pos, mass, alive, G=cfg.G, eps2=cfg.eps2,
+            with_potential=cfg.track_potential,
         )
     if impl == "ring":
-        if cfg.shard_axis is None:
-            raise ValueError("force_impl='ring' requires cfg.shard_axis")
-        from ..parallel.sharded import ring_force_fn
-
-        return ring_force_fn(cfg)
+        # the ring force needs the mesh's shard count and must run inside
+        # shard_map; it cannot be resolved from a config alone
+        raise ValueError(
+            "force_impl='ring' is built via parallel.sharded.make_sharded_step"
+            " (it needs a Mesh), not resolve_force_fn"
+        )
     raise ValueError(f"unknown force_impl {impl!r}")
 
 

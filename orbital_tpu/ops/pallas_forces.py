@@ -46,8 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pairwise_acc_pallas", "DEFAULT_TILE_I", "DEFAULT_TILE_J"]
 
-DEFAULT_TILE_I = 256
-DEFAULT_TILE_J = 1024
+DEFAULT_TILE_I = 512
+DEFAULT_TILE_J = 2048
 _PACK = 8  # packed feature width (x, y, z, m, padded to an f32 sublane tile)
 
 

@@ -33,6 +33,10 @@ class SimConfig:
         force_impl: "auto" | "dense" | "chunked" | "pallas" | "ring".
         chunk: row-block size for the chunked/pallas force paths.
         shard_axis: mesh axis name for the ring force path (None = unsharded).
+        track_potential: compute the softened potential every force eval
+            (reference parity, core/physics.py:158). False skips the PE sum
+            in the Pallas stepper path (~13% faster); energy diagnostics
+            then need an explicit potential evaluation.
     """
 
     dt: float
@@ -44,6 +48,7 @@ class SimConfig:
     force_impl: str = "auto"
     chunk: int = 1024
     shard_axis: Optional[str] = None
+    track_potential: bool = True
 
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
