@@ -95,6 +95,7 @@ class BodyView {
     this.lerpStart = performance.now();
     this.meters = this.prev.clone();
 
+    this.twinklePhase = Math.random() * Math.PI * 2;
     this.sprite = new THREE.Sprite(new THREE.SpriteMaterial({
       map: makeSpriteTexture(this.color), transparent: true, depthWrite: false,
     }));
@@ -131,7 +132,15 @@ class BodyView {
     const t = Math.min(1, (now - this.lerpStart) / POLL_MS);
     this.meters.lerpVectors(this.prev, this.next, t);
     toWorld(this.meters, this.sprite.position);
-    const s = sizeScale(this.info);
+    let s = sizeScale(this.info);
+    // twinkle: subtle per-body shimmer; flash: strong pulse on demand
+    const phase = now / 900 + this.twinklePhase;
+    this.sprite.material.opacity = 0.92 + 0.08 * Math.sin(phase);
+    if (now < flashUntil) {
+      const pulse = 1 + 0.8 * Math.abs(Math.sin((flashUntil - now) / 120));
+      s *= pulse;
+      this.sprite.material.opacity = 1.0;
+    }
     this.sprite.scale.set(s, s, 1);
 
     const attr = this.trailGeom.getAttribute("position");
@@ -154,6 +163,7 @@ class BodyView {
 const views = new Map();   // id -> BodyView
 let snapshot = boot.snapshot;
 let focusId = null;
+let flashUntil = 0;        // flash effect: bodies pulse until this timestamp
 
 function sizeScale(info) {
   // log-scale radius into pixel-ish sprite sizes, then convert to world
@@ -210,6 +220,9 @@ const sortEl = document.getElementById("sort");
 searchEl.addEventListener("input", renderList);
 sortEl.addEventListener("change", renderList);
 document.getElementById("clearfocus").addEventListener("click", () => setFocus(null));
+document.getElementById("flash").addEventListener("click", () => {
+  flashUntil = performance.now() + 1500;
+});
 
 function renderList() {
   const q = searchEl.value.trim().toLowerCase();
