@@ -61,6 +61,26 @@ def energy_hybrid(state, eps2: float) -> float:
     return K + U
 
 
+def bench_rate_with_collisions(n: int, iters: int = 4) -> float:
+    """Step rate including the per-step collision sweep (the reference's
+    measured numbers include its own O(N^2) collision scan, so this is the
+    strictly like-for-like comparison)."""
+    import orbital_tpu as ot
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import resolve_force_fn
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.utils.timing import bench_chained
+
+    pos, vel, mass, eps2 = make_cluster(n)
+    state = make_state(pos, vel, mass, np.full(n, 1e-4), precision="ds32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="auto",
+                       collisions="bounce", restitution=1.0)
+    state = ot.init_forces(state, cfg)
+    step = make_step_fn(cfg, resolve_force_fn(cfg, n))
+    sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
+    return n / sec
+
+
 def bench_config(n: int, drift_steps: int, iters: int):
     import jax
 
@@ -128,6 +148,7 @@ def main() -> None:
     rate_65k, sps_65k, drift_65k = bench_config(65536, drift_steps=3000, iters=4)
     rate_4k, sps_4k, drift_4k = bench_config(4096, drift_steps=10000, iters=100)
     rate_ens = bench_ensemble(1024)
+    rate_coll = bench_rate_with_collisions(65536)
 
     print(json.dumps({
         "metric": "body-steps/s/chip @ N=65536 (KDK leapfrog, softened O(N^2) Pallas gravity, ds32)",
@@ -143,6 +164,8 @@ def main() -> None:
             "ms_per_step_4096": round(sps_4k * 1e3, 4),
             "energy_drift_4096_10000steps": drift_4k,
             "ensemble_1024x26solar_body_steps_per_s": round(rate_ens, 1),
+            "body_steps_per_s_65536_with_collision_sweep": round(rate_coll, 1),
+            "vs_baseline_65536_with_collision_sweep": round(rate_coll / BASELINE_65K, 1),
         },
     }))
 

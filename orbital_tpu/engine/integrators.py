@@ -39,14 +39,27 @@ def _accumulate(hi, lo: Optional[jax.Array], *increments):
     return hi, lo
 
 
+# above this body count the dense [N, N] bounce sweep gives way to the
+# tiled Pallas kernel (ops.pallas_collisions)
+_DENSE_BOUNCE_MAX_N = 4096
+
+
 def _apply_collisions(cfg: SimConfig, state: NBodyState) -> NBodyState:
     if cfg.collisions == "none":
         return state
     if cfg.collisions == "bounce":
-        dpos, dvel = coll.bounce_deltas(
-            state.pos, state.vel, state.mass, state.radius, state.alive,
-            restitution=cfg.restitution,
-        )
+        if state.n_bodies > _DENSE_BOUNCE_MAX_N:
+            from ..ops.pallas_collisions import bounce_deltas_pallas
+
+            dpos, dvel = bounce_deltas_pallas(
+                state.pos, state.vel, state.mass, state.radius, state.alive,
+                restitution=cfg.restitution,
+            )
+        else:
+            dpos, dvel = coll.bounce_deltas(
+                state.pos, state.vel, state.mass, state.radius, state.alive,
+                restitution=cfg.restitution,
+            )
         pos, pos_lo = _accumulate(state.pos, state.pos_lo, dpos)
         vel, vel_lo = _accumulate(state.vel, state.vel_lo, dvel)
         return state.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)

@@ -84,3 +84,44 @@ def test_in_rollout(rng):
         fin, _ = ot.rollout_jit(st, cfg, 20)
         outs[impl] = np.asarray(fin.pos)
     np.testing.assert_allclose(outs["pallas"], outs["dense"], rtol=0, atol=1e-5)
+
+
+def test_pallas_bounce_matches_dense(rng):
+    from orbital_tpu.ops.collisions import bounce_deltas
+    from orbital_tpu.ops.pallas_collisions import bounce_deltas_pallas
+
+    n = 256
+    pos = (rng.normal(size=(n, 3)) * 0.6).astype(np.float32)
+    vel = (rng.normal(size=(n, 3)) * 0.4).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    radius = np.full(n, 0.12, np.float32)
+    alive = np.ones(n, bool)
+    alive[250:] = False
+    dp1, dv1 = bounce_deltas(pos, vel, mass, radius, alive, restitution=0.8)
+    dp2, dv2 = bounce_deltas_pallas(pos, vel, mass, radius, alive,
+                                    restitution=0.8, tile_i=64, tile_j=128)
+    assert float(np.abs(np.asarray(dv1)).max()) > 0  # collisions occurred
+    np.testing.assert_allclose(np.asarray(dv2), np.asarray(dv1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp2), np.asarray(dp1), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dv2)[~alive], 0.0)
+
+
+def test_large_n_bounce_path_in_stepper(rng):
+    # > _DENSE_BOUNCE_MAX_N routes through the pallas sweep inside the step
+    import orbital_tpu as ot
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import resolve_force_fn
+    from orbital_tpu.engine.state import make_state
+
+    n = 8192
+    pos = rng.normal(size=(n, 3)) * 2.0
+    vel = rng.normal(size=(n, 3)) * 0.1
+    mass = rng.uniform(0.5, 1.5, n) / n
+    radius = np.full(n, 0.02)
+    st = make_state(pos, vel, mass, radius, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, collisions="bounce",
+                       force_impl="chunked", chunk=1024)
+    st = ot.init_forces(st, cfg)
+    step = make_step_fn(cfg, resolve_force_fn(cfg, n))
+    out = step(st)
+    assert np.all(np.isfinite(np.asarray(out.pos)))
