@@ -8,7 +8,6 @@ the ensemble axis (pure data parallelism, no collectives in the step).
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Callable, Optional
 
