@@ -146,27 +146,39 @@ def main() -> None:
 
     backend = jax.default_backend()
     rate_65k, sps_65k, drift_65k = bench_config(65536, drift_steps=3000, iters=4)
-    rate_4k, sps_4k, drift_4k = bench_config(4096, drift_steps=10000, iters=100)
-    rate_ens = bench_ensemble(1024)
-    rate_coll = bench_rate_with_collisions(65536)
+    extras = {
+        "backend": backend,
+        "ms_per_step_65536": round(sps_65k * 1e3, 3),
+        "energy_drift_65536_3000steps": drift_65k,
+    }
+    # secondary configs are best-effort: never lose the headline line
+    try:
+        rate_4k, sps_4k, drift_4k = bench_config(4096, drift_steps=10000, iters=100)
+        extras.update(
+            body_steps_per_s_4096=round(rate_4k, 1),
+            vs_baseline_4096=round(rate_4k / BASELINE_4K, 1),
+            ms_per_step_4096=round(sps_4k * 1e3, 4),
+            energy_drift_4096_10000steps=drift_4k,
+        )
+    except Exception as e:  # noqa: BLE001
+        extras["bench_4096_error"] = str(e)[:200]
+    try:
+        extras["ensemble_1024x26solar_body_steps_per_s"] = round(bench_ensemble(1024), 1)
+    except Exception as e:  # noqa: BLE001
+        extras["bench_ensemble_error"] = str(e)[:200]
+    try:
+        rate_coll = bench_rate_with_collisions(65536)
+        extras["body_steps_per_s_65536_with_collision_sweep"] = round(rate_coll, 1)
+        extras["vs_baseline_65536_with_collision_sweep"] = round(rate_coll / BASELINE_65K, 1)
+    except Exception as e:  # noqa: BLE001
+        extras["bench_collisions_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "body-steps/s/chip @ N=65536 (KDK leapfrog, softened O(N^2) Pallas gravity, ds32)",
         "value": round(rate_65k, 1),
         "unit": "body-steps/s",
         "vs_baseline": round(rate_65k / BASELINE_65K, 1),
-        "extras": {
-            "backend": backend,
-            "ms_per_step_65536": round(sps_65k * 1e3, 3),
-            "energy_drift_65536_3000steps": drift_65k,
-            "body_steps_per_s_4096": round(rate_4k, 1),
-            "vs_baseline_4096": round(rate_4k / BASELINE_4K, 1),
-            "ms_per_step_4096": round(sps_4k * 1e3, 4),
-            "energy_drift_4096_10000steps": drift_4k,
-            "ensemble_1024x26solar_body_steps_per_s": round(rate_ens, 1),
-            "body_steps_per_s_65536_with_collision_sweep": round(rate_coll, 1),
-            "vs_baseline_65536_with_collision_sweep": round(rate_coll / BASELINE_65K, 1),
-        },
+        "extras": extras,
     }))
 
 
