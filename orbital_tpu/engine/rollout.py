@@ -72,6 +72,12 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
             pos, mass, alive, G=cfg.G, eps2=cfg.eps2,
             with_potential=cfg.track_potential,
         )
+    if impl == "pallas_sym":
+        from ..ops.pallas_forces_sym import pairwise_acc_pallas_sym
+
+        return lambda pos, mass, alive: pairwise_acc_pallas_sym(
+            pos, mass, alive, G=cfg.G, eps2=cfg.eps2
+        )
     if impl == "ring":
         # the ring force needs the mesh's shard count and must run inside
         # shard_map; it cannot be resolved from a config alone

@@ -30,7 +30,8 @@ class SimConfig:
         integrator: "kdk" (leapfrog, reference: core/engine.py:65-97) |
             "euler" (semi-implicit, reference: core/physics.py:315-332) |
             "rk4" (classical 4th order; 4 force evals/step).
-        force_impl: "auto" | "dense" | "chunked" | "pallas" | "ring".
+        force_impl: "auto" | "dense" | "chunked" | "pallas" |
+            "pallas_sym" (half-pair symmetric kernel, no PE) | "ring".
         chunk: row-block size for the chunked/pallas force paths.
         shard_axis: mesh axis name for the ring force path (None = unsharded).
         track_potential: compute the softened potential every force eval
@@ -55,7 +56,7 @@ class SimConfig:
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
         if self.integrator not in ("kdk", "euler", "rk4"):
             raise ValueError(f"bad integrator: {self.integrator!r}")
-        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "ring"):
+        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
 
     def replace(self, **kw) -> "SimConfig":

@@ -125,3 +125,38 @@ def test_large_n_bounce_path_in_stepper(rng):
     step = make_step_fn(cfg, resolve_force_fn(cfg, n))
     out = step(st)
     assert np.all(np.isfinite(np.asarray(out.pos)))
+
+
+def test_symmetric_kernel_matches_dense(rng):
+    from orbital_tpu.ops.pallas_forces_sym import pairwise_acc_pallas_sym
+
+    n = 512
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    alive = np.ones(n, bool)
+    alive[500:] = False
+    a_ref, _ = pairwise_acc_dense(pos, mass, alive, G=1.5, eps2=1e-3)
+    a, _ = pairwise_acc_pallas_sym(pos, mass, alive, G=1.5, eps2=1e-3, tile=128)
+    assert _relerr(np.asarray(a)[alive], np.asarray(a_ref)[alive]) < 1e-5
+    np.testing.assert_array_equal(np.asarray(a)[~alive], 0.0)
+    with pytest.raises(ValueError):
+        pairwise_acc_pallas_sym(pos, mass, G=1.0, eps2=0.0)
+
+
+def test_symmetric_kernel_in_rollout(rng):
+    import orbital_tpu as ot
+    from orbital_tpu.engine.state import make_state
+
+    n = 256
+    pos = rng.normal(size=(n, 3))
+    vel = rng.normal(size=(n, 3)) * 0.1
+    mass = rng.uniform(0.5, 1.5, n) / n
+    outs = {}
+    for impl in ("dense", "pallas_sym"):
+        st = make_state(pos, vel, mass, precision="f32")
+        cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, force_impl=impl,
+                           track_potential=False)
+        st = ot.init_forces(st, cfg)
+        fin, _ = ot.rollout_jit(st, cfg, 10)
+        outs[impl] = np.asarray(fin.pos)
+    np.testing.assert_allclose(outs["pallas_sym"], outs["dense"], atol=1e-5)
