@@ -145,6 +145,38 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn) -> Callable[[NBodyState], NB
         )
         return _apply_collisions(cfg, state)
 
+    def hermite(state: NBodyState) -> NBodyState:
+        """4th-order Hermite predictor-corrector (Makino & Aarseth 1992):
+        one combined acceleration+jerk evaluation per step — the standard
+        collisional N-body integrator. Uses the cached (acc, jerk) pair as
+        the step's initial derivatives. Dense force path (N <= ~8k)."""
+        from ..ops.forces import accel_jerk_dense
+
+        r0 = state.pos_full()
+        v0 = state.vel_full()
+        a0 = state.acc
+        j0 = state.jerk
+        dt2 = dt * dt
+
+        # predict
+        rp = r0 + dt * v0 + (0.5 * dt2) * a0 + (dt2 * dt / 6.0) * j0
+        vp = v0 + dt * a0 + (0.5 * dt2) * j0
+        a1, j1, potential = accel_jerk_dense(rp, vp, state.mass, state.alive,
+                                             G=cfg.G, eps2=cfg.eps2)
+        # correct
+        dv = (0.5 * dt) * (a0 + a1) + (dt2 / 12.0) * (j0 - j1)
+        vel, vel_lo = _accumulate(state.vel, state.vel_lo, dv)
+        v1 = vel if vel_lo is None else vel + vel_lo
+        dr = (0.5 * dt) * (v0 + v1) + (dt2 / 12.0) * (a0 - a1)
+        pos, pos_lo = _accumulate(state.pos, state.pos_lo, dr)
+
+        state = state.replace(
+            pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo,
+            acc=a1, jerk=j1, potential=potential,
+            time=state.time + dt, step=state.step + 1,
+        )
+        return _apply_collisions(cfg, state)
+
     def euler(state: NBodyState) -> NBodyState:
         # v(t+dt) = v(t) + a(t) dt; r(t+dt) = r(t) + v(t+dt) dt
         # (reference Object.update, core/physics.py:315-332), then refresh
@@ -162,4 +194,4 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn) -> Callable[[NBodyState], NB
         )
         return _apply_collisions(cfg, state)
 
-    return {"kdk": kdk, "euler": euler, "rk4": rk4}[cfg.integrator]
+    return {"kdk": kdk, "euler": euler, "rk4": rk4, "hermite": hermite}[cfg.integrator]

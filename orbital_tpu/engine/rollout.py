@@ -90,7 +90,14 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
 
 def init_forces(state: NBodyState, cfg: SimConfig, force_fn: Optional[ForceFn] = None) -> NBodyState:
     """Seed the acceleration cache (the reference does this in the engine
-    constructor, core/engine.py:41)."""
+    constructor, core/engine.py:41). Hermite also seeds the jerk cache."""
+    if cfg.integrator == "hermite":
+        from ..ops.forces import accel_jerk_dense
+
+        acc, jerk, potential = accel_jerk_dense(
+            state.pos, state.vel, state.mass, state.alive,
+            G=cfg.G, eps2=cfg.eps2)
+        return state.replace(acc=acc, jerk=jerk, potential=potential)
     fn = force_fn or resolve_force_fn(cfg, state.n_bodies)
     acc, potential = fn(state.pos, state.mass, state.alive)
     return state.replace(acc=acc, potential=potential)

@@ -42,7 +42,8 @@ _VALID_PRECISIONS = ("f32", "ds32", "f64")
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["pos", "vel", "mass", "radius", "alive", "acc",
-                      "potential", "time", "step", "pos_lo", "vel_lo"],
+                      "potential", "time", "step", "pos_lo", "vel_lo",
+                      "jerk"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class NBodyState:
@@ -60,6 +61,7 @@ class NBodyState:
     step: jax.Array             # [...] int32 step counter
     pos_lo: Optional[jax.Array] = None  # ds32 compensation terms, else None
     vel_lo: Optional[jax.Array] = None
+    jerk: Optional[jax.Array] = None    # [..., N, 3] da/dt cache (Hermite)
 
     @property
     def n_bodies(self) -> int:

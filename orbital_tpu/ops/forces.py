@@ -135,3 +135,53 @@ def soften_potential_pairs(pos, mass, *, G, eps2):
     """Total softened potential only (diagnostics helper)."""
     _, U = pairwise_acc_dense(pos, mass, G=G, eps2=eps2)
     return U
+
+
+@partial(jax.jit, static_argnames=("G", "eps2"))
+def accel_jerk_dense(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    G: float,
+    eps2: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Softened accelerations AND jerks (da/dt) for Hermite integration.
+
+    jerk_i = G sum_j m_j [ v_ij / s^3 - 3 (r_ij . v_ij) r_ij / s^5 ],
+    with s^2 = |r_ij|^2 + eps^2, r_ij = r_j - r_i, v_ij = v_j - v_i.
+    Returns (acc [N,3], jerk [N,3], U).
+    """
+    n = pos.shape[0]
+    mass_eff = mass if alive is None else mass * alive.astype(mass.dtype)
+    mask = ~jnp.eye(n, dtype=bool)
+
+    dx = pos[None, :, 0] - pos[:, None, 0]
+    dy = pos[None, :, 1] - pos[:, None, 1]
+    dz = pos[None, :, 2] - pos[:, None, 2]
+    dvx = vel[None, :, 0] - vel[:, None, 0]
+    dvy = vel[None, :, 1] - vel[:, None, 1]
+    dvz = vel[None, :, 2] - vel[:, None, 2]
+
+    r2 = dx * dx + dy * dy + dz * dz
+    inv_r = _masked_inverse_r(r2, mask, eps2)
+    inv_r2 = inv_r * inv_r
+    inv_r3 = inv_r2 * inv_r
+    w = mass_eff[None, :] * inv_r3                       # m_j / s^3
+    rv = dx * dvx + dy * dvy + dz * dvz                  # r_ij . v_ij
+    c = 3.0 * rv * inv_r2                                # 3 (r.v) / s^2
+
+    acc = G * jnp.stack(
+        [jnp.sum(w * dx, 1), jnp.sum(w * dy, 1), jnp.sum(w * dz, 1)], axis=-1)
+    jerk = G * jnp.stack(
+        [jnp.sum(w * (dvx - c * dx), 1),
+         jnp.sum(w * (dvy - c * dy), 1),
+         jnp.sum(w * (dvz - c * dz), 1)], axis=-1)
+    pe_row = jnp.sum(mass_eff[None, :] * inv_r, axis=1)
+    U = -0.5 * G * jnp.sum(mass_eff * pe_row)
+    if alive is not None:
+        keep = alive[:, None].astype(acc.dtype)
+        acc = acc * keep
+        jerk = jerk * keep
+    return acc, jerk, U

@@ -29,7 +29,9 @@ class SimConfig:
         collisions: "none" | "bounce" | "merge".
         integrator: "kdk" (leapfrog, reference: core/engine.py:65-97) |
             "euler" (semi-implicit, reference: core/physics.py:315-332) |
-            "rk4" (classical 4th order; 4 force evals/step).
+            "rk4" (classical 4th order; 4 force evals/step) |
+            "hermite" (4th-order predictor-corrector with jerk; 1 combined
+            acc+jerk eval/step, dense force path).
         force_impl: "auto" | "dense" | "chunked" | "pallas" |
             "pallas_sym" (half-pair symmetric kernel, no PE) | "ring".
         chunk: row-block size for the chunked/pallas force paths.
@@ -54,7 +56,7 @@ class SimConfig:
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
-        if self.integrator not in ("kdk", "euler", "rk4"):
+        if self.integrator not in ("kdk", "euler", "rk4", "hermite"):
             raise ValueError(f"bad integrator: {self.integrator!r}")
         if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")

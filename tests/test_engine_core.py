@@ -304,3 +304,33 @@ def test_rollout_is_differentiable():
 
     g2 = jax.grad(loss_remat)(1.0)
     assert float(g2) == pytest.approx(float(g), rel=1e-9)
+
+
+def test_hermite_matches_kdk_accuracy_per_eval():
+    # Hermite: 4th order at ONE combined acc+jerk eval per step; over one
+    # orbit its position error should crush leapfrog's at the same dt
+    R = 3.844e8
+    m1, m2 = 5.972e24, 7.348e22
+    mu = G_SI * (m1 + m2)
+    v_rel = (1.0 + m2 / m1) * np.sqrt(mu / R)
+    a_orb = 1.0 / (2.0 / R - v_rel**2 / mu)
+    T = 2 * np.pi * np.sqrt(a_orb**3 / mu)
+    errs = {}
+    for integ in ("kdk", "hermite"):
+        st = _em_state("f64")
+        cfg = ot.SimConfig(dt=float(T / 500.0), G=G_SI, integrator=integ)
+        st = ot.init_forces(st, cfg)
+        fin, _ = ot.rollout_jit(st, cfg, 500)
+        errs[integ] = np.abs(np.asarray(fin.pos) - np.asarray(st.pos)).max()
+    assert errs["hermite"] < errs["kdk"] / 100.0
+
+
+def test_hermite_energy_conservation():
+    st = _em_state("f64")
+    cfg = ot.SimConfig(dt=3600.0, G=G_SI, integrator="hermite")
+    st = ot.init_forces(st, cfg)
+    assert st.jerk is not None
+    E0 = float(total_energy(st.vel, st.mass, st.potential))
+    fin, _ = ot.rollout_jit(st, cfg, 2000)
+    E1 = float(total_energy(fin.vel, fin.mass, fin.potential))
+    assert abs((E1 - E0) / E0) < 1e-8
