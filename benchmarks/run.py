@@ -135,6 +135,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--ensemble", type=int, default=1024)
     ap.add_argument("--precision", default="ds32", choices=["f32", "ds32", "f64"])
+    ap.add_argument("--integrator", default="kdk",
+                    choices=["kdk", "euler", "rk4", "hermite"])
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     args = ap.parse_args()
 
@@ -150,12 +152,14 @@ def main():
             state, cfg = cluster_state(args.n, args.precision)
         else:
             state, cfg = scene_state(args.config, args.precision)
+        cfg = cfg.replace(integrator=args.integrator)
         out = measure(state, cfg, args.steps, args.drift_steps, args.iters)
 
     if args.profile:
         jax.profiler.stop_trace()
 
     out.update(config=args.config, precision=args.precision,
+               integrator=getattr(args, "integrator", "kdk"),
                backend=jax.default_backend())
     print(json.dumps(out))
 

@@ -120,3 +120,33 @@ def test_lagrange_three_body_golden(reference):
     op, ov, oE = _run_ours(pos, vel, mass, radius, dt, steps, soft)
     np.testing.assert_allclose(op, rp, rtol=0, atol=1e-4)
     assert oE == pytest.approx(rE, rel=1e-12)
+
+
+def test_collision_bounce_golden(reference):
+    """An isolated two-body contact inside a 4-body scene: the vectorized
+    impulse accumulation must match the reference's sequential sweep
+    exactly (simultaneous multi-contacts are the only documented
+    divergence)."""
+    # two heavy spheres on a collision course + two distant spectators
+    pos = np.array([
+        [0.0, 0.0, 0.0],
+        [2.5e3, 0.0, 0.0],
+        [1e9, 0.0, 0.0],
+        [0.0, 1e9, 0.0],
+    ])
+    vel = np.array([
+        [10.0, 0.0, 0.0],
+        [-10.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0],
+    ])
+    mass = np.array([1e10, 2e10, 5e9, 5e9])
+    radius = np.array([1e3, 1e3, 1e2, 1e2])
+    steps, dt, soft = 100, 1.0, 1.0
+
+    rp, rv, _ = _run_reference(reference, pos, vel, mass, radius, dt, steps, soft)
+    op, ov, _ = _run_ours(pos, vel, mass, radius, dt, steps, soft)
+    # the pair collided and bounced
+    assert rv[0, 0] < 0 < rv[1, 0] or rv[0, 0] < vel[0, 0]
+    np.testing.assert_allclose(op, rp, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(ov, rv, rtol=0, atol=1e-9)
