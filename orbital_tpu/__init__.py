@@ -34,6 +34,7 @@ from .models.rigid import moment_of_inertia, random_angular_velocity  # noqa: F4
 from .engine.state import NBodyState, Precision, Rescale, make_state  # noqa: F401
 from .engine.rollout import Trajectory, init_forces, rollout, rollout_jit  # noqa: F401
 from .utils.config import SimConfig  # noqa: F401
+from .simulate import SimResult, simulate  # noqa: F401
 
 __all__ = [
     "__version__",
@@ -45,7 +46,7 @@ __all__ = [
     "moment_of_inertia", "random_angular_velocity",
     "NBodyState", "Precision", "Rescale", "make_state",
     "Trajectory", "init_forces", "rollout", "rollout_jit", "SimConfig",
-    "SimulationEngine", "run_simulation",
+    "simulate", "SimResult", "SimulationEngine", "run_simulation",
 ]
 
 

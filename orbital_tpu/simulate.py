@@ -1,0 +1,111 @@
+"""One-call convenience API: scene in, trajectory out.
+
+Wraps the full pipeline — scene compilation, natural-unit rescaling,
+precision policy, force-path selection, compiled rollout, unit conversion
+back to physical — behind a single function, for the common "just simulate
+this" case. Everything it does is available piecemeal through the
+lower-level APIs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import numpy as np
+
+from .engine.rollout import Trajectory, init_forces, rollout_jit
+from .engine.state import NBodyState, Rescale, make_state
+from .models.body import System
+from .models.constants import STANDARD, UnitProfile
+from .models.objects import Object, ObjectCollection
+from .models.scene import SceneArrays, compile_objects, compile_system
+from .utils.config import SimConfig
+
+__all__ = ["simulate", "SimResult"]
+
+
+@dataclasses.dataclass
+class SimResult:
+    """Physical-unit outputs of :func:`simulate`."""
+
+    pos: np.ndarray        # [R, N, 3] recorded positions (physical units)
+    vel: np.ndarray        # [R, N, 3]
+    time: np.ndarray       # [R]
+    energy: np.ndarray     # [R]
+    ang_mom: np.ndarray    # [R, 3]
+    names: list[str]
+    final_state: NBodyState
+    rescale: Rescale
+    config: SimConfig
+
+    @property
+    def energy_drift(self) -> float:
+        """max |E_t - E_0| / |E_0| over the recording."""
+        return float(np.max(np.abs(self.energy - self.energy[0])
+                            / abs(self.energy[0])))
+
+
+def simulate(
+    scene: Union[System, ObjectCollection, list[Object], SceneArrays],
+    *,
+    steps: int,
+    dt: float,
+    softening: float = 0.0,
+    record_every: Optional[int] = None,
+    precision: Optional[str] = None,
+    integrator: str = "kdk",
+    collisions: str = "none",
+    restitution: float = 1.0,
+    unit_profile: UnitProfile = STANDARD,
+    rescale: Optional[Rescale] = None,
+) -> SimResult:
+    """Simulate a scene and return its recorded trajectory in physical units.
+
+    ``scene`` may be a Keplerian :class:`System`, an ``ObjectCollection`` /
+    list of ``Object``, or prebuilt :class:`SceneArrays`. ``record_every``
+    defaults to ~100 evenly spaced records.
+    """
+    if isinstance(scene, System):
+        arrays = compile_system(scene)
+    elif isinstance(scene, SceneArrays):
+        arrays = scene
+    else:
+        arrays = compile_objects(scene)
+
+    if precision is None:
+        precision = "f64" if jax.config.read("jax_enable_x64") else "ds32"
+    if rescale is None:
+        rescale = (Rescale.identity() if precision == "f64"
+                   else Rescale.natural(arrays.pos, arrays.mass, unit_profile.G))
+
+    if record_every is None:
+        record_every = max(1, steps // 100)
+        while steps % record_every:
+            record_every -= 1
+
+    cfg = SimConfig(
+        dt=dt / rescale.time,
+        G=rescale.g_internal(unit_profile.G),
+        eps2=(softening / rescale.length) ** 2,
+        integrator=integrator,
+        collisions=collisions,
+        restitution=restitution,
+    )
+    state = make_state(arrays.pos, arrays.vel, arrays.mass, arrays.radius,
+                       precision=precision, rescale=rescale)
+    state = init_forces(state, cfg)
+    final, traj = rollout_jit(state, cfg, steps, record_every)
+    assert isinstance(traj, Trajectory)
+
+    return SimResult(
+        pos=np.asarray(traj.pos, np.float64) * rescale.length,
+        vel=np.asarray(traj.vel, np.float64) * rescale.velocity,
+        time=np.asarray(traj.time, np.float64) * rescale.time,
+        energy=np.asarray(traj.energy, np.float64) * rescale.energy,
+        ang_mom=np.asarray(traj.ang_mom, np.float64) * rescale.angular_momentum,
+        names=list(arrays.names),
+        final_state=final,
+        rescale=rescale,
+        config=cfg,
+    )

@@ -216,3 +216,33 @@ def test_astro_unit_profile_engine():
     # one year later the planet is back near its start
     assert np.linalg.norm(planet.position() - np.array([1.0, 0, 0])) < 0.05
     assert abs((eng.total_energy() - E0) / E0) < 1e-8
+
+
+def test_simulate_one_call():
+    import orbital_tpu as ot
+
+    result = ot.simulate(ot.solar_system_v2(moons=False), steps=365,
+                         dt=86400.0, softening=1e6)
+    assert result.pos.shape[1:] == (15, 3)
+    assert result.names[0] == "Sol"
+    assert result.time[-1] == pytest.approx(365 * 86400.0)
+    # Mercury's (omega dt)^2 leapfrog oscillation dominates at dt = 1 day
+    assert result.energy_drift < 1e-4
+    # Earth swept ~a full revolution
+    ei = result.names.index("Earth")
+    ang = np.unwrap(np.arctan2(result.pos[:, ei, 1], result.pos[:, ei, 0]))
+    assert 5.9 < abs(ang[-1] - ang[0]) < 6.6
+
+
+def test_simulate_from_objects():
+    import orbital_tpu as ot
+
+    a = Object(5.972e24, 6.371e6, velocity=np.zeros(3),
+               coordinates=Coordinates(0, 0, 0), name="earth")
+    b = Object(7.348e22, 1.737e6, velocity=np.zeros(3),
+               coordinates=Coordinates(3.844e8, 0, 0), name="moon")
+    set_circular_orbit(a, b)
+    result = ot.simulate([a, b], steps=200, dt=3600.0, record_every=20,
+                         integrator="rk4")
+    assert result.pos.shape == (10, 2, 3)
+    assert result.energy_drift < 1e-9
