@@ -22,7 +22,7 @@ from .state import NBodyState
 __all__ = ["save_state", "load_state"]
 
 _ARRAY_FIELDS = ["pos", "vel", "mass", "radius", "alive", "acc",
-                 "potential", "time", "step", "pos_lo", "vel_lo"]
+                 "potential", "time", "step", "pos_lo", "vel_lo", "jerk"]
 
 
 def save_state(state: NBodyState, path: str | Path, meta: Optional[dict] = None) -> None:
@@ -74,6 +74,6 @@ def load_state(path: str | Path) -> tuple[NBodyState, dict]:
         kwargs = {k: jnp.asarray(v) for k, v in restored.items()}
         meta_fp = path / "meta.json"
         meta = json.loads(meta_fp.read_text()) if meta_fp.exists() else {}
-    for f in ("pos_lo", "vel_lo"):
+    for f in ("pos_lo", "vel_lo", "jerk"):
         kwargs.setdefault(f, None)
     return NBodyState(**kwargs), meta

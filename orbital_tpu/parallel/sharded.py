@@ -191,6 +191,7 @@ def _state_specs(state: NBodyState, axis: str) -> NBodyState:
         potential=rep, time=rep, step=rep,
         pos_lo=mat if state.pos_lo is not None else None,
         vel_lo=mat if state.vel_lo is not None else None,
+        jerk=mat if state.jerk is not None else None,
     )
 
 

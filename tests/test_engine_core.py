@@ -334,3 +334,20 @@ def test_hermite_energy_conservation():
     fin, _ = ot.rollout_jit(st, cfg, 2000)
     E1 = float(total_energy(fin.vel, fin.mass, fin.potential))
     assert abs((E1 - E0) / E0) < 1e-8
+
+
+def test_hermite_checkpoint_roundtrip(tmp_path):
+    from orbital_tpu.engine import checkpoint as ckpt
+
+    st = _em_state("f64")
+    cfg = ot.SimConfig(dt=3600.0, G=G_SI, integrator="hermite")
+    st = ot.init_forces(st, cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 10)
+    ckpt.save_state(fin, tmp_path / "h.npz", meta={"x": 1})
+    restored, meta = ckpt.load_state(tmp_path / "h.npz")
+    assert meta == {"x": 1}
+    assert restored.jerk is not None
+    # resumed hermite continues identically
+    a, _ = ot.rollout_jit(fin, cfg, 5)
+    b, _ = ot.rollout_jit(restored, cfg, 5)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
