@@ -12,9 +12,9 @@ No NCCL/MPI equivalent is hand-built: the collectives are XLA's, laid out
 by ``shard_map`` over a ``Mesh`` so the permute rides ICI.
 
 Softening must be > 0 in sharded mode (the mask-free self-pair
-cancellation; see ``ops.pallas_forces``). Collisions across shard
-boundaries are not implemented yet — use ``collisions="none"`` with the
-ring path.
+cancellation; see ``ops.pallas_forces``). Cross-shard bounce collisions
+ride the same ring (``ring_bounce_fn``); merge needs global contact chains
+and stays single-host.
 """
 from __future__ import annotations
 

@@ -1,0 +1,83 @@
+"""Compiled-kernel validation on real TPU hardware (skipped off-TPU)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+if jax.default_backend() != "tpu":
+    pytest.skip("no TPU backend", allow_module_level=True)
+
+import orbital_tpu as ot
+from orbital_tpu.engine.state import make_state
+from orbital_tpu.ops.collisions import bounce_deltas
+from orbital_tpu.ops.forces import pairwise_acc_dense
+from orbital_tpu.ops.fused_rollout import fused_rollout
+from orbital_tpu.ops.pallas_collisions import bounce_deltas_pallas
+from orbital_tpu.ops.pallas_forces import pairwise_acc_pallas
+from orbital_tpu.ops.pallas_forces_sym import pairwise_acc_pallas_sym
+
+
+@pytest.fixture(scope="module")
+def cluster():
+    rng = np.random.default_rng(0)
+    n = 4096
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    vel = (rng.normal(size=(n, 3)) * 0.3).astype(np.float32)
+    radius = np.full(n, 0.05, np.float32)
+    return pos, vel, mass, radius
+
+
+def _relerr(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.abs(a - b).max() / np.abs(b).max()
+
+
+def test_pallas_forces_on_tpu(cluster):
+    pos, _, mass, _ = cluster
+    a_ref, U_ref = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-4)
+    a, U = pairwise_acc_pallas(pos, mass, G=1.0, eps2=1e-4)
+    assert _relerr(a, a_ref) < 1e-5
+    assert abs(float(U) - float(U_ref)) / abs(float(U_ref)) < 1e-5
+
+
+def test_pallas_sym_on_tpu(cluster):
+    pos, _, mass, _ = cluster
+    a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-4)
+    a, _ = pairwise_acc_pallas_sym(pos, mass, G=1.0, eps2=1e-4)
+    assert _relerr(a, a_ref) < 1e-5
+
+
+def test_pallas_collisions_on_tpu(cluster):
+    pos, vel, mass, radius = cluster
+    dp_ref, dv_ref = bounce_deltas(pos, vel, mass, radius,
+                                   np.ones(len(mass), bool), restitution=0.9)
+    dp, dv = bounce_deltas_pallas(pos, vel, mass, radius, restitution=0.9)
+    assert float(np.abs(np.asarray(dv_ref)).max()) > 0
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref), atol=1e-5)
+
+
+def test_fused_rollout_on_tpu(cluster):
+    pos, vel, mass, _ = cluster
+    st = make_state(pos.astype(np.float64), vel.astype(np.float64),
+                    mass.astype(np.float64) / len(mass), precision="ds32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, force_impl="pallas")
+    st = ot.init_forces(st, cfg)
+    ref, _ = ot.rollout_jit(st, cfg, 10)
+    out = fused_rollout(st, cfg, 10)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=1e-5)
+
+
+def test_ds32_drift_on_tpu(cluster):
+    from bench import energy_hybrid, make_cluster
+
+    pos, vel, mass, eps2 = make_cluster(4096)
+    st = make_state(pos, vel, mass, precision="ds32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2)
+    st = ot.init_forces(st, cfg)
+    E0 = energy_hybrid(st, eps2)
+    fin, _ = ot.rollout_jit(st, cfg, 2000)
+    E1 = energy_hybrid(fin, eps2)
+    assert abs((E1 - E0) / E0) < 1e-6
