@@ -10,8 +10,22 @@
  * grows as the camera closes in on a focused body, so moon systems become
  * explorable without breaking float precision at solar-system extents.
  */
-import * as THREE from "three";
-import { OrbitControls } from "three/addons/controls/OrbitControls.js";
+// three.js loads from the CDN importmap; without egress we degrade to a
+// visible banner instead of a silent blank canvas.
+let THREE, OrbitControls;
+try {
+  THREE = await import("three");
+  ({ OrbitControls } = await import("three/addons/controls/OrbitControls.js"));
+} catch (err) {
+  const el = document.createElement("div");
+  el.className = "hud";
+  el.style.cssText = "top:40%;left:50%;transform:translate(-50%,-50%);max-width:420px;text-align:center;";
+  el.innerHTML = "<b>3D renderer unavailable</b><br>three.js could not load " +
+    "from the CDN (no network egress?). The simulation is still running — " +
+    "poll <code>/api/state</code> for live positions.";
+  document.body.appendChild(el);
+  throw err;
+}
 
 const POLL_MS = 1000;
 const TRAIL_MAX = 4000;
