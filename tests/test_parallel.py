@@ -134,3 +134,36 @@ def test_ensemble_rollout(rng):
     fin0, _ = ot.rollout_jit(st0, cfg, 50)
     np.testing.assert_allclose(np.asarray(finals.pos[0]), np.asarray(fin0.pos),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_ring_force_various_shard_counts(cluster_state):
+    """Force results are shard-count invariant (2, 4, 8 devices)."""
+    from jax.sharding import PartitionSpec as P
+
+    st = cluster_state
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, shard_axis="body")
+    a_ref, U_ref = resolve_force_fn(cfg.replace(force_impl="dense"), st.n_bodies)(
+        st.pos, st.mass, st.alive)
+    for d in (2, 4, 8):
+        mesh = make_mesh(shape=(d,), devices=jax.devices()[:d])
+        ring = ring_force_fn(cfg, d)
+        f = jax.jit(jax.shard_map(
+            ring, mesh=mesh,
+            in_specs=(P("body", None), P("body"), P("body")),
+            out_specs=(P("body", None), P()),
+        ))
+        a, U = f(st.pos, st.mass, st.alive)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                                   rtol=2e-5, atol=1e-6)
+        assert float(U) == pytest.approx(float(U_ref), rel=1e-5)
+
+
+def test_ensemble_same_key_reproducible(rng):
+    n, E = 8, 4
+    base = make_state(rng.normal(size=(n, 3)), rng.normal(size=(n, 3)) * 0.1,
+                      rng.uniform(0.5, 1.5, n) / n, precision="f32")
+    s1 = make_ensemble(base, E, jax.random.key(5), pos_sigma=1e-3)
+    s2 = make_ensemble(base, E, jax.random.key(5), pos_sigma=1e-3)
+    np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
+    s3 = make_ensemble(base, E, jax.random.key(6), pos_sigma=1e-3)
+    assert not np.array_equal(np.asarray(s1.pos[1]), np.asarray(s3.pos[1]))
