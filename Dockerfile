@@ -11,7 +11,12 @@ RUN pip install --no-cache-dir -r requirements-app.txt
 
 COPY orbital_tpu/ ./orbital_tpu/
 COPY app/ ./app/
+COPY native/ ./native/
 COPY config.json ./
+# optional f64 verification oracle (pure-numpy fallback exists)
+RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
+    && make -C native && apt-get purge -y g++ make && apt-get autoremove -y \
+    && rm -rf /var/lib/apt/lists/* || true
 
 EXPOSE 8000
 # single worker: the engine owns the device; scale with replicas, not workers
