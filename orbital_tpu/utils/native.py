@@ -19,6 +19,13 @@ __all__ = ["HAVE_NATIVE", "potential_f64", "accelerations_f64"]
 _LIB_PATH = Path(__file__).resolve().parent.parent.parent / "native" / "libnbody_ref.so"
 _lib: Optional[ctypes.CDLL] = None
 
+if not _LIB_PATH.exists() and _LIB_PATH.parent.exists():
+    # best-effort one-time build (the binary is not checked in)
+    import subprocess
+
+    subprocess.run(["make", "-C", str(_LIB_PATH.parent)],
+                   capture_output=True, check=False)
+
 if _LIB_PATH.exists():
     try:
         _lib = ctypes.CDLL(str(_LIB_PATH))
