@@ -351,3 +351,46 @@ def test_hermite_checkpoint_roundtrip(tmp_path):
     a, _ = ot.rollout_jit(fin, cfg, 5)
     b, _ = ot.rollout_jit(restored, cfg, 5)
     np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_leapfrog_time_reversibility():
+    """KDK is time-reversible: integrate forward, flip velocities,
+    integrate back — the system returns to its initial state to round-off."""
+    rng = np.random.default_rng(11)
+    n = 16
+    st0 = make_state(rng.normal(size=(n, 3)), rng.normal(size=(n, 3)) * 0.2,
+                     rng.uniform(0.5, 1.5, n) / n, precision="f64")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-2)
+    st = ot.init_forces(st0, cfg)
+    fwd, _ = ot.rollout_jit(st, cfg, 500)
+    back = ot.init_forces(fwd.replace(vel=-fwd.vel), cfg)
+    rev, _ = ot.rollout_jit(back, cfg, 500)
+    np.testing.assert_allclose(np.asarray(rev.pos), np.asarray(st0.pos),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(-rev.vel), np.asarray(st0.vel),
+                               atol=1e-10)
+
+
+def test_solar_system_decade_conservation():
+    """15-body solar system, 10 years at dt = 1 day (f64): energy and
+    angular momentum conserved to machine-noise levels."""
+    from orbital_tpu.models.datasets import solar_system_v2
+    from orbital_tpu.models.scene import compile_system
+
+    scene = compile_system(solar_system_v2(moons=False))
+    st = make_state(scene.pos, scene.vel, scene.mass, scene.radius,
+                    precision="f64")
+    cfg = ot.SimConfig(dt=86400.0, G=G_SI, eps2=1e12)
+    st = ot.init_forces(st, cfg)
+    E0 = float(total_energy(st.vel, st.mass, st.potential))
+    L0 = np.asarray(angular_momentum(st.pos, st.vel, st.mass))
+    fin, _ = ot.rollout_jit(st, cfg, 3650)
+    E1 = float(total_energy(fin.vel, fin.mass, fin.potential))
+    L1 = np.asarray(angular_momentum(fin.pos, fin.vel, fin.mass))
+    # Mercury (T = 88 d) at dt = 1 d has a bounded (w dt)^2 energy
+    # oscillation of ~2.5e-6 relative; that is physics, not drift
+    assert abs((E1 - E0) / E0) < 1e-5
+    assert np.linalg.norm(L1 - L0) / np.linalg.norm(L0) < 1e-12
+    # nobody was ejected: all bodies within 100 AU
+    r = np.linalg.norm(np.asarray(fin.pos), axis=1)
+    assert r.max() < 100 * 1.495978707e11
