@@ -394,3 +394,26 @@ def test_solar_system_decade_conservation():
     # nobody was ejected: all bodies within 100 AU
     r = np.linalg.norm(np.asarray(fin.pos), axis=1)
     assert r.max() < 100 * 1.495978707e11
+
+
+def test_merge_fuzz_invariants(rng):
+    """Random overlap configurations: merging always conserves total mass
+    and momentum, never resurrects dead bodies, and alive bodies keep
+    positive mass."""
+    for trial in range(5):
+        n = 24
+        pos = rng.uniform(-2, 2, (n, 3))
+        vel = rng.normal(size=(n, 3))
+        mass = rng.uniform(0.1, 2.0, n)
+        radius = rng.uniform(0.05, 0.9, n)
+        alive = rng.random(n) > 0.2
+        mass_eff = mass * alive
+        p0 = (mass_eff[:, None] * vel).sum(0)
+        m0 = mass_eff.sum()
+        p, v, m, r, a = (np.asarray(x) for x in coll.merge_groups(
+            pos, vel, mass * alive, radius, alive))
+        assert m.sum() == pytest.approx(m0, rel=1e-12)
+        np.testing.assert_allclose((m[:, None] * v).sum(0), p0, atol=1e-12)
+        assert not np.any(a & ~alive)          # no resurrections
+        assert np.all(m[a] > 0)                # alive implies massive
+        assert np.all(m[~a] == 0)              # dead implies massless
