@@ -65,16 +65,18 @@ def _collision_kernel(i_ref, jT_ref, out_ref, *, restitution: float):
 
     r2_safe = jnp.where(touching, r2, 1.0)
     e = restitution
-    f = jnp.where(touching, (1.0 + e) * s / (r2_safe * inv_sum), 0.0)
-    fv = f * inv_mi  # [TI, TJ]
+    inv_d = lax.rsqrt(r2_safe)
+    # one reciprocal serves both the impulse and the de-overlap terms:
+    # base = 1/(inv_sum * m_i), applied per pair
+    base = pl.reciprocal(inv_sum, approx=False) * inv_mi
+    fv = jnp.where(touching, (1.0 + e) * s * (inv_d * inv_d), 0.0) * base
 
     out_ref[:, 0] += jnp.sum(fv * ddx, axis=1)
     out_ref[:, 1] += jnp.sum(fv * ddy, axis=1)
     out_ref[:, 2] += jnp.sum(fv * ddz, axis=1)
 
     # positional de-overlap: dr_i = -((rsum - d)/d) / inv_sum / m_i * dd
-    inv_d = lax.rsqrt(r2_safe)
-    h = jnp.where(touching, (rsum * inv_d - 1.0) / inv_sum, 0.0) * inv_mi
+    h = jnp.where(touching, rsum * inv_d - 1.0, 0.0) * base
     out_ref[:, 3] += -jnp.sum(h * ddx, axis=1)
     out_ref[:, 4] += -jnp.sum(h * ddy, axis=1)
     out_ref[:, 5] += -jnp.sum(h * ddz, axis=1)

@@ -66,23 +66,19 @@ def _sym_kernel(ii_ref, jj_ref, iT_ref, jT_ref, out_ref, acc_ref,
     # accumulation below; halve their weight
     u3 = u3 * jnp.where(i == j, 0.5, 1.0).astype(jnp.float32)
 
+    # accumulator is [8, N] lane-major (a [N, 8] layout would pad to
+    # [N, 128] tiles = 33 MB of VMEM at 65k)
     wi = mj * u3  # weight for the i-side (attracted by j)
-    ax = jnp.sum(wi * ddx, axis=1)  # [TB]
-    ay = jnp.sum(wi * ddy, axis=1)
-    az = jnp.sum(wi * ddz, axis=1)
     base_i = i * tile
-    acc_ref[pl.ds(base_i, tile), 0] += G * ax
-    acc_ref[pl.ds(base_i, tile), 1] += G * ay
-    acc_ref[pl.ds(base_i, tile), 2] += G * az
+    acc_ref[0, pl.ds(base_i, tile)] += G * jnp.sum(wi * ddx, axis=1)
+    acc_ref[1, pl.ds(base_i, tile)] += G * jnp.sum(wi * ddy, axis=1)
+    acc_ref[2, pl.ds(base_i, tile)] += G * jnp.sum(wi * ddz, axis=1)
 
     wj = mi * u3  # weight for the j-side (attracted by i); opposite sign
-    bx = jnp.sum(wj * ddx, axis=0)  # [TB] along lanes
-    by = jnp.sum(wj * ddy, axis=0)
-    bz = jnp.sum(wj * ddz, axis=0)
     base_j = j * tile
-    acc_ref[pl.ds(base_j, tile), 0] += -G * bx
-    acc_ref[pl.ds(base_j, tile), 1] += -G * by
-    acc_ref[pl.ds(base_j, tile), 2] += -G * bz
+    acc_ref[0, pl.ds(base_j, tile)] += -G * jnp.sum(wj * ddx, axis=0)
+    acc_ref[1, pl.ds(base_j, tile)] += -G * jnp.sum(wj * ddy, axis=0)
+    acc_ref[2, pl.ds(base_j, tile)] += -G * jnp.sum(wj * ddz, axis=0)
 
     @pl.when(k == n_tiles_total - 1)
     def _flush():
@@ -104,14 +100,14 @@ def _build(n: int, tile: int, G: float, eps2: float, interpret: bool):
             pl.BlockSpec((_PACK, tile), lambda k, ii, jj: (0, jj[k]),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, _PACK), lambda k, ii, jj: (0, 0),
+        out_specs=pl.BlockSpec((_PACK, n), lambda k, ii, jj: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n, _PACK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_PACK, n), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, _PACK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_PACK, n), jnp.float32),
         interpret=interpret,
     )
 
@@ -154,7 +150,7 @@ def pairwise_acc_pallas_sym(
     out = _build(n, tb, float(G), float(eps2), interpret)(
         jnp.asarray(ii), jnp.asarray(jj), ptsT, ptsT
     )
-    acc = out[:, 0:3]
+    acc = out[0:3, :].T
     if alive is not None:
         acc = acc * alive[:, None].astype(acc.dtype)
     return acc.astype(pos.dtype), jnp.zeros((), pos.dtype)

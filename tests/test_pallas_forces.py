@@ -101,8 +101,9 @@ def test_pallas_bounce_matches_dense(rng):
     dp2, dv2 = bounce_deltas_pallas(pos, vel, mass, radius, alive,
                                     restitution=0.8, tile_i=64, tile_j=128)
     assert float(np.abs(np.asarray(dv1)).max()) > 0  # collisions occurred
-    np.testing.assert_allclose(np.asarray(dv2), np.asarray(dv1), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(dp2), np.asarray(dp1), atol=1e-6)
+    # f32 paths with different op orderings (reciprocal vs division)
+    np.testing.assert_allclose(np.asarray(dv2), np.asarray(dv1), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dp2), np.asarray(dp1), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(dv2)[~alive], 0.0)
 
 
