@@ -67,8 +67,10 @@ def _collision_kernel(i_ref, jT_ref, out_ref, *, restitution: float):
     e = restitution
     inv_d = lax.rsqrt(r2_safe)
     # one reciprocal serves both the impulse and the de-overlap terms:
-    # base = 1/(inv_sum * m_i), applied per pair
-    base = pl.reciprocal(inv_sum, approx=False) * inv_mi
+    # base = 1/(inv_sum * m_i); inv_sum is 0 only for dead-dead pairs
+    # (masked by `touching`), so guard before the reciprocal
+    inv_sum_safe = jnp.where(inv_sum > 0.0, inv_sum, 1.0)
+    base = pl.reciprocal(inv_sum_safe, approx=False) * inv_mi
     fv = jnp.where(touching, (1.0 + e) * s * (inv_d * inv_d), 0.0) * base
 
     out_ref[:, 0] += jnp.sum(fv * ddx, axis=1)
