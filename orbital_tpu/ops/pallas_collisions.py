@@ -102,6 +102,8 @@ def _build(n: int, tile_i: int, tile_j: int, restitution: float,
         out_shape=jax.ShapeDtypeStruct((n, _PACK), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # default scoped limit (16 MB) is marginal at N >= 131072
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )
