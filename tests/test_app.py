@@ -74,3 +74,42 @@ def test_checkpoint_endpoint(client, tmp_path):
     r = c.post("/api/checkpoint")
     assert r.status_code == 200
     assert (tmp_path / "ck.npz").exists()
+
+
+def test_resume_from_cache_skips_warmup(tmp_path):
+    """RESUME_FROM_CACHE=true restores the sim clock from the JSONL cache
+    instead of re-warming (the failure-recovery path the reference lacks)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    cache = tmp_path / "cache.jsonl"
+    script = f'''
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import os
+os.environ.update(SIM_INITIAL_STEPS="40", SIM_DISABLE_THREAD="true",
+                  SIM_MOONS="false", USE_CACHE="true",
+                  CACHE_FP={str(cache)!r}, CACHE_EVERY_N="10")
+import app.app as first
+t_first = first.engine.time_elapsed
+assert t_first == 40 * first.INTERVAL
+
+# simulate a pod restart: fresh import with resume enabled and no warmup
+import importlib, sys
+for m in list(sys.modules):
+    if m.startswith("app"):
+        del sys.modules[m]
+os.environ.update(SIM_INITIAL_STEPS="0", RESUME_FROM_CACHE="true")
+import app.app as second
+# resumed from the last cached frame (step 30), not from scratch
+assert second.engine.time_elapsed == 31 * second.INTERVAL, second.engine.time_elapsed
+assert len(second.engine.objects) == 15
+print("RESUME_OK")
+'''
+    out = subprocess.run([sys.executable, "-c", script], cwd=str(repo),
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "RESUME_OK" in out.stdout
