@@ -149,13 +149,27 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn) -> Callable[[NBodyState], NB
         """4th-order Hermite predictor-corrector (Makino & Aarseth 1992):
         one combined acceleration+jerk evaluation per step — the standard
         collisional N-body integrator. Uses the cached (acc, jerk) pair as
-        the step's initial derivatives. Dense force path (N <= ~8k)."""
+        the step's initial derivatives. Dense force path (N <= ~8k).
+
+        With ``cfg.adaptive_eta`` the step size follows the Aarseth
+        criterion dt = clip(eta * min sqrt(|a|/|jerk|), dt_min, cfg.dt) —
+        shrinking through close encounters, with cfg.dt as the ceiling.
+        """
         from ..ops.forces import accel_jerk_dense
 
         r0 = state.pos_full()
         v0 = state.vel_full()
         a0 = state.acc
         j0 = state.jerk
+        if cfg.adaptive_eta is not None:
+            a_mag = jnp.linalg.norm(a0, axis=-1)
+            j_mag = jnp.linalg.norm(j0, axis=-1) + 1e-30
+            alive_f = state.alive
+            ratio = jnp.where(alive_f, a_mag / j_mag, jnp.inf)
+            dt_a = cfg.adaptive_eta * jnp.sqrt(jnp.min(ratio))
+            dt = jnp.clip(dt_a, cfg.dt_min, cfg.dt)  # shadows the static dt
+        else:
+            dt = cfg.dt
         dt2 = dt * dt
 
         # predict

@@ -40,6 +40,10 @@ class SimConfig:
             (reference parity, core/physics.py:158). False skips the PE sum
             in the Pallas stepper path (~13% faster); energy diagnostics
             then need an explicit potential evaluation.
+        adaptive_eta: hermite only — enables adaptive time steps
+            dt = clip(eta * min_i sqrt(|a_i| / |jerk_i|), dt_min, dt)
+            (the Aarseth criterion); ``dt`` becomes the ceiling.
+        dt_min: floor for the adaptive step.
     """
 
     dt: float
@@ -52,6 +56,8 @@ class SimConfig:
     chunk: int = 1024
     shard_axis: Optional[str] = None
     track_potential: bool = True
+    adaptive_eta: Optional[float] = None
+    dt_min: float = 0.0
 
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
