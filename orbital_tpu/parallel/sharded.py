@@ -31,7 +31,8 @@ from ..engine.integrators import ForceFn, make_step_fn
 from ..engine.state import NBodyState
 from ..utils.config import SimConfig
 
-__all__ = ["ring_force_fn", "make_sharded_step", "state_sharding", "shard_state"]
+__all__ = ["ring_force_fn", "ring_bounce_fn", "make_sharded_step",
+           "make_sharded_ensemble_step", "state_sharding", "shard_state"]
 
 
 def _block_force(pos_i, pos_j, mass_j, *, G: float, eps2: float):
@@ -238,3 +239,59 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=(spec,),
                             out_specs=spec)
     return jax.jit(sharded)
+
+
+def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
+                               state_example: NBodyState,
+                               ensemble_axis: str = "ensemble",
+                               body_axis: str = "body"):
+    """Compiled step over a 2D (ensemble x body) mesh.
+
+    Data parallelism over independent ensemble members (vmapped locally, no
+    collectives) composed with the ppermute ring over the body axis.
+    ``state_example`` must carry a leading ensemble axis on every array;
+    returns ``(step, shardings)`` where ``shardings`` places a batched
+    state onto the mesh.
+    """
+    cfg = cfg.replace(shard_axis=body_axis, force_impl="ring")
+    if cfg.collisions == "merge":
+        raise NotImplementedError("cross-shard merge is not supported")
+    n_body_shards = mesh.shape[body_axis]
+    n_bodies = state_example.pos.shape[-2]
+    if n_bodies % n_body_shards != 0:
+        raise ValueError(f"N={n_bodies} must divide across {n_body_shards} shards")
+
+    force = ring_force_fn(cfg, n_body_shards)
+    kdk = make_step_fn(cfg.replace(collisions="none"), force)
+    if cfg.collisions == "bounce":
+        from ..engine.integrators import _accumulate
+
+        bounce = ring_bounce_fn(cfg, n_body_shards)
+
+        def one(state: NBodyState) -> NBodyState:
+            state = kdk(state)
+            dpos, dvel = bounce(state.pos, state.vel, state.mass,
+                                state.radius, state.alive)
+            pos, pos_lo = _accumulate(state.pos, state.pos_lo, dpos)
+            vel, vel_lo = _accumulate(state.vel, state.vel_lo, dvel)
+            return state.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)
+    else:
+        one = kdk
+
+    mat = P(ensemble_axis, body_axis, None)
+    vec = P(ensemble_axis, body_axis)
+    rep = P(ensemble_axis)
+    spec = NBodyState(
+        pos=mat, vel=mat, mass=vec, radius=vec, alive=vec, acc=mat,
+        potential=rep, time=rep, step=rep,
+        pos_lo=mat if state_example.pos_lo is not None else None,
+        vel_lo=mat if state_example.vel_lo is not None else None,
+        jerk=mat if state_example.jerk is not None else None,
+    )
+    step = jax.jit(jax.shard_map(jax.vmap(one), mesh=mesh, in_specs=(spec,),
+                                 out_specs=spec))
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return step, shardings

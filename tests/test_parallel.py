@@ -167,3 +167,33 @@ def test_ensemble_same_key_reproducible(rng):
     np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
     s3 = make_ensemble(base, E, jax.random.key(6), pos_sigma=1e-3)
     assert not np.array_equal(np.asarray(s1.pos[1]), np.asarray(s3.pos[1]))
+
+
+def test_sharded_ensemble_step_2d_mesh(rng):
+    """(ensemble x body) 2D mesh: matches per-member unsharded stepping."""
+    import jax.numpy as jnp
+    from orbital_tpu.parallel.ensemble import make_ensemble
+    from orbital_tpu.parallel.sharded import make_sharded_ensemble_step
+
+    n, E = 32, 4
+    base = make_state(rng.normal(size=(n, 3)), rng.normal(size=(n, 3)) * 0.1,
+                      rng.uniform(0.5, 1.5, n) / n, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4)
+    states = make_ensemble(base, E, jax.random.key(1), pos_sigma=1e-3)
+    force = resolve_force_fn(cfg.replace(force_impl="dense"), n)
+    acc, U = jax.vmap(force)(states.pos, states.mass, states.alive)
+    states = states.replace(acc=acc, potential=U)
+
+    mesh = make_mesh(shape=(2, 4), axis_names=("ensemble", "body"))
+    step, shardings = make_sharded_ensemble_step(cfg, mesh, states)
+    placed = jax.device_put(states, shardings)
+    out = step(step(placed))
+
+    ref_step = make_step_fn(cfg, force)
+    ref = states
+    for _ in range(2):
+        ref = jax.vmap(ref_step)(ref)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(out.potential),
+                               np.asarray(ref.potential), rtol=1e-4)
