@@ -22,8 +22,9 @@ Differences from the reference (deliberate):
 from __future__ import annotations
 
 import dataclasses
+import math
 from pathlib import Path
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import numpy as np
@@ -63,6 +64,7 @@ class SimulationEngine:
         unit_profile: UnitProfile = STANDARD,
         rescale: Optional[Rescale] = None,
         record_history: bool = True,
+        history_every: Union[int, str] = "auto",
     ):
         if isinstance(objects, (list, tuple)):
             objects = ObjectCollection(list(objects))
@@ -78,6 +80,10 @@ class SimulationEngine:
         self.cache_every_n = cache_every_n if cache else 0
         self.unit_profile = unit_profile
         self.record_history = record_history
+        # History stride for compiled run() rollouts: 1 = reference parity
+        # (every step); "auto" keeps per-run retained history under a float
+        # budget so run(10k) at N=65k stays in memory (stride 1 at small N).
+        self.history_every = history_every
 
         if precision is None:
             precision = "f64" if jax.config.read("jax_enable_x64") else "ds32"
@@ -147,17 +153,20 @@ class SimulationEngine:
     # -- host synchronization --------------------------------------------------
 
     def _sync_objects(self) -> None:
-        """Refresh host Objects from device state; prune merged-away bodies."""
+        """Refresh host Objects from device state; prune merged-away bodies.
+
+        O(N): one uuid -> Object map instead of a per-body linear scan."""
         pos = self._pos_phys()
         vel = self._vel_phys()
         mass = np.asarray(self.state.mass, np.float64) * self.rescale.mass
         radius = np.asarray(self.state.radius, np.float64) * self.rescale.length
         alive = np.asarray(self.state.alive)
+        by_uuid = {o.uuid: o for o in self.objects}
         dead = []
         for i, uuid in enumerate(self._uuids):
             if uuid is None:
                 continue
-            obj = next((o for o in self.objects if o.uuid == uuid), None)
+            obj = by_uuid.get(uuid)
             if obj is None:
                 continue
             if not alive[i]:
@@ -184,9 +193,13 @@ class SimulationEngine:
     # -- public stepping API -----------------------------------------------------
 
     def step(self) -> None:
-        """Advance one KDK step (reference semantics, core/engine.py:65-97)."""
+        """Advance one KDK step (reference semantics, core/engine.py:65-97).
+
+        Frame timestamps match the reference ordering exactly: the throttled
+        ``save_frame`` fires *before* ``time_elapsed += dt``
+        (core/engine.py:94-97), so a frame written after step k carries
+        t = k*dt, not (k+1)*dt."""
         self.state = self._step_fn(self.state)
-        self.time_elapsed += self.dt
         pos = self._pos_phys()
         alive = np.asarray(self.state.alive)
         if self.record_history:
@@ -194,57 +207,81 @@ class SimulationEngine:
         if self.cache and self.cache_every_n and (self.step_idx % self.cache_every_n == 0):
             self._sync_objects()
             self.save_frame()
+        self.time_elapsed += self.dt
         self.step_idx += 1
         self._sync_objects()
 
+    # history floats retained per run() call under history_every="auto"
+    _HISTORY_FLOAT_BUDGET = 30_000_000
+    # recorded floats per compiled rollout window (device ys + one transfer)
+    _WINDOW_FLOAT_BUDGET = 2**25
+
+    def _history_stride(self, steps: int) -> int:
+        if not self.record_history:
+            return 0
+        if self.history_every == "auto":
+            total = steps * self.state.n_bodies * 3
+            return max(1, math.ceil(total / self._HISTORY_FLOAT_BUDGET))
+        return max(1, int(self.history_every))
+
+    def _advance(self, steps: int, stride: int) -> None:
+        """Advance ``steps`` compiled steps, appending history every
+        ``stride``-th step (0 = no recording), in bounded-memory windows:
+        each window is one rollout whose recorded snapshots are streamed to
+        the host immediately (device + host buffers stay O(window))."""
+        rec_total = steps // stride if stride else 0
+        per_window = max(1, self._WINDOW_FLOAT_BUDGET // (6 * self.state.n_bodies))
+        done_rec = 0
+        while done_rec < rec_total:
+            w_rec = min(per_window, rec_total - done_rec)
+            final, traj = rollout(self.state, self.config, w_rec * stride,
+                                  record_every=stride, force_fn=self._force_fn)
+            self.state = final
+            pos_all = np.asarray(traj.pos, np.float64) * self.rescale.length
+            alive_all = np.asarray(traj.alive)
+            for r in range(w_rec):
+                self._append_history(pos_all[r], alive_all[r])
+            done_rec += w_rec
+        tail = steps - rec_total * (stride or 0)
+        if tail:
+            self.state, _ = rollout(self.state, self.config, tail,
+                                    record_every=0, force_fn=self._force_fn)
+        self.time_elapsed += self.dt * steps
+        self.step_idx += steps
+
     def run(self, steps: int) -> None:
-        """Advance ``steps`` steps in one compiled rollout (single host
-        transfer), preserving per-step history append and throttled frame
-        cache semantics."""
+        """Advance ``steps`` steps in compiled rollouts (windowed device ->
+        host streaming), preserving history and throttled frame-cache
+        semantics at TPU scale: history is appended every
+        ``history_every``-th step (every step when 1; "auto" bounds retained
+        memory), and JSONL frames are written from the *exact* synced state
+        at each frame step — runs are split at frame boundaries, so frames
+        are bit-identical to stepwise execution even across mid-run merges.
+        """
         steps = int(steps)
         if steps <= 0:
             return
         want_frames = bool(self.cache and self.cache_every_n)
-        record = 1 if (self.record_history or want_frames) else 0
-        final, traj = rollout(self.state, self.config, steps,
-                              record_every=record, force_fn=self._force_fn)
-        start_idx = self.step_idx
-        self.state = final
-        self.time_elapsed += self.dt * steps
-        self.step_idx += steps
+        stride = self._history_stride(steps)
+        end = self.step_idx + steps
+        while self.step_idx < end:
+            if want_frames:
+                c = self.cache_every_n
+                k_frame = ((self.step_idx + c - 1) // c) * c  # next frame step
+                seg_end = min(end, k_frame + 1)
+            else:
+                k_frame = None
+                seg_end = end
+            seg = seg_end - self.step_idx
+            self._advance(seg, stride)
+            if k_frame is not None and self.step_idx == k_frame + 1:
+                self._sync_objects()
+                # reference frame-timestamp quirk: a frame written after
+                # step k carries t = k*dt (core/engine.py:94-97)
+                self.time_elapsed -= self.dt
+                self.save_frame()
+                self.time_elapsed += self.dt
         self._sync_objects()
-
-        if traj is not None:
-            pos_all = np.asarray(traj.pos, np.float64) * self.rescale.length
-            vel_all = np.asarray(traj.vel, np.float64) * self.rescale.velocity
-            alive = np.asarray(final.alive)
-            by_uuid = {o.uuid: o for o in self.objects}
-            for s in range(steps):
-                if self.record_history:
-                    self._append_history(pos_all[s], alive)
-                if want_frames and ((start_idx + s) % self.cache_every_n == 0):
-                    # frame at the state of step s (masses/radii are the
-                    # current ones; exact except across mid-chunk merges)
-                    objs = []
-                    for i, uuid in enumerate(self._uuids):
-                        obj = by_uuid.get(uuid)
-                        if obj is None:
-                            continue
-                        d = obj.to_dict()
-                        d["coordinates"] = {"x": pos_all[s, i, 0],
-                                            "y": pos_all[s, i, 1],
-                                            "z": pos_all[s, i, 2]}
-                        d["velocity"] = vel_all[s, i].tolist()
-                        objs.append(d)
-                    append_jsonl(self.cache_fp, {
-                        "time_elapsed": self.time_elapsed - self.dt * (steps - 1 - s),
-                        "objects": objs,
-                        "history": {
-                            o.name: [pos_all[s, i].tolist()]
-                            for i, u in enumerate(self._uuids)
-                            if (o := by_uuid.get(u)) is not None
-                        },
-                    })
 
     # -- history / frames -----------------------------------------------------
 
@@ -278,9 +315,40 @@ class SimulationEngine:
         })
 
     def resume(self, path: str | Path) -> None:
-        """Restore device state from :meth:`checkpoint` output."""
+        """Restore device state from :meth:`checkpoint` output.
+
+        Validates that the checkpoint's rescale and dt match this engine's
+        (internal-unit state is meaningless under a different rescale),
+        re-resolves the compiled force/step functions if the body count
+        changed, and restores the uuid <-> row mapping when the checkpoint's
+        uuids match this engine's objects (cross-process resume of the same
+        scene construction keeps working by row order otherwise)."""
         state, meta = ckpt.load_state(path)
+        rs = meta.get("rescale")
+        if rs is not None:
+            for k in ("length", "mass", "time"):
+                mine = getattr(self.rescale, k)
+                if abs(rs[k] - mine) > 1e-12 * max(abs(mine), 1e-300):
+                    raise ValueError(
+                        f"checkpoint rescale.{k}={rs[k]!r} != engine's {mine!r}; "
+                        "construct the engine with rescale matching the "
+                        "checkpoint (internal units would be reinterpreted)"
+                    )
+        meta_dt = meta.get("dt")
+        if meta_dt is not None and abs(meta_dt - self.dt) > 1e-12 * abs(self.dt):
+            raise ValueError(
+                f"checkpoint dt={meta_dt} != engine dt={self.dt}; "
+                "construct the engine with the checkpoint's dt"
+            )
+        if state.n_bodies != self.state.n_bodies:
+            self._force_fn = resolve_force_fn(self.config, state.n_bodies)
+            self._step_fn = jax.jit(make_step_fn(self.config, self._force_fn))
         self.state = state
+        uuids = meta.get("uuids")
+        if uuids is not None and len(uuids) == state.n_bodies:
+            known = {o.uuid for o in self.objects}
+            if any(u in known for u in uuids if u is not None):
+                self._uuids = list(uuids)
         self.time_elapsed = meta.get("time_elapsed", 0.0)
         self.step_idx = meta.get("step_idx", 0)
         self._sync_objects()
@@ -299,6 +367,11 @@ class SimulationEngine:
             scene.pos, scene.vel, scene.mass, scene.radius,
             precision=self.precision, rescale=self.rescale,
         )
+        # the cached frame may hold fewer bodies than the engine was built
+        # with (post-merge caches): re-resolve the compiled force/step
+        # functions for the restored body count before seeding forces
+        self._force_fn = resolve_force_fn(self.config, self.state.n_bodies)
+        self._step_fn = jax.jit(make_step_fn(self.config, self._force_fn))
         acc0, U0 = self._force_fn(self.state.pos, self.state.mass, self.state.alive)
         self.state = self.state.replace(acc=acc0, potential=U0)
         self._uuids = list(scene.uuids)

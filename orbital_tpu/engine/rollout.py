@@ -30,7 +30,8 @@ _DENSE_MAX_N = 4096
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["pos", "vel", "time", "energy", "ang_mom"], meta_fields=[])
+         data_fields=["pos", "vel", "time", "energy", "ang_mom", "alive"],
+         meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class Trajectory:
     """Strided rollout recording, time-major: [n_records, ...]."""
@@ -40,6 +41,7 @@ class Trajectory:
     time: jax.Array     # [R]
     energy: jax.Array   # [R] kinetic + cached softened potential
     ang_mom: jax.Array  # [R, 3]
+    alive: jax.Array    # [R, N] bool per-record alive mask (merge tracking)
 
     @property
     def n_records(self) -> int:
@@ -113,6 +115,7 @@ def _snapshot(state: NBodyState) -> dict:
         time=state.time,
         energy=diag.total_energy(vel, state.mass, state.potential),
         ang_mom=diag.angular_momentum(state.pos_full(), vel, state.mass),
+        alive=state.alive,
     )
 
 

@@ -17,7 +17,14 @@ def client():
         "SIM_MOONS": "false",
         "USE_CACHE": "false",
     })
+    # the golden-test `reference` fixture puts /root/reference on sys.path
+    # (it also has an `app` package); pin the repo root first so this
+    # always imports OUR app regardless of test ordering
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if sys.path[0] != repo_root:
+        sys.path.insert(0, repo_root)
     sys.modules.pop("app.app", None)
+    sys.modules.pop("app", None)
     mod = importlib.import_module("app.app")
     mod.app.config["TESTING"] = True
     with mod.app.test_client() as c:
@@ -105,7 +112,7 @@ for m in list(sys.modules):
 os.environ.update(SIM_INITIAL_STEPS="0", RESUME_FROM_CACHE="true")
 import app.app as second
 # resumed from the last cached frame (step 30), not from scratch
-assert second.engine.time_elapsed == 31 * second.INTERVAL, second.engine.time_elapsed
+assert second.engine.time_elapsed == 30 * second.INTERVAL, second.engine.time_elapsed
 assert len(second.engine.objects) == 15
 print("RESUME_OK")
 '''

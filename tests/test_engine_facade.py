@@ -96,7 +96,9 @@ def test_jsonl_cache_schema(em_engine, tmp_path):
     assert len(frames) == 3  # steps 0, 100, 200
     f = frames[-1]
     assert set(f) == {"time_elapsed", "objects", "history"}
-    assert f["time_elapsed"] == pytest.approx(201 * 3600.0)
+    # reference frame-timestamp convention: a frame written after
+    # step k carries t = k*dt (core/engine.py:94-97)
+    assert f["time_elapsed"] == pytest.approx(200 * 3600.0)
     assert {o["uuid"] for o in f["objects"]} == {o.uuid for o in em_engine.objects}
     assert set(f["history"]) == {"earth", "moon"}
     assert len(f["history"]["moon"]) == 1
@@ -131,7 +133,7 @@ def test_resume_from_jsonl_cache(em_engine):
                             cache=False)
     assert eng2.resume_from_cache(em_engine.cache_fp)
     # resumed from the last cached frame (step 100), not the live state
-    assert eng2.time_elapsed == pytest.approx(101 * 3600.0)
+    assert eng2.time_elapsed == pytest.approx(100 * 3600.0)
     assert t > eng2.time_elapsed
     names = {o.name for o in eng2.objects}
     assert names == {"earth", "moon"}
@@ -246,3 +248,125 @@ def test_simulate_from_objects():
                          integrator="rk4")
     assert result.pos.shape == (10, 2, 3)
     assert result.energy_drift < 1e-9
+
+
+def test_resume_from_cache_post_merge(tmp_path):
+    """A cache written after merges holds fewer bodies; resuming must
+    re-resolve the compiled force/step fns for the new N and keep stepping."""
+    a = Object(6.0, 1.0, velocity=np.array([1.0, 0, 0]),
+               coordinates=Coordinates(0, 0, 0), name="big")
+    b = Object(3.0, 1.0, velocity=np.array([-1.0, 0, 0]),
+               coordinates=Coordinates(5.0, 0, 0), name="small")
+    c = Object(0.5, 0.1, velocity=np.zeros(3),
+               coordinates=Coordinates(0, 50.0, 0), name="far")
+    eng = SimulationEngine(ObjectCollection([a, b, c]), dt=0.05,
+                           merge_on_capture=True, max_hist=None,
+                           cache=True, cache_fp=str(tmp_path / "m.jsonl"),
+                           cache_every_n=10, precision="f64")
+    eng.run(200)
+    assert len(eng.objects) == 2  # big+small merged, far survives
+
+    a2 = Object(6.0, 1.0, velocity=np.array([1.0, 0, 0]),
+                coordinates=Coordinates(0, 0, 0), name="big")
+    b2 = Object(3.0, 1.0, velocity=np.array([-1.0, 0, 0]),
+                coordinates=Coordinates(5.0, 0, 0), name="small")
+    c2 = Object(0.5, 0.1, velocity=np.zeros(3),
+                coordinates=Coordinates(0, 50.0, 0), name="far")
+    eng2 = SimulationEngine(ObjectCollection([a2, b2, c2]), dt=0.05,
+                            merge_on_capture=True, cache=False,
+                            max_hist=None, precision="f64",
+                            rescale=eng.rescale)
+    assert eng2.resume_from_cache(eng.cache_fp)
+    assert eng2.state.n_bodies == 2  # post-merge frame
+    # the restored engine must be steppable at the new N (stale compiled
+    # fns for N=3 would shape-error here)
+    eng2.step()
+    eng2.run(20)
+    assert np.isfinite(np.asarray(eng2.state.pos)).all()
+
+
+def test_resume_rejects_mismatched_dt_and_rescale(em_engine, tmp_path):
+    ck = tmp_path / "s.npz"
+    em_engine.run(5)
+    em_engine.checkpoint(ck)
+    # dt mismatch
+    a = Object(5.972e24, 6.371e6, velocity=np.zeros(3),
+               coordinates=Coordinates(0, 0, 0), name="earth")
+    b = Object(7.348e22, 1.737e6, velocity=np.zeros(3),
+               coordinates=Coordinates(3.844e8, 0, 0), name="moon")
+    set_circular_orbit(a, b)
+    eng_dt = SimulationEngine(ObjectCollection([a, b]), dt=1800.0,
+                              softening=1e3, cache=False, max_hist=None)
+    with pytest.raises(ValueError, match="dt"):
+        eng_dt.resume(ck)
+    # rescale mismatch
+    from orbital_tpu.engine.state import Rescale
+    a2 = Object(5.972e24, 6.371e6, velocity=np.zeros(3),
+                coordinates=Coordinates(0, 0, 0), name="earth")
+    b2 = Object(7.348e22, 1.737e6, velocity=np.zeros(3),
+                coordinates=Coordinates(3.844e8, 0, 0), name="moon")
+    set_circular_orbit(a2, b2)
+    eng_rs = SimulationEngine(ObjectCollection([a2, b2]), dt=3600.0,
+                              softening=1e3, cache=False, max_hist=None,
+                              precision="ds32",
+                              rescale=Rescale(length=2.0, mass=3.0, time=5.0))
+    with pytest.raises(ValueError, match="rescale"):
+        eng_rs.resume(ck)
+
+
+def test_history_stride_and_windowing(tmp_path):
+    """history_every=k records every k-th step in run(); the windowed path
+    is step-exact on the final state regardless of window splits."""
+    def fresh(history_every):
+        a = Object(5.972e24, 6.371e6, velocity=np.zeros(3),
+                   coordinates=Coordinates(0, 0, 0), name="earth")
+        b = Object(7.348e22, 1.737e6, velocity=np.zeros(3),
+                   coordinates=Coordinates(3.844e8, 0, 0), name="moon")
+        set_circular_orbit(a, b)
+        return SimulationEngine(ObjectCollection([a, b]), dt=3600.0,
+                                softening=1e3, cache=False, max_hist=None,
+                                history_every=history_every)
+
+    e1 = fresh(1)
+    e5 = fresh(5)
+    e1.run(50)
+    e5.run(50)
+    assert len(e1.history[e1.objects[0].uuid]) == 51   # seed + 50
+    assert len(e5.history[e5.objects[0].uuid]) == 11   # seed + 10
+    # strided entries match the dense ones at the same steps
+    h1 = np.asarray(e1.history[e1.objects[1].uuid])    # [51, 3]
+    h5 = np.asarray(e5.history[e5.objects[1].uuid])    # [11, 3]
+    np.testing.assert_allclose(h5[1:], h1[5::5], rtol=1e-14)
+    np.testing.assert_allclose(
+        [o.position() for o in e1.objects],
+        [o.position() for o in e5.objects], rtol=1e-14)
+
+    # tiny windows force multi-window execution; result must be identical
+    e_w = fresh(1)
+    e_w._WINDOW_FLOAT_BUDGET = 6 * 2 * 3  # one record per window
+    e_w.run(50)
+    np.testing.assert_allclose(
+        [o.position() for o in e_w.objects],
+        [o.position() for o in e1.objects], rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(e_w.history[e_w.objects[0].uuid]),
+                               np.asarray(h1 := np.asarray(
+                                   e1.history[e1.objects[0].uuid])), rtol=1e-14)
+
+
+def test_history_records_per_step_alive(tmp_path):
+    """A body merged away mid-run stops accruing history at its merge
+    record, not retroactively (per-record alive masks)."""
+    a = Object(6.0, 1.0, velocity=np.array([1.0, 0, 0]),
+               coordinates=Coordinates(0, 0, 0), name="big")
+    b = Object(3.0, 1.0, velocity=np.array([-1.0, 0, 0]),
+               coordinates=Coordinates(5.0, 0, 0), name="small")
+    c = Object(0.5, 0.1, velocity=np.zeros(3),
+               coordinates=Coordinates(0, 50.0, 0), name="far")
+    coll = ObjectCollection([a, b, c])
+    uuid_small = b.uuid
+    eng = SimulationEngine(coll, dt=0.05, merge_on_capture=True,
+                           cache=False, max_hist=None, precision="f64")
+    eng.run(200)
+    n_small = len(eng.history[uuid_small])
+    n_far = len(eng.history[eng.objects[-1].uuid])
+    assert 1 < n_small < n_far == 201
