@@ -78,14 +78,15 @@ def measure(state, cfg, steps: int, drift_steps: int, iters: int):
 
     import orbital_tpu as ot
     from orbital_tpu.engine.integrators import make_step_fn
-    from orbital_tpu.engine.rollout import resolve_force_fn
+    from orbital_tpu.engine.rollout import resolve_accel_jerk_fn, resolve_force_fn
     from orbital_tpu.utils.timing import bench_chained
 
     from bench import energy_hybrid
 
     n = state.n_bodies
     state = ot.init_forces(state, cfg)
-    step = make_step_fn(cfg, resolve_force_fn(cfg, n))
+    aj = resolve_accel_jerk_fn(cfg, n) if cfg.integrator == "hermite" else None
+    step = make_step_fn(cfg, resolve_force_fn(cfg, n), accel_jerk_fn=aj)
     sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
 
     drift = None

@@ -75,8 +75,16 @@ def _apply_collisions(cfg: SimConfig, state: NBodyState) -> NBodyState:
     )
 
 
-def make_step_fn(cfg: SimConfig, force_fn: ForceFn) -> Callable[[NBodyState], NBodyState]:
+def make_step_fn(
+    cfg: SimConfig,
+    force_fn: ForceFn,
+    accel_jerk_fn: Optional[Callable] = None,
+) -> Callable[[NBodyState], NBodyState]:
     """Build the jittable single-step function for a config.
+
+    ``accel_jerk_fn(pos, vel, mass, alive) -> (acc, jerk, U)`` is the
+    Hermite force path (``rollout.resolve_accel_jerk_fn`` picks
+    dense/chunked/Pallas by N); defaults to the dense evaluator.
 
     KDK (velocity-Verlet) order matches the reference exactly
     (core/engine.py:65-97): the cached ``state.acc`` is a(t); collisions run
@@ -145,18 +153,26 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn) -> Callable[[NBodyState], NB
         )
         return _apply_collisions(cfg, state)
 
+    if accel_jerk_fn is None:
+        from ..ops.forces import accel_jerk_dense
+
+        def accel_jerk_fn(pos, vel, mass, alive):
+            return accel_jerk_dense(pos, vel, mass, alive,
+                                    G=cfg.G, eps2=cfg.eps2)
+
     def hermite(state: NBodyState) -> NBodyState:
         """4th-order Hermite predictor-corrector (Makino & Aarseth 1992):
         one combined acceleration+jerk evaluation per step — the standard
         collisional N-body integrator. Uses the cached (acc, jerk) pair as
-        the step's initial derivatives. Dense force path (N <= ~8k).
+        the step's initial derivatives.
 
         With ``cfg.adaptive_eta`` the step size follows the Aarseth
         criterion dt = clip(eta * min sqrt(|a|/|jerk|), dt_min, cfg.dt) —
-        shrinking through close encounters, with cfg.dt as the ceiling.
+        shrinking through close encounters, with cfg.dt as the ceiling
+        (dt_min > 0 is enforced by SimConfig, so a collapsed ratio can
+        never freeze simulation time; an all-dead state yields ratio=inf
+        and steps at the cfg.dt ceiling).
         """
-        from ..ops.forces import accel_jerk_dense
-
         r0 = state.pos_full()
         v0 = state.vel_full()
         a0 = state.acc
@@ -175,8 +191,7 @@ def make_step_fn(cfg: SimConfig, force_fn: ForceFn) -> Callable[[NBodyState], NB
         # predict
         rp = r0 + dt * v0 + (0.5 * dt2) * a0 + (dt2 * dt / 6.0) * j0
         vp = v0 + dt * a0 + (0.5 * dt2) * j0
-        a1, j1, potential = accel_jerk_dense(rp, vp, state.mass, state.alive,
-                                             G=cfg.G, eps2=cfg.eps2)
+        a1, j1, potential = accel_jerk_fn(rp, vp, state.mass, state.alive)
         # correct
         dv = (0.5 * dt) * (a0 + a1) + (dt2 / 12.0) * (j0 - j1)
         vel, vel_lo = _accumulate(state.vel, state.vel_lo, dv)

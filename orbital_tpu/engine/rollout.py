@@ -22,7 +22,8 @@ from ..utils.config import SimConfig
 from .integrators import ForceFn, make_step_fn
 from .state import NBodyState
 
-__all__ = ["Trajectory", "resolve_force_fn", "init_forces", "rollout", "rollout_jit"]
+__all__ = ["Trajectory", "resolve_force_fn", "resolve_accel_jerk_fn",
+           "init_forces", "rollout", "rollout_jit"]
 
 # Above this body count the dense [N, N] path gives way to row-blocked or
 # Pallas kernels ("auto" policy).
@@ -90,15 +91,40 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
     raise ValueError(f"unknown force_impl {impl!r}")
 
 
+def resolve_accel_jerk_fn(cfg: SimConfig, n: int):
+    """Pick the combined acc+jerk implementation (Hermite) for a body count:
+    dense to ~4k, the tiled Pallas kernel on TPU, row-chunked elsewhere —
+    mirroring :func:`resolve_force_fn`, so Hermite runs at the flagship N."""
+    from ..ops.forces import accel_jerk_chunked, accel_jerk_dense
+
+    impl = cfg.force_impl
+    if impl in ("auto", "pallas", "pallas_sym", "mxu", "ring"):
+        if n <= _DENSE_MAX_N:
+            impl = "dense"
+        elif jax.default_backend() == "tpu" and n % cfg.chunk == 0:
+            impl = "jerk_pallas"
+        else:
+            impl = "chunked"
+
+    if impl == "dense":
+        return lambda pos, vel, mass, alive: accel_jerk_dense(
+            pos, vel, mass, alive, G=cfg.G, eps2=cfg.eps2)
+    if impl == "chunked":
+        return lambda pos, vel, mass, alive: accel_jerk_chunked(
+            pos, vel, mass, alive, G=cfg.G, eps2=cfg.eps2,
+            chunk=min(cfg.chunk, n))
+    from ..ops.pallas_jerk import accel_jerk_pallas
+
+    return lambda pos, vel, mass, alive: accel_jerk_pallas(
+        pos, vel, mass, alive, G=cfg.G, eps2=cfg.eps2)
+
+
 def init_forces(state: NBodyState, cfg: SimConfig, force_fn: Optional[ForceFn] = None) -> NBodyState:
     """Seed the acceleration cache (the reference does this in the engine
     constructor, core/engine.py:41). Hermite also seeds the jerk cache."""
     if cfg.integrator == "hermite":
-        from ..ops.forces import accel_jerk_dense
-
-        acc, jerk, potential = accel_jerk_dense(
-            state.pos, state.vel, state.mass, state.alive,
-            G=cfg.G, eps2=cfg.eps2)
+        aj = resolve_accel_jerk_fn(cfg, state.n_bodies)
+        acc, jerk, potential = aj(state.pos, state.vel, state.mass, state.alive)
         return state.replace(acc=acc, jerk=jerk, potential=potential)
     fn = force_fn or resolve_force_fn(cfg, state.n_bodies)
     acc, potential = fn(state.pos, state.mass, state.alive)
@@ -134,7 +160,9 @@ def rollout(
     core/engine.py:34).
     """
     fn = force_fn or resolve_force_fn(cfg, state.n_bodies)
-    step_fn = make_step_fn(cfg, fn)
+    aj = (resolve_accel_jerk_fn(cfg, state.n_bodies)
+          if cfg.integrator == "hermite" else None)
+    step_fn = make_step_fn(cfg, fn, accel_jerk_fn=aj)
 
     if record_every <= 0:
         final = lax.fori_loop(0, steps, lambda _, s: step_fn(s), state)

@@ -137,6 +137,34 @@ def soften_potential_pairs(pos, mass, *, G, eps2):
     return U
 
 
+def _block_accel_jerk(pos_i, vel_i, pos_j, vel_j, mass_j, mask, eps2, G):
+    """Acc + jerk of a column-block on a row-block (shared by the dense and
+    chunked paths). Returns (acc [I,3], jerk [I,3], pe_row [I])."""
+    dx = pos_j[None, :, 0] - pos_i[:, None, 0]
+    dy = pos_j[None, :, 1] - pos_i[:, None, 1]
+    dz = pos_j[None, :, 2] - pos_i[:, None, 2]
+    dvx = vel_j[None, :, 0] - vel_i[:, None, 0]
+    dvy = vel_j[None, :, 1] - vel_i[:, None, 1]
+    dvz = vel_j[None, :, 2] - vel_i[:, None, 2]
+
+    r2 = dx * dx + dy * dy + dz * dz
+    inv_r = _masked_inverse_r(r2, mask, eps2)
+    inv_r2 = inv_r * inv_r
+    inv_r3 = inv_r2 * inv_r
+    w = mass_j[None, :] * inv_r3                         # m_j / s^3
+    rv = dx * dvx + dy * dvy + dz * dvz                  # r_ij . v_ij
+    c = 3.0 * rv * inv_r2                                # 3 (r.v) / s^2
+
+    acc = G * jnp.stack(
+        [jnp.sum(w * dx, 1), jnp.sum(w * dy, 1), jnp.sum(w * dz, 1)], axis=-1)
+    jerk = G * jnp.stack(
+        [jnp.sum(w * (dvx - c * dx), 1),
+         jnp.sum(w * (dvy - c * dy), 1),
+         jnp.sum(w * (dvz - c * dz), 1)], axis=-1)
+    pe_row = jnp.sum(mass_j[None, :] * inv_r, axis=1)
+    return acc, jerk, pe_row
+
+
 @partial(jax.jit, static_argnames=("G", "eps2"))
 def accel_jerk_dense(
     pos: jax.Array,
@@ -156,29 +184,47 @@ def accel_jerk_dense(
     n = pos.shape[0]
     mass_eff = mass if alive is None else mass * alive.astype(mass.dtype)
     mask = ~jnp.eye(n, dtype=bool)
+    acc, jerk, pe_row = _block_accel_jerk(pos, vel, pos, vel, mass_eff,
+                                          mask, eps2, G)
+    U = -0.5 * G * jnp.sum(mass_eff * pe_row)
+    if alive is not None:
+        keep = alive[:, None].astype(acc.dtype)
+        acc = acc * keep
+        jerk = jerk * keep
+    return acc, jerk, U
 
-    dx = pos[None, :, 0] - pos[:, None, 0]
-    dy = pos[None, :, 1] - pos[:, None, 1]
-    dz = pos[None, :, 2] - pos[:, None, 2]
-    dvx = vel[None, :, 0] - vel[:, None, 0]
-    dvy = vel[None, :, 1] - vel[:, None, 1]
-    dvz = vel[None, :, 2] - vel[:, None, 2]
 
-    r2 = dx * dx + dy * dy + dz * dz
-    inv_r = _masked_inverse_r(r2, mask, eps2)
-    inv_r2 = inv_r * inv_r
-    inv_r3 = inv_r2 * inv_r
-    w = mass_eff[None, :] * inv_r3                       # m_j / s^3
-    rv = dx * dvx + dy * dvy + dz * dvz                  # r_ij . v_ij
-    c = 3.0 * rv * inv_r2                                # 3 (r.v) / s^2
+@partial(jax.jit, static_argnames=("G", "eps2", "chunk"))
+def accel_jerk_chunked(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    G: float,
+    eps2: float,
+    chunk: int = 1024,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Row-blocked acc + jerk: O(chunk * N) live memory, lifting the dense
+    path's N ~ 8k ceiling so Hermite runs at the flagship N (VERDICT round-1
+    missing #3). N must divide by ``chunk``."""
+    n = pos.shape[0]
+    if n % chunk != 0:
+        raise ValueError(f"N={n} must be a multiple of chunk={chunk}")
+    mass_eff = mass if alive is None else mass * alive.astype(mass.dtype)
+    col_ids = jnp.arange(n)
 
-    acc = G * jnp.stack(
-        [jnp.sum(w * dx, 1), jnp.sum(w * dy, 1), jnp.sum(w * dz, 1)], axis=-1)
-    jerk = G * jnp.stack(
-        [jnp.sum(w * (dvx - c * dx), 1),
-         jnp.sum(w * (dvy - c * dy), 1),
-         jnp.sum(w * (dvz - c * dz), 1)], axis=-1)
-    pe_row = jnp.sum(mass_eff[None, :] * inv_r, axis=1)
+    def row_block(start):
+        pos_i = lax.dynamic_slice_in_dim(pos, start, chunk, axis=0)
+        vel_i = lax.dynamic_slice_in_dim(vel, start, chunk, axis=0)
+        mask = (start + jnp.arange(chunk))[:, None] != col_ids[None, :]
+        return _block_accel_jerk(pos_i, vel_i, pos, vel, mass_eff,
+                                 mask, eps2, G)
+
+    acc_b, jerk_b, pe_b = lax.map(row_block, jnp.arange(0, n, chunk))
+    acc = acc_b.reshape(n, 3)
+    jerk = jerk_b.reshape(n, 3)
+    pe_row = pe_b.reshape(n)
     U = -0.5 * G * jnp.sum(mass_eff * pe_row)
     if alive is not None:
         keep = alive[:, None].astype(acc.dtype)

@@ -64,8 +64,15 @@ class SimConfig:
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
         if self.integrator not in ("kdk", "euler", "rk4", "hermite"):
             raise ValueError(f"bad integrator: {self.integrator!r}")
-        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "ring"):
+        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
+        if self.adaptive_eta is not None and not (self.dt_min > 0.0):
+            # dt_min = 0 would let a collapsed Aarseth ratio freeze
+            # simulation time inside the compiled rollout (steps would
+            # still count) — require an explicit positive floor
+            raise ValueError(
+                "adaptive_eta requires dt_min > 0 (the adaptive step is "
+                "clipped to [dt_min, dt])")
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

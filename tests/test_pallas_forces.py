@@ -161,3 +161,88 @@ def test_symmetric_kernel_in_rollout(rng):
         fin, _ = ot.rollout_jit(st, cfg, 10)
         outs[impl] = np.asarray(fin.pos)
     np.testing.assert_allclose(outs["pallas_sym"], outs["dense"], atol=1e-5)
+
+
+# ---- Hermite acc+jerk at scale (chunked + Pallas vs dense oracle) ----
+
+def test_accel_jerk_chunked_matches_dense(rng):
+    from orbital_tpu.ops.forces import accel_jerk_chunked, accel_jerk_dense
+
+    n = 256
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    vel = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    alive = rng.uniform(size=n) > 0.1
+    a_ref, j_ref, U_ref = accel_jerk_dense(pos, vel, mass, alive,
+                                           G=1.0, eps2=1e-4)
+    a, j, U = accel_jerk_chunked(pos, vel, mass, alive, G=1.0, eps2=1e-4,
+                                 chunk=64)
+    assert _relerr(a, a_ref) < 1e-6
+    assert _relerr(j, j_ref) < 1e-6
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-6)
+
+
+@pytest.mark.parametrize("eps2", [1e-4, 0.0])
+def test_accel_jerk_pallas_matches_dense(rng, eps2):
+    from orbital_tpu.ops.forces import accel_jerk_dense
+    from orbital_tpu.ops.pallas_jerk import accel_jerk_pallas
+
+    n = 256
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    vel = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    alive = rng.uniform(size=n) > 0.1
+    a_ref, j_ref, U_ref = accel_jerk_dense(pos, vel, mass, alive,
+                                           G=1.0, eps2=eps2)
+    a, j, U = accel_jerk_pallas(pos, vel, mass, alive, G=1.0, eps2=eps2,
+                                tile_i=64, tile_j=128)
+    assert _relerr(a, a_ref) < 1e-5
+    assert _relerr(j, j_ref) < 1e-5
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-5)
+
+
+def test_hermite_routes_to_scalable_jerk(rng):
+    """rollout() must resolve a non-dense acc+jerk path above the dense
+    ceiling; equivalence checked against the dense stepper at a routable N."""
+    import orbital_tpu as ot
+    from orbital_tpu.engine.rollout import resolve_accel_jerk_fn
+
+    n = 512
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, integrator="hermite",
+                       chunk=128)
+    # force the non-dense route by lowering the dense ceiling via chunked
+    fn = resolve_accel_jerk_fn(cfg.replace(force_impl="chunked"), n)
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    vel = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    alive = np.ones(n, bool)
+    from orbital_tpu.ops.forces import accel_jerk_dense
+    a_ref, j_ref, _ = accel_jerk_dense(pos, vel, mass, alive, G=1.0, eps2=1e-4)
+    a, j, _ = fn(pos, vel, mass, alive)
+    assert _relerr(a, a_ref) < 1e-6
+    assert _relerr(j, j_ref) < 1e-6
+
+
+def test_hermite_rollout_large_n_smoke(rng):
+    """Hermite end-to-end above the dense-memory regime (chunked on CPU)."""
+    import orbital_tpu as ot
+
+    n = 8192
+    pos = rng.normal(size=(n, 3))
+    vel = 0.3 * rng.normal(size=(n, 3))
+    mass = np.full(n, 1.0 / n)
+    from orbital_tpu.engine.state import make_state
+    state = make_state(pos, vel, mass, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-2, integrator="hermite",
+                       chunk=1024)
+    state = ot.init_forces(state, cfg)
+    final, _ = ot.rollout_jit(state, cfg, 3)
+    assert np.isfinite(np.asarray(final.pos)).all()
+    assert int(final.step) == 3
+
+
+def test_adaptive_eta_requires_dt_min():
+    import orbital_tpu as ot
+
+    with pytest.raises(ValueError, match="dt_min"):
+        ot.SimConfig(dt=1e-3, integrator="hermite", adaptive_eta=0.02)
