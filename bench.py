@@ -85,7 +85,7 @@ def bench_rate_with_collisions(n: int, iters: int = 4) -> float:
     strictly like-for-like comparison)."""
     import orbital_tpu as ot
     from orbital_tpu.engine.integrators import make_step_fn
-    from orbital_tpu.engine.rollout import resolve_force_fn
+    from orbital_tpu.engine.rollout import resolve_force_detect_fn, resolve_force_fn
     from orbital_tpu.engine.state import make_state
     from orbital_tpu.utils.timing import bench_chained
 
@@ -94,7 +94,10 @@ def bench_rate_with_collisions(n: int, iters: int = 4) -> float:
     cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="auto",
                        collisions="bounce", restitution=1.0)
     state = ot.init_forces(state, cfg)
-    step = make_step_fn(cfg, resolve_force_fn(cfg, n))
+    # detection fused into the force sweep; the resolution sweep is
+    # lax.cond-skipped on contact-free steps
+    step = make_step_fn(cfg, resolve_force_fn(cfg, n),
+                        force_detect_fn=resolve_force_detect_fn(cfg, n))
     sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
     return n / sec
 

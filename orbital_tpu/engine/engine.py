@@ -36,7 +36,7 @@ from ..ops import diagnostics as diag
 from ..utils.config import SimConfig
 from ..utils.io import append_jsonl, last_jsonl
 from . import checkpoint as ckpt
-from .rollout import resolve_force_fn, rollout
+from .rollout import resolve_force_detect_fn, resolve_force_fn, rollout
 from .integrators import make_step_fn
 from .state import NBodyState, Rescale, make_state
 
@@ -115,8 +115,7 @@ class SimulationEngine:
             precision=precision, rescale=rescale,
         )
         self._uuids = list(scene.uuids)
-        self._force_fn = resolve_force_fn(self.config, self.state.n_bodies)
-        self._step_fn = jax.jit(make_step_fn(self.config, self._force_fn))
+        self._rebuild_compiled(self.state.n_bodies)
 
         # initial force evaluation (reference: core/engine.py:41)
         acc0, U0 = self._force_fn(self.state.pos, self.state.mass, self.state.alive)
@@ -127,6 +126,17 @@ class SimulationEngine:
         }
         self.time_elapsed = 0.0
         self.step_idx = 0
+
+    def _rebuild_compiled(self, n: int) -> None:
+        """(Re)build the compiled force/step functions for a body count.
+        The stepper fuses contact detection into the force sweep when a
+        collision mode is on, lax.cond-skipping the resolution sweep on
+        contact-free steps."""
+        self._force_fn = resolve_force_fn(self.config, n)
+        fd = (resolve_force_detect_fn(self.config, n)
+              if self.config.collisions != "none" else None)
+        self._step_fn = jax.jit(
+            make_step_fn(self.config, self._force_fn, force_detect_fn=fd))
 
     # -- unit conversion helpers ---------------------------------------------
 
@@ -341,8 +351,7 @@ class SimulationEngine:
                 "construct the engine with the checkpoint's dt"
             )
         if state.n_bodies != self.state.n_bodies:
-            self._force_fn = resolve_force_fn(self.config, state.n_bodies)
-            self._step_fn = jax.jit(make_step_fn(self.config, self._force_fn))
+            self._rebuild_compiled(state.n_bodies)
         self.state = state
         uuids = meta.get("uuids")
         if uuids is not None and len(uuids) == state.n_bodies:
@@ -370,8 +379,7 @@ class SimulationEngine:
         # the cached frame may hold fewer bodies than the engine was built
         # with (post-merge caches): re-resolve the compiled force/step
         # functions for the restored body count before seeding forces
-        self._force_fn = resolve_force_fn(self.config, self.state.n_bodies)
-        self._step_fn = jax.jit(make_step_fn(self.config, self._force_fn))
+        self._rebuild_compiled(self.state.n_bodies)
         acc0, U0 = self._force_fn(self.state.pos, self.state.mass, self.state.alive)
         self.state = self.state.replace(acc=acc0, potential=U0)
         self._uuids = list(scene.uuids)

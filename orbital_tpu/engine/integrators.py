@@ -44,9 +44,23 @@ def _accumulate(hi, lo: Optional[jax.Array], *increments):
 _DENSE_BOUNCE_MAX_N = 4096
 
 
-def _apply_collisions(cfg: SimConfig, state: NBodyState) -> NBodyState:
+def _apply_collisions(
+    cfg: SimConfig, state: NBodyState,
+    contacts: Optional[jax.Array] = None,
+) -> NBodyState:
     if cfg.collisions == "none":
         return state
+    if contacts is not None:
+        # fused detection already ran inside the force sweep: when nothing
+        # touches (the overwhelmingly common step), skip the O(N^2)
+        # resolution sweep entirely. lax.cond executes one branch — the
+        # no-contact step costs ~4 detection ops/pair instead of a second
+        # full pair scan (the reference always pays that second scan,
+        # core/physics.py:510-518). Resolution, when it runs, is the exact
+        # same sweep, so semantics are unchanged.
+        return jax.lax.cond(contacts > 0,
+                            lambda s: _apply_collisions(cfg, s),
+                            lambda s: s, state)
     if cfg.collisions == "bounce":
         if state.n_bodies > _DENSE_BOUNCE_MAX_N:
             from ..ops.pallas_collisions import bounce_deltas_pallas
@@ -79,12 +93,19 @@ def make_step_fn(
     cfg: SimConfig,
     force_fn: ForceFn,
     accel_jerk_fn: Optional[Callable] = None,
+    force_detect_fn: Optional[Callable] = None,
 ) -> Callable[[NBodyState], NBodyState]:
     """Build the jittable single-step function for a config.
 
     ``accel_jerk_fn(pos, vel, mass, alive) -> (acc, jerk, U)`` is the
     Hermite force path (``rollout.resolve_accel_jerk_fn`` picks
     dense/chunked/Pallas by N); defaults to the dense evaluator.
+
+    ``force_detect_fn(pos, mass, radius, alive) -> (acc, U, contacts)``
+    fuses contact detection into the KDK force evaluation
+    (``rollout.resolve_force_detect_fn``); with it, the collision
+    resolution sweep is lax.cond-skipped on contact-free steps. KDK only:
+    its force positions are exactly the collision-time positions.
 
     KDK (velocity-Verlet) order matches the reference exactly
     (core/engine.py:65-97): the cached ``state.acc`` is a(t); collisions run
@@ -94,6 +115,8 @@ def make_step_fn(
     """
     dt = cfg.dt
 
+    fuse_detect = force_detect_fn is not None and cfg.collisions != "none"
+
     def kdk(state: NBodyState) -> NBodyState:
         with jax.named_scope("kdk.kick1"):
             vel, vel_lo = _accumulate(state.vel, state.vel_lo, 0.5 * dt * state.acc)
@@ -102,8 +125,13 @@ def make_step_fn(
                 pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel)
             else:
                 pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel, dt * vel_lo)
+        contacts = None
         with jax.named_scope("kdk.forces"):
-            acc, potential = force_fn(pos, state.mass, state.alive)
+            if fuse_detect:
+                acc, potential, contacts = force_detect_fn(
+                    pos, state.mass, state.radius, state.alive)
+            else:
+                acc, potential = force_fn(pos, state.mass, state.alive)
         with jax.named_scope("kdk.kick2"):
             vel, vel_lo = _accumulate(vel, vel_lo, 0.5 * dt * acc)
 
@@ -113,7 +141,7 @@ def make_step_fn(
             time=state.time + dt, step=state.step + 1,
         )
         with jax.named_scope("collisions"):
-            return _apply_collisions(cfg, state)
+            return _apply_collisions(cfg, state, contacts)
 
     def rk4(state: NBodyState) -> NBodyState:
         """Classical RK4 (BASELINE north star names it alongside leapfrog).

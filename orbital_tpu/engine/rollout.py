@@ -22,8 +22,8 @@ from ..utils.config import SimConfig
 from .integrators import ForceFn, make_step_fn
 from .state import NBodyState
 
-__all__ = ["Trajectory", "resolve_force_fn", "resolve_accel_jerk_fn",
-           "init_forces", "rollout", "rollout_jit"]
+__all__ = ["Trajectory", "resolve_force_fn", "resolve_force_detect_fn",
+           "resolve_accel_jerk_fn", "init_forces", "rollout", "rollout_jit"]
 
 # Above this body count the dense [N, N] path gives way to row-blocked or
 # Pallas kernels ("auto" policy).
@@ -81,6 +81,13 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
         return lambda pos, mass, alive: pairwise_acc_pallas_sym(
             pos, mass, alive, G=cfg.G, eps2=cfg.eps2
         )
+    if impl == "mxu":
+        from ..ops.mxu_forces import pairwise_acc_mxu
+
+        return lambda pos, mass, alive: pairwise_acc_mxu(
+            pos, mass, alive, G=cfg.G, eps2=cfg.eps2,
+            chunk=min(cfg.chunk, n), with_potential=cfg.track_potential
+        )
     if impl == "ring":
         # the ring force needs the mesh's shard count and must run inside
         # shard_map; it cannot be resolved from a config alone
@@ -89,6 +96,48 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
             " (it needs a Mesh), not resolve_force_fn"
         )
     raise ValueError(f"unknown force_impl {impl!r}")
+
+
+def resolve_force_detect_fn(cfg: SimConfig, n: int):
+    """Force + fused contact detection:
+    ``fn(pos, mass, radius, alive) -> (acc, U, contacts)`` with ``contacts``
+    an int32 directed touching-pair count (0 exactly when no live bodies
+    overlap). On the Pallas path detection shares the force sweep's r^2
+    tiles (~4 extra VPU ops/pair); dense/chunked pay a cheap sqrt-free
+    second pass. The stepper uses the count to ``lax.cond``-skip the
+    collision resolution sweep — the reference instead pays a second full
+    O(N^2) scan every step (core/physics.py:510-518)."""
+    from ..ops.collisions import count_contacts_chunked, count_contacts_dense
+
+    impl = cfg.force_impl
+    if impl == "auto":
+        if n <= _DENSE_MAX_N:
+            impl = "dense"
+        elif jax.default_backend() == "tpu" and n % cfg.chunk == 0:
+            impl = "pallas"
+        else:
+            impl = "chunked"
+
+    if impl == "pallas":
+        from ..ops.pallas_forces import pairwise_acc_detect_pallas
+
+        return lambda pos, mass, radius, alive: pairwise_acc_detect_pallas(
+            pos, mass, radius, alive, G=cfg.G, eps2=cfg.eps2,
+            with_potential=cfg.track_potential)
+
+    if impl in ("dense", "pallas_sym", "mxu"):
+        def fn(pos, mass, radius, alive):
+            acc, U = pairwise_acc_dense(pos, mass, alive, G=cfg.G, eps2=cfg.eps2)
+            return acc, U, count_contacts_dense(pos, radius, alive)
+        return fn
+    if impl == "chunked":
+        def fn(pos, mass, radius, alive):
+            acc, U = pairwise_acc_chunked(pos, mass, alive, G=cfg.G,
+                                          eps2=cfg.eps2, chunk=min(cfg.chunk, n))
+            return acc, U, count_contacts_chunked(pos, radius, alive,
+                                                  chunk=min(cfg.chunk, n))
+        return fn
+    raise ValueError(f"no fused-detect force path for force_impl {impl!r}")
 
 
 def resolve_accel_jerk_fn(cfg: SimConfig, n: int):
@@ -162,7 +211,10 @@ def rollout(
     fn = force_fn or resolve_force_fn(cfg, state.n_bodies)
     aj = (resolve_accel_jerk_fn(cfg, state.n_bodies)
           if cfg.integrator == "hermite" else None)
-    step_fn = make_step_fn(cfg, fn, accel_jerk_fn=aj)
+    fd = None
+    if cfg.collisions != "none" and cfg.integrator == "kdk" and cfg.force_impl != "ring":
+        fd = resolve_force_detect_fn(cfg, state.n_bodies)
+    step_fn = make_step_fn(cfg, fn, accel_jerk_fn=aj, force_detect_fn=fd)
 
     if record_every <= 0:
         final = lax.fori_loop(0, steps, lambda _, s: step_fn(s), state)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["NBodyState", "Rescale", "Precision", "make_state", "pad_count"]
+__all__ = ["NBodyState", "Rescale", "Precision", "make_state", "pad_count", "far_positions"]
 
 Precision = str  # "f32" | "ds32" | "f64"
 
@@ -137,6 +137,25 @@ def pad_count(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
 
 
+def far_positions(k: int, scale: float, dtype=np.float64, start: int = 0) -> np.ndarray:
+    """Spread-out parking positions for dead/padding bodies.
+
+    Far enough that no live body's radius can reach them, and mutually
+    non-coincident (index-proportional spacing that stays representable in
+    f32) so dead pairs never register as touching in the fused contact
+    detection (``ops.pallas_forces.pairwise_acc_detect_pallas``). ``scale``
+    is the live-scene magnitude (max |pos|); ``start`` is the global row
+    index of the first parked body — merge parking
+    (``ops.collisions.merge_groups``) uses the same global-index spread, so
+    padding and merged-dead rows can never land on each other."""
+    far = 1e8 * (1.0 + abs(scale))
+    if np.dtype(dtype) == np.float32:
+        far = min(far, 1e17)  # keep far^2 finite in f32
+    out = np.full((k, 3), far, dtype=np.float64)
+    out[:, 0] *= 1.0 + 1e-3 * (start + np.arange(k))
+    return out
+
+
 def make_state(
     pos: np.ndarray,
     vel: np.ndarray,
@@ -174,7 +193,12 @@ def make_state(
     alive[:n] = True
     if n_pad != n:
         pad = n_pad - n
-        pos = np.concatenate([pos, np.zeros((pad, 3))])
+        # padding parks at spread-out far positions (not the origin):
+        # mass 0 keeps them force-inert either way, but the fused contact
+        # detection needs them geometrically out of reach of live radii
+        scale = float(np.max(np.abs(pos))) if n else 1.0
+        dt_pad = np.float32 if precision in ("f32", "ds32") else np.float64
+        pos = np.concatenate([pos, far_positions(pad, scale, dt_pad, start=n)])
         vel = np.concatenate([vel, np.zeros((pad, 3))])
         mass = np.concatenate([mass, np.zeros(pad)])
         radius = np.concatenate([radius, np.zeros(pad)])

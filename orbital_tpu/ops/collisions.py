@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["bounce_deltas", "merge_groups", "collision_roots"]
+__all__ = ["bounce_deltas", "merge_groups", "collision_roots",
+           "count_contacts_dense", "count_contacts_chunked"]
 
 
 def _pair_geometry(pos, radius, alive):
@@ -91,6 +92,48 @@ def bounce_deltas(pos, vel, mass, radius, alive, *, restitution: float = 1.0):
     return dpos, dvel
 
 
+def _contacts_block(pos_i, radius_i, alive_i, ids_i, pos, radius, alive, ids):
+    """Directed touching-pair count of all columns on a row block — the
+    sqrt-free geometric test (r^2 <= (R_i+R_j)^2) the resolution sweeps
+    share (reference detection: core/physics.py:513-518)."""
+    dx = pos_i[:, None, 0] - pos[None, :, 0]
+    dy = pos_i[:, None, 1] - pos[None, :, 1]
+    dz = pos_i[:, None, 2] - pos[None, :, 2]
+    r2 = dx * dx + dy * dy + dz * dz
+    rsum = radius_i[:, None] + radius[None, :]
+    touch = ((r2 <= rsum * rsum)
+             & (ids_i[:, None] != ids[None, :])
+             & alive_i[:, None] & alive[None, :])
+    return jnp.sum(touch.astype(jnp.int32))
+
+
+@jax.jit
+def count_contacts_dense(pos, radius, alive):
+    """Directed touching-pair count between live bodies (int32 scalar);
+    0 exactly when no resolution sweep is needed this step."""
+    ids = jnp.arange(pos.shape[0])
+    return _contacts_block(pos, radius, alive, ids, pos, radius, alive, ids)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def count_contacts_chunked(pos, radius, alive, *, chunk: int = 1024):
+    """Row-blocked :func:`count_contacts_dense` (O(chunk*N) memory)."""
+    n = pos.shape[0]
+    if n % chunk != 0:
+        raise ValueError(f"N={n} must be a multiple of chunk={chunk}")
+    ids = jnp.arange(n)
+
+    def row_block(start):
+        pos_i = lax.dynamic_slice_in_dim(pos, start, chunk, axis=0)
+        rad_i = lax.dynamic_slice_in_dim(radius, start, chunk, axis=0)
+        alive_i = lax.dynamic_slice_in_dim(alive, start, chunk, axis=0)
+        ids_i = lax.dynamic_slice_in_dim(ids, start, chunk, axis=0)
+        return _contacts_block(pos_i, rad_i, alive_i, ids_i,
+                               pos, radius, alive, ids)
+
+    return jnp.sum(lax.map(row_block, jnp.arange(0, n, chunk)))
+
+
 def collision_roots(pos, radius, alive):
     """Lowest-index root of each overlap chain, via pointer jumping.
 
@@ -119,8 +162,10 @@ def merge_groups(pos, vel, mass, radius, alive):
     Conserves mass and momentum; the merged position is the mass-weighted
     center and the merged radius is volume-additive, matching the
     reference's merge-on-capture semantics (core/physics.py:519-531).
-    Non-root members become dead: alive=False, mass=0, velocity=0, frozen
-    in place.
+    Non-root members become dead: alive=False, mass=0, velocity=0, parked
+    at a spread-out far position (out of reach of any live radius, mutually
+    non-coincident) so the fused contact detection never re-triggers on
+    them.
 
     Returns (pos, vel, mass, radius, alive) updated.
     """
@@ -146,7 +191,20 @@ def merge_groups(pos, vel, mass, radius, alive):
         merged_root[:, None], p_seg / safe_m[:, None],
         jnp.where(absorbed[:, None], 0.0, vel),
     )
-    new_pos = jnp.where(merged_root[:, None], mr_seg / safe_m[:, None], pos)
+    # absorbed bodies park far away (scaled off the live scene so the scale
+    # never escalates as more bodies die); index-proportional spacing keeps
+    # dead pairs non-coincident even in f32
+    idx = jnp.arange(n, dtype=pos.dtype)
+    live_mag = jnp.max(jnp.abs(pos) * alive[:, None].astype(pos.dtype))
+    far = 1e8 * (1.0 + live_mag)
+    if pos.dtype == jnp.float32:
+        far = jnp.minimum(far, 1e17)  # keep far^2 finite in f32
+    far_pos = jnp.stack(
+        [far * (1.0 + 1e-3 * idx), jnp.full(n, 1.0, pos.dtype) * far,
+         jnp.full(n, 1.0, pos.dtype) * far], axis=-1)
+    new_pos = jnp.where(
+        merged_root[:, None], mr_seg / safe_m[:, None],
+        jnp.where(absorbed[:, None], far_pos, pos))
     new_radius = jnp.where(merged_root, jnp.cbrt(r3_seg), jnp.where(absorbed, 0.0, radius))
     new_alive = alive & ~absorbed
     return new_pos, new_vel, new_mass, new_radius, new_alive

@@ -44,7 +44,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pairwise_acc_pallas", "DEFAULT_TILE_I", "DEFAULT_TILE_J"]
+__all__ = ["pairwise_acc_pallas", "pairwise_acc_detect_pallas",
+           "block_acc_pallas", "DEFAULT_TILE_I", "DEFAULT_TILE_J"]
 
 DEFAULT_TILE_I = 512
 DEFAULT_TILE_J = 2048
@@ -52,7 +53,7 @@ _PACK = 8  # packed feature width (x, y, z, m, padded to an f32 sublane tile)
 
 
 def _nbody_kernel(i_ref, jT_ref, out_ref, *, G: float, eps2: float,
-                  compute_pe: bool):
+                  compute_pe: bool, detect: bool):
     """One (i-tile, j-tile) block of the interaction sweep."""
 
     @pl.when(pl.program_id(1) == 0)
@@ -85,14 +86,28 @@ def _nbody_kernel(i_ref, jT_ref, out_ref, *, G: float, eps2: float,
     out_ref[:, 2] += G * jnp.sum(w * dz, axis=1)
     if compute_pe:
         out_ref[:, 3] += jnp.sum(mj * inv_r, axis=1)
+    if detect:
+        # contact sweep fused into the force tiles (the reference pays a
+        # second O(N^2) scan for this, core/physics.py:513-518): body radii
+        # ride col/row 4 (0 for dead bodies — the caller pre-multiplies by
+        # alive and parks dead/padding bodies at spread-out far positions,
+        # so dead pairs never touch). The r2 <= rsum^2 test with the
+        # *unsoftened* r2 counts every self-pair once (r2 = 0), an exact
+        # analytic excess of +N removed by the caller. 4 extra VPU
+        # ops/pair.
+        ri = i_ref[:, 4:5]
+        rj = jT_ref[4:5, :]
+        rsum = ri + rj
+        touch = r2 <= rsum * rsum
+        out_ref[:, 5] += jnp.sum(touch.astype(jnp.float32), axis=1)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_call(n: int, tile_i: int, tile_j: int, G: float, eps2: float,
-                compute_pe: bool, interpret: bool):
+                compute_pe: bool, interpret: bool, detect: bool = False):
     kernel = functools.partial(_nbody_kernel, G=G, eps2=eps2,
-                               compute_pe=compute_pe)
-    flops_per_pair = 17 if compute_pe else 15
+                               compute_pe=compute_pe, detect=detect)
+    flops_per_pair = (17 if compute_pe else 15) + (4 if detect else 0)
     return pl.pallas_call(
         kernel,
         grid=(n // tile_i, n // tile_j),
@@ -185,3 +200,142 @@ def pairwise_acc_pallas(
     else:
         U = jnp.zeros((), jnp.float32)
     return acc.astype(pos.dtype), U.astype(pos.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_block_call(n_i: int, n_j: int, tile_i: int, tile_j: int,
+                      G: float, eps2: float, interpret: bool,
+                      vma: frozenset = frozenset()):
+    """Rectangular [n_i x n_j] interaction block (the ring-shard case).
+
+    ``vma`` names the shard_map mesh axes the output varies over (required
+    by check_vma=True when the kernel runs inside shard_map)."""
+    kernel = functools.partial(_nbody_kernel, G=G, eps2=eps2,
+                               compute_pe=True, detect=False)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_i // tile_i, n_j // tile_j),
+        in_specs=[
+            pl.BlockSpec((tile_i, _PACK), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PACK, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, _PACK), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_i, _PACK), jnp.float32, vma=vma),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=17 * n_i * n_j,
+            bytes_accessed=(2 * n_i + n_j) * _PACK * 4,
+            transcendentals=n_i * n_j,
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("G", "eps2", "tile_i", "tile_j", "vma"))
+def block_acc_pallas(
+    pos_i: jax.Array,
+    pos_j: jax.Array,
+    mass_j: jax.Array,
+    *,
+    G: float,
+    eps2: float,
+    tile_i: int = DEFAULT_TILE_I,
+    tile_j: int = DEFAULT_TILE_J,
+    vma: tuple = (),
+) -> tuple[jax.Array, jax.Array]:
+    """Partial forces of body block j on body block i — the per-round
+    compute of the shard_map ppermute ring (parallel/sharded.py), tiled
+    like the single-chip kernel instead of dense jnp so each shard runs at
+    the tuned Pallas rate (VERDICT r1 #4 / missing #5).
+
+    Mask-free: requires eps2 > 0 (self-pairs in the diagonal round cancel
+    through dd == 0; the ring wrapper strips the analytic PE self-term
+    once). Dead bodies carry mass 0. Returns (acc [Bi, 3], pe_row [Bi])
+    with pe_row_i = sum_j m_j / sqrt(r^2 + eps^2) *including* the i == j
+    term when the blocks coincide.
+    """
+    n_i = pos_i.shape[0]
+    n_j = pos_j.shape[0]
+    ti, _ = _pick_tiles(n_i, tile_i, 128)
+    _, tj = _pick_tiles(n_j, 8, tile_j)
+
+    pts_i = jnp.concatenate(
+        [pos_i.astype(jnp.float32),
+         jnp.zeros((n_i, _PACK - 3), jnp.float32)], axis=1)   # [Bi, 8]
+    ptsT_j = jnp.concatenate(
+        [pos_j.astype(jnp.float32).T,
+         mass_j.astype(jnp.float32)[None, :],
+         jnp.zeros((_PACK - 4, n_j), jnp.float32)], axis=0)   # [8, Bj]
+
+    interpret = jax.default_backend() != "tpu"
+    out = _build_block_call(n_i, n_j, ti, tj, float(G), float(eps2),
+                            interpret, frozenset(vma))(pts_i, ptsT_j)
+    return out[:, 0:3].astype(pos_i.dtype), out[:, 3].astype(pos_i.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "eps2", "tile_i", "tile_j", "with_potential"),
+)
+def pairwise_acc_detect_pallas(
+    pos: jax.Array,
+    mass: jax.Array,
+    radius: jax.Array,
+    alive: jax.Array,
+    *,
+    G: float,
+    eps2: float,
+    tile_i: int = DEFAULT_TILE_I,
+    tile_j: int = DEFAULT_TILE_J,
+    with_potential: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Force sweep with contact detection fused into the same r^2 tiles.
+
+    Returns (acc [N,3], U, contacts) where ``contacts`` is an int32 scalar
+    counting directed touching pairs (``|r_ij| <= R_i + R_j``, unsoftened,
+    dead pairs excluded) — 0 exactly when no live bodies overlap, so the
+    stepper can ``lax.cond``-skip the collision resolution sweep. The
+    reference pays a second full O(N^2) scan for this every step
+    (core/physics.py:510-518); here it costs ~4 extra VPU ops/pair.
+
+    Requirement: dead/padding bodies must sit at spread-out far positions
+    (``make_state`` padding and ``merge_groups`` do this), so the only
+    detection excess is the exact +N of the self-pairs, removed here.
+    Coincident live *point* bodies (r = 0, radius 0) still count — a
+    cost-only false positive: the resolution sweep treats them as
+    non-touching (dist > 0 requirement), matching the dense path.
+    """
+    n = pos.shape[0]
+    ti, tj = _pick_tiles(n, tile_i, tile_j)
+
+    pos32 = pos.astype(jnp.float32)
+    alive_f = alive.astype(jnp.float32)
+    mass32 = (mass * alive.astype(mass.dtype)).astype(jnp.float32)
+    radius32 = radius.astype(jnp.float32) * alive_f
+
+    pts = jnp.concatenate(
+        [pos32, mass32[:, None], radius32[:, None],
+         jnp.zeros((n, _PACK - 5), jnp.float32)], axis=1
+    )  # [N, 8]: x y z m R 0 0 0
+
+    interpret = jax.default_backend() != "tpu"
+    out = _build_call(n, ti, tj, float(G), float(eps2), with_potential,
+                      interpret, detect=True)(pts, pts.T)
+
+    acc = out[:, 0:3] * alive_f[:, None]
+    if with_potential:
+        pe_row = out[:, 3]
+        if eps2 > 0.0:
+            pe_row = pe_row - mass32 * (1.0 / float(eps2) ** 0.5)
+        U = -0.5 * G * jnp.sum(mass32 * pe_row)
+    else:
+        U = jnp.zeros((), jnp.float32)
+    contacts = jnp.round(jnp.sum(out[:, 5]) - n).astype(jnp.int32)
+    return acc.astype(pos.dtype), U.astype(pos.dtype), contacts

@@ -44,6 +44,9 @@ class SimConfig:
             dt = clip(eta * min_i sqrt(|a_i| / |jerk_i|), dt_min, dt)
             (the Aarseth criterion); ``dt`` becomes the ceiling.
         dt_min: floor for the adaptive step.
+        ring_block_impl: per-round block-force implementation inside the
+            shard_map ppermute ring — "auto" (Pallas on TPU when the local
+            block tiles, dense jnp otherwise), "pallas", or "dense".
     """
 
     dt: float
@@ -58,6 +61,7 @@ class SimConfig:
     track_potential: bool = True
     adaptive_eta: Optional[float] = None
     dt_min: float = 0.0
+    ring_block_impl: str = "auto"
 
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
@@ -66,6 +70,8 @@ class SimConfig:
             raise ValueError(f"bad integrator: {self.integrator!r}")
         if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
+        if self.ring_block_impl not in ("auto", "pallas", "dense"):
+            raise ValueError(f"bad ring_block_impl: {self.ring_block_impl!r}")
         if self.adaptive_eta is not None and not (self.dt_min > 0.0):
             # dt_min = 0 would let a collapsed Aarseth ratio freeze
             # simulation time inside the compiled rollout (steps would

@@ -87,3 +87,20 @@ def test_two_body_softened_values():
     assert np.asarray(acc)[0, 0] == pytest.approx(5.0 * 3.0 / 125.0)
     assert np.asarray(acc)[1, 0] == pytest.approx(-2.0 * 3.0 / 125.0)
     assert float(U) == pytest.approx(-2.0 * 5.0 / 5.0)
+
+
+def test_mxu_gram_formulation_matches_dense(rng):
+    """The MXU Gram-matrix path (measurement experiment, see DESIGN.md) is
+    correctness-checked at its documented accuracy (~1e-4 rel: the Gram
+    identity cancels bits on close pairs)."""
+    from orbital_tpu.ops.mxu_forces import pairwise_acc_mxu
+
+    n = 512
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    alive = rng.uniform(size=n) > 0.1
+    a_ref, U_ref = pairwise_acc_dense(pos, mass, alive, G=1.0, eps2=1e-4)
+    a, U = pairwise_acc_mxu(pos, mass, alive, G=1.0, eps2=1e-4, chunk=128)
+    err = np.abs(np.asarray(a) - np.asarray(a_ref)).max() / np.abs(a_ref).max()
+    assert err < 5e-4
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-4)

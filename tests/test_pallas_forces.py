@@ -246,3 +246,116 @@ def test_adaptive_eta_requires_dt_min():
 
     with pytest.raises(ValueError, match="dt_min"):
         ot.SimConfig(dt=1e-3, integrator="hermite", adaptive_eta=0.02)
+
+
+# ---- fused contact detection (force sweep + r^2-shared detection) ----
+
+def test_fused_detect_counts_match_dense(rng):
+    from orbital_tpu.engine.state import far_positions
+    from orbital_tpu.ops.collisions import count_contacts_dense
+    from orbital_tpu.ops.pallas_forces import pairwise_acc_detect_pallas
+
+    n = 256
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    radius = rng.uniform(0.0, 0.15, n).astype(np.float32)
+    alive = rng.uniform(size=n) > 0.15
+    # kernel contract: dead bodies sit at spread far positions (as padding
+    # and merge parking guarantee in production)
+    pos[~alive] = far_positions(int((~alive).sum()), 2.0,
+                                np.float32)[:, :].astype(np.float32)
+    a_ref, U_ref = pairwise_acc_dense(pos, mass, alive, G=1.0, eps2=1e-4)
+    c_ref = int(count_contacts_dense(pos, radius * alive, alive))
+    a, U, c = pairwise_acc_detect_pallas(pos, mass, radius, alive,
+                                         G=1.0, eps2=1e-4,
+                                         tile_i=64, tile_j=128)
+    assert c_ref > 0  # the random cluster must actually have contacts
+    assert int(c) == c_ref
+    assert _relerr(np.asarray(a)[alive], np.asarray(a_ref)[alive]) < 1e-5
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-5)
+
+
+def test_fused_detect_zero_when_separated(rng):
+    from orbital_tpu.ops.pallas_forces import pairwise_acc_detect_pallas
+
+    n = 128
+    pos = (10.0 * np.arange(n, dtype=np.float32))[:, None] * np.ones(3, np.float32)
+    mass = np.ones(n, np.float32)
+    radius = np.full(n, 0.1, np.float32)
+    alive = np.ones(n, bool)
+    _, _, c = pairwise_acc_detect_pallas(pos, mass, radius, alive,
+                                         G=1.0, eps2=1e-4,
+                                         tile_i=64, tile_j=128)
+    assert int(c) == 0
+
+
+def test_fused_detect_ignores_far_parked_dead(rng):
+    """Padding + merged-dead bodies park at spread far positions and must
+    never register contacts, even with huge live radii."""
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.ops.pallas_forces import pairwise_acc_detect_pallas
+
+    n = 100
+    pos = 100.0 * rng.normal(size=(n, 3))
+    vel = np.zeros((n, 3))
+    mass = np.ones(n)
+    radius = np.full(n, 1e-3)
+    st = make_state(pos, vel, mass, radius, precision="f32", pad_to=128)
+    assert st.n_bodies == 128
+    _, _, c = pairwise_acc_detect_pallas(st.pos, st.mass, st.radius, st.alive,
+                                         G=1.0, eps2=1e-4,
+                                         tile_i=64, tile_j=128)
+    assert int(c) == 0
+
+
+def test_cond_gated_bounce_matches_unconditional(rng):
+    """Stepping with the fused-detect cond gate must be bit-identical to the
+    always-sweep stepper, through both contact-free and colliding steps."""
+    import orbital_tpu as ot
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import (resolve_force_detect_fn,
+                                            resolve_force_fn)
+    from orbital_tpu.engine.state import make_state
+
+    # head-on pair that collides mid-rollout, plus bystanders
+    pos = np.array([[-1.0, 0, 0], [1.0, 0, 0], [0, 5.0, 0], [0, -5.0, 0]])
+    vel = np.array([[0.5, 0, 0], [-0.5, 0, 0], [0, 0, 0], [0, 0, 0]])
+    mass = np.array([1.0, 1.0, 1e-3, 1e-3])
+    radius = np.array([0.3, 0.3, 0.01, 0.01])
+    cfg = ot.SimConfig(dt=0.05, G=1e-4, eps2=1e-6, collisions="bounce",
+                       restitution=0.8, force_impl="dense")
+    s_a = ot.init_forces(make_state(pos, vel, mass, radius, precision="f32"), cfg)
+    s_b = s_a
+    step_plain = make_step_fn(cfg, resolve_force_fn(cfg, 4))
+    step_fused = make_step_fn(cfg, resolve_force_fn(cfg, 4),
+                              force_detect_fn=resolve_force_detect_fn(cfg, 4))
+    collided = False
+    for k in range(80):
+        s_a = step_plain(s_a)
+        s_b = step_fused(s_b)
+        np.testing.assert_array_equal(np.asarray(s_a.pos), np.asarray(s_b.pos))
+        np.testing.assert_array_equal(np.asarray(s_a.vel), np.asarray(s_b.vel))
+    # the pair must actually have bounced (vx signs flipped)
+    assert float(np.asarray(s_a.vel)[0, 0]) < 0
+
+
+def test_cond_gated_merge_in_rollout(rng):
+    """merge mode through the fused gate: merge fires, dead body parks far,
+    and the sweep stays skipped afterwards (no re-trigger -> state stable)."""
+    import orbital_tpu as ot
+    from orbital_tpu.engine.state import make_state
+
+    pos = np.array([[-0.5, 0, 0], [0.5, 0, 0], [0, 8.0, 0]])
+    vel = np.array([[0.2, 0, 0], [-0.2, 0, 0], [0, 0, 0]])
+    mass = np.array([2.0, 1.0, 1e-3])
+    radius = np.array([0.2, 0.2, 0.01])
+    cfg = ot.SimConfig(dt=0.1, G=1e-6, eps2=1e-8, collisions="merge",
+                       force_impl="dense")
+    st = ot.init_forces(make_state(pos, vel, mass, radius, precision="f32"), cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 60)
+    alive = np.asarray(fin.alive)
+    assert list(alive) == [True, False, True]
+    m = np.asarray(fin.mass)
+    assert m[0] == pytest.approx(3.0)
+    # absorbed body parked far out of the live scene
+    assert np.linalg.norm(np.asarray(fin.pos)[1]) > 1e6

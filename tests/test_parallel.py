@@ -197,3 +197,54 @@ def test_sharded_ensemble_step_2d_mesh(rng):
                                rtol=3e-5, atol=3e-6)
     np.testing.assert_allclose(np.asarray(out.potential),
                                np.asarray(ref.potential), rtol=1e-4)
+
+
+def test_ring_force_pallas_blocks_match_dense(rng):
+    """The ring with Pallas per-round block kernels (interpret mode on the
+    CPU mesh) must agree with the unsharded dense force (VERDICT r1 #5)."""
+    from jax.sharding import PartitionSpec as P
+
+    n = 1024  # 8 shards x 128-body blocks (tile-aligned)
+    pos = rng.normal(size=(n, 3))
+    vel = rng.normal(size=(n, 3)) * 0.1
+    mass = rng.uniform(0.5, 1.5, n) / n
+    st = make_state(pos, vel, mass, precision="f32")
+    mesh = make_mesh()
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, shard_axis="body",
+                       ring_block_impl="pallas")
+    a_ref, U_ref = resolve_force_fn(cfg.replace(force_impl="dense"), n)(
+        st.pos, st.mass, st.alive)
+    ring = ring_force_fn(cfg, 8)
+    f = jax.jit(jax.shard_map(
+        ring, mesh=mesh,
+        in_specs=(P("body", None), P("body"), P("body")),
+        out_specs=(P("body", None), P()),
+        check_vma=False,  # pallas-in-shard_map vma workaround
+    ))
+    a, U = f(st.pos, st.mass, st.alive)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=2e-5, atol=1e-6)
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-5)
+
+
+def test_sharded_step_with_pallas_ring_blocks(rng):
+    """Full sharded KDK step with the Pallas ring-block path compiles and
+    matches the unsharded stepper."""
+    n = 1024
+    pos = rng.normal(size=(n, 3))
+    vel = rng.normal(size=(n, 3)) * 0.1
+    mass = rng.uniform(0.5, 1.5, n) / n
+    st = make_state(pos, vel, mass, precision="f32")
+    mesh = make_mesh()
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, shard_axis="body",
+                       ring_block_impl="pallas", collisions="none")
+    st = ot.init_forces(st, cfg.replace(force_impl="dense"))
+    step_ref = make_step_fn(cfg.replace(force_impl="dense"),
+                            resolve_force_fn(cfg.replace(force_impl="dense"), n))
+    ref = step_ref(st)
+    sharded = make_sharded_step(cfg, mesh, st)
+    out = sharded(shard_state(mesh, st))
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               rtol=2e-5, atol=1e-6)
