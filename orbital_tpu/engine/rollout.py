@@ -194,12 +194,32 @@ def _snapshot(state: NBodyState) -> dict:
     )
 
 
+def _fused_eligible(state: NBodyState, cfg: SimConfig) -> bool:
+    """Route to the VMEM-resident whole-rollout kernel? (kdk, no
+    collisions, softened, unbatched f32/ds32 state within VMEM budget,
+    Pallas-compatible force policy, on a real TPU)."""
+    from ..ops.fused_rollout import FUSED_MAX_N
+
+    return (
+        cfg.integrator == "kdk"
+        and cfg.collisions == "none"
+        and cfg.eps2 > 0.0
+        and cfg.force_impl in ("auto", "pallas")
+        and state.pos.ndim == 2
+        and state.pos.dtype == jnp.float32
+        and state.n_bodies % 128 == 0
+        and state.n_bodies <= FUSED_MAX_N
+        and jax.default_backend() == "tpu"
+    )
+
+
 def rollout(
     state: NBodyState,
     cfg: SimConfig,
     steps: int,
     record_every: int = 0,
     force_fn: Optional[ForceFn] = None,
+    fused: str = "auto",
 ) -> tuple[NBodyState, Optional[Trajectory]]:
     """Advance ``steps`` steps; optionally record every ``record_every``-th.
 
@@ -207,8 +227,21 @@ def rollout(
     each block of ``record_every`` steps is stored (the initial state is not
     included — prepend it host-side for reference-style seeded history,
     core/engine.py:34).
+
+    Unrecorded eligible rollouts auto-route to ``ops.fused_rollout`` (all
+    steps inside one Pallas launch, state resident in VMEM), then refresh
+    the acceleration/potential caches so the final state matches the scan
+    path's. Pass ``fused="never"`` to force the scan (e.g. under vmap —
+    ``ensemble_rollout`` does).
     """
     fn = force_fn or resolve_force_fn(cfg, state.n_bodies)
+    if (record_every <= 0 and steps > 0 and fused == "auto"
+            and _fused_eligible(state, cfg)):
+        from ..ops.fused_rollout import fused_rollout
+
+        final = fused_rollout(state, cfg, steps)
+        acc, potential = fn(final.pos, final.mass, final.alive)
+        return final.replace(acc=acc, potential=potential), None
     aj = (resolve_accel_jerk_fn(cfg, state.n_bodies)
           if cfg.integrator == "hermite" else None)
     fd = None
