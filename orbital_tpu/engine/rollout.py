@@ -88,6 +88,13 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
             pos, mass, alive, G=cfg.G, eps2=cfg.eps2,
             chunk=min(cfg.chunk, n), with_potential=cfg.track_potential
         )
+    if impl == "pallas_mxu":
+        from ..ops.pallas_forces_mxu import pairwise_acc_pallas_mxu
+
+        return lambda pos, mass, alive: pairwise_acc_pallas_mxu(
+            pos, mass, alive, G=cfg.G, eps2=cfg.eps2,
+            with_potential=cfg.track_potential
+        )
     if impl == "ring":
         # the ring force needs the mesh's shard count and must run inside
         # shard_map; it cannot be resolved from a config alone

@@ -73,12 +73,16 @@ def pairwise_acc_mxu(
         pos_i = lax.dynamic_slice_in_dim(pos32, start, chunk, axis=0)
         sq_i = lax.dynamic_slice_in_dim(sq, start, chunk, axis=0)
         row_ids = start + jnp.arange(chunk)
-        gram = jnp.dot(pos_i, posT, preferred_element_type=jnp.float32)
+        # HIGHEST is load-bearing: TPU matmuls default to bf16 inputs,
+        # which destroys the Gram cancellation (measured 60x force errors)
+        gram = jnp.dot(pos_i, posT, preferred_element_type=jnp.float32,
+                       precision=lax.Precision.HIGHEST)
         r2 = jnp.maximum(sq_i[:, None] + sq[None, :] - 2.0 * gram, 0.0)
         inv = lax.rsqrt(r2 + eps2)
         w = mass32[None, :] * (inv * inv * inv)                # [C, N]
         w = jnp.where(row_ids[:, None] == col_ids[None, :], 0.0, w)
-        out = jnp.dot(w, rhs, preferred_element_type=jnp.float32)  # [C, 4]
+        out = jnp.dot(w, rhs, preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)  # [C, 4]
         acc_i = G * (out[:, 0:3] - pos_i * out[:, 3:4])
         if with_potential:
             pe_i = jnp.sum(mass32[None, :] * jnp.where(

@@ -33,7 +33,10 @@ class SimConfig:
             "hermite" (4th-order predictor-corrector with jerk; 1 combined
             acc+jerk eval/step, dense force path).
         force_impl: "auto" | "dense" | "chunked" | "pallas" |
-            "pallas_sym" (half-pair symmetric kernel, no PE) | "ring".
+            "pallas_sym" (half-pair symmetric kernel, no PE) |
+            "mxu" (XLA Gram-matmul study) | "pallas_mxu" (MXU-tiled
+            Pallas kernel: matmul distances + matmul accumulation;
+            fastest at large N, Gram-identity accuracy caveats) | "ring".
         chunk: row-block size for the chunked/pallas force paths.
         shard_axis: mesh axis name for the ring force path (None = unsharded).
         track_potential: compute the softened potential every force eval
@@ -68,7 +71,7 @@ class SimConfig:
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
         if self.integrator not in ("kdk", "euler", "rk4", "hermite"):
             raise ValueError(f"bad integrator: {self.integrator!r}")
-        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "ring"):
+        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "pallas_mxu", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
         if self.ring_block_impl not in ("auto", "pallas", "dense"):
             raise ValueError(f"bad ring_block_impl: {self.ring_block_impl!r}")

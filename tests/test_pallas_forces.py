@@ -359,3 +359,28 @@ def test_cond_gated_merge_in_rollout(rng):
     assert m[0] == pytest.approx(3.0)
     # absorbed body parked far out of the live scene
     assert np.linalg.norm(np.asarray(fin.pos)[1]) > 1e6
+
+
+def test_mxu_pallas_kernel_matches_dense(rng):
+    """The MXU-tiled kernel (matmul r^2 + matmul accumulation) at its
+    documented Gram accuracy; PE self-term stripped exactly."""
+    from orbital_tpu.ops.pallas_forces_mxu import pairwise_acc_pallas_mxu
+
+    n = 512
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    alive = rng.uniform(size=n) > 0.1
+    a_ref, U_ref = pairwise_acc_dense(pos, mass, alive, G=1.0, eps2=1e-4)
+    a, U = pairwise_acc_pallas_mxu(pos, mass, alive, G=1.0, eps2=1e-4,
+                                   tile_i=64, tile_j=128)
+    err = np.abs(np.asarray(a) - np.asarray(a_ref)).max() / np.abs(a_ref).max()
+    assert err < 5e-4
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-4)
+    # no-PE variant
+    a2, U2 = pairwise_acc_pallas_mxu(pos, mass, alive, G=1.0, eps2=1e-4,
+                                     tile_i=64, tile_j=128,
+                                     with_potential=False)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(a))
+    assert float(U2) == 0.0
+    with pytest.raises(ValueError, match="eps2"):
+        pairwise_acc_pallas_mxu(pos, mass, G=1.0, eps2=0.0)
