@@ -79,8 +79,12 @@ def _apply_collisions(
         return state.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)
     # merge: rewrites pos/vel/mass/radius/alive wholesale; compensation terms
     # of merged bodies are dropped (a one-time sub-ulp loss on merge events).
+    # Above the dense [N, N] ceiling the contact-chain roots are found
+    # column-blocked.
+    chunk = 1024 if state.n_bodies > _DENSE_BOUNCE_MAX_N else None
     pos, vel, mass, radius, alive = coll.merge_groups(
-        state.pos_full(), state.vel_full(), state.mass, state.radius, state.alive
+        state.pos_full(), state.vel_full(), state.mass, state.radius,
+        state.alive, chunk=chunk,
     )
     zeros = None if state.pos_lo is None else jnp.zeros_like(state.pos_lo)
     return state.replace(

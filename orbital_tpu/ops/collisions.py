@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["bounce_deltas", "merge_groups", "collision_roots",
-           "count_contacts_dense", "count_contacts_chunked"]
+           "collision_roots_chunked", "count_contacts_dense",
+           "count_contacts_chunked"]
 
 
 def _pair_geometry(pos, radius, alive):
@@ -104,7 +105,8 @@ def _contacts_block(pos_i, radius_i, alive_i, ids_i, pos, radius, alive, ids):
     touch = ((r2 <= rsum * rsum)
              & (ids_i[:, None] != ids[None, :])
              & alive_i[:, None] & alive[None, :])
-    return jnp.sum(touch.astype(jnp.int32))
+    # explicit dtype: x64 mode would otherwise promote the sum to int64
+    return jnp.sum(touch, dtype=jnp.int32)
 
 
 @jax.jit
@@ -131,7 +133,8 @@ def count_contacts_chunked(pos, radius, alive, *, chunk: int = 1024):
         return _contacts_block(pos_i, rad_i, alive_i, ids_i,
                                pos, radius, alive, ids)
 
-    return jnp.sum(lax.map(row_block, jnp.arange(0, n, chunk)))
+    return jnp.sum(lax.map(row_block, jnp.arange(0, n, chunk)),
+                   dtype=jnp.int32)
 
 
 def collision_roots(pos, radius, alive):
@@ -155,8 +158,42 @@ def collision_roots(pos, radius, alive):
     return root
 
 
-@jax.jit
-def merge_groups(pos, vel, mass, radius, alive):
+def collision_roots_chunked(pos, radius, alive, *, chunk: int = 512):
+    """Column-blocked :func:`collision_roots`: O(N * chunk) live memory,
+    lifting the dense [N, N] ceiling so merge mode runs at large N.
+    Geometry matches ``_pair_geometry`` exactly (sqrt distances)."""
+    n = pos.shape[0]
+    chunk = min(chunk, n)
+    while chunk > 1 and n % chunk != 0:
+        chunk //= 2
+    ids = jnp.arange(n)
+
+    def col_block(start):
+        pos_j = lax.dynamic_slice_in_dim(pos, start, chunk, axis=0)
+        rad_j = lax.dynamic_slice_in_dim(radius, start, chunk, axis=0)
+        alive_j = lax.dynamic_slice_in_dim(alive, start, chunk, axis=0)
+        col_ids = start + jnp.arange(chunk)
+        dx = pos[:, None, 0] - pos_j[None, :, 0]   # [N, C]
+        dy = pos[:, None, 1] - pos_j[None, :, 1]
+        dz = pos[:, None, 2] - pos_j[None, :, 2]
+        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        touching = (alive[:, None] & alive_j[None, :]
+                    & (dist <= radius[:, None] + rad_j[None, :])
+                    & (dist > 0.0)
+                    & (ids[:, None] < col_ids[None, :]))
+        parent = jnp.min(jnp.where(touching, ids[:, None], n), axis=0)
+        return jnp.minimum(parent, col_ids)
+
+    parent = lax.map(col_block, jnp.arange(0, n, chunk)).reshape(n)
+    n_rounds = max(1, int(n - 1).bit_length())
+    root = parent
+    for _ in range(n_rounds):
+        root = root[root]
+    return root
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def merge_groups(pos, vel, mass, radius, alive, *, chunk=None):
     """Merge every overlap chain into its lowest-index member.
 
     Conserves mass and momentum; the merged position is the mass-weighted
@@ -167,10 +204,16 @@ def merge_groups(pos, vel, mass, radius, alive):
     non-coincident) so the fused contact detection never re-triggers on
     them.
 
-    Returns (pos, vel, mass, radius, alive) updated.
+    Returns (pos, vel, mass, radius, alive) updated. ``chunk`` switches the
+    contact-chain root finding to the column-blocked path (required above
+    the dense [N, N] memory ceiling, ~8k bodies).
     """
     n = pos.shape[0]
-    root = collision_roots(pos, radius, alive)
+    if chunk:
+        root = collision_roots_chunked(pos, radius, alive,
+                                       chunk=min(int(chunk), n))
+    else:
+        root = collision_roots(pos, radius, alive)
     is_root = root == jnp.arange(n)
 
     m_seg = jax.ops.segment_sum(mass, root, num_segments=n)

@@ -13,8 +13,9 @@ by ``shard_map`` over a ``Mesh`` so the permute rides ICI.
 
 Softening must be > 0 in sharded mode (the mask-free self-pair
 cancellation; see ``ops.pallas_forces``). Cross-shard bounce collisions
-ride the same ring (``ring_bounce_fn``); merge needs global contact chains
-and stays single-host.
+ride the same ring (``ring_bounce_fn``); cross-shard merge gates an
+all_gather + exact global merge on a ring contact count
+(``ring_contacts_fn``), so contact-free steps never gather.
 """
 from __future__ import annotations
 
@@ -145,6 +146,41 @@ def ring_bounce_fn(cfg: SimConfig, n_shards: int):
     return fn
 
 
+def ring_contacts_fn(cfg: SimConfig, n_shards: int):
+    """Global directed touching-pair count over the sharded system: each
+    ring round counts local-vs-visiting contacts with the sqrt-free
+    geometric test (global ids travel with the visiting block so self-pairs
+    are excluded exactly); one psum replicates the total. Used to
+    lax.cond-gate the merge gather — contact-free steps (the overwhelming
+    majority) pay only this cheap sweep."""
+    from ..ops.collisions import _contacts_block
+
+    axis = cfg.shard_axis
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def fn(pos, radius, alive):
+        block = pos.shape[0]
+        ids = (lax.axis_index(axis) * block
+               + jnp.arange(block)).astype(jnp.int32)
+
+        def round_k(k, carry):
+            cnt, visit = carry
+            pos_j, rad_j, alive_j, ids_j = visit
+            cnt = cnt + _contacts_block(pos, radius, alive, ids,
+                                        pos_j, rad_j, alive_j, ids_j)
+            visit = tuple(lax.ppermute(x, axis, perm=fwd) for x in visit)
+            return cnt, visit
+
+        # the initial count derives from a shard-varying value so the
+        # carry's varying-manual-axes match the loop body's output
+        cnt0 = jnp.sum(ids, dtype=jnp.int32) * 0
+        cnt, _ = lax.fori_loop(
+            0, n_shards, round_k, (cnt0, (pos, radius, alive, ids)))
+        return lax.psum(cnt, axis)
+
+    return fn
+
+
 def ring_force_fn(cfg: SimConfig, n_shards: int) -> ForceFn:
     """ForceFn for use *inside* shard_map: per-device shards in, per-device
     acc shard + replicated total potential out.
@@ -246,10 +282,6 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
     """
     axis = axis or cfg.shard_axis or "body"
     cfg = cfg.replace(shard_axis=axis, force_impl="ring")
-    if cfg.collisions == "merge":
-        raise NotImplementedError(
-            "cross-shard merge needs global contact chains; use 'bounce' or 'none'"
-        )
     n_shards = mesh.shape[axis]
     n_bodies = state_example.n_bodies
     if n_bodies % n_shards != 0:
@@ -271,6 +303,43 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
             pos, pos_lo = _accumulate(state.pos, state.pos_lo, dpos)
             vel, vel_lo = _accumulate(state.vel, state.vel_lo, dvel)
             return state.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)
+    elif cfg.collisions == "merge":
+        # cross-shard merge: contact chains are global, so when (and only
+        # when) the ring contact count is nonzero, all_gather the body
+        # arrays over ICI (a few MB at 65k), run the exact global merge,
+        # and slice the local shard back out. Contact-free steps pay one
+        # cheap detection ring and no gather.
+        from ..ops import collisions as _coll
+
+        contacts = ring_contacts_fn(cfg, n_shards)
+        merge_chunk = 1024 if n_bodies > 4096 else None
+
+        def local_step(state: NBodyState) -> NBodyState:
+            state = kdk(state)
+            cnt = contacts(state.pos, state.radius, state.alive)
+
+            def do_merge(s: NBodyState) -> NBodyState:
+                def g(x):
+                    return lax.all_gather(x, axis, tiled=True)
+
+                p, v, m, r, a = _coll.merge_groups(
+                    g(s.pos_full()), g(s.vel_full()), g(s.mass),
+                    g(s.radius), g(s.alive), chunk=merge_chunk)
+                block = s.pos.shape[0]
+                off = lax.axis_index(axis) * block
+
+                def sl(x):
+                    return lax.dynamic_slice_in_dim(x, off, block, axis=0)
+
+                kw = dict(pos=sl(p), vel=sl(v), mass=sl(m), radius=sl(r),
+                          alive=sl(a))
+                if s.pos_lo is not None:
+                    # like the unsharded merge: compensation terms reset
+                    kw["pos_lo"] = jnp.zeros_like(s.pos_lo)
+                    kw["vel_lo"] = jnp.zeros_like(s.vel_lo)
+                return s.replace(**kw)
+
+            return lax.cond(cnt > 0, do_merge, lambda s: s, state)
     else:
         local_step = kdk
 
@@ -294,7 +363,10 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
     """
     cfg = cfg.replace(shard_axis=body_axis, force_impl="ring")
     if cfg.collisions == "merge":
-        raise NotImplementedError("cross-shard merge is not supported")
+        raise NotImplementedError(
+            "merge under the vmapped ensemble turns the contact-gated "
+            "gather into an every-step select; use make_sharded_step per "
+            "member, or 'bounce'/'none' here")
     n_body_shards = mesh.shape[body_axis]
     n_bodies = state_example.pos.shape[-2]
     if n_bodies % n_body_shards != 0:

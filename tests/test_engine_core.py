@@ -450,3 +450,50 @@ def test_hermite_adaptive_dt_close_encounter():
     assert times["adaptive"] < times["fixed"]
     # ...and conserved energy far better
     assert drifts["adaptive"] < drifts["fixed"] / 100.0
+
+
+def test_collision_roots_chunked_matches_dense(rng):
+    n = 256
+    pos = (rng.normal(size=(n, 3)) * 0.4).astype(np.float32)
+    radius = np.full(n, 0.1, np.float32)
+    alive = rng.uniform(size=n) > 0.1
+    r_dense = np.asarray(coll.collision_roots(pos, radius, alive))
+    for chunk in (32, 64, 100, 256):
+        r_chunk = np.asarray(coll.collision_roots_chunked(
+            pos, radius, alive, chunk=chunk))
+        np.testing.assert_array_equal(r_chunk, r_dense)
+
+
+def test_merge_groups_chunked_matches_dense(rng):
+    n = 128
+    pos = (rng.normal(size=(n, 3)) * 0.4).astype(np.float32)
+    vel = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    radius = np.full(n, 0.1, np.float32)
+    alive = np.ones(n, bool)
+    outs_d = coll.merge_groups(pos, vel, mass, radius, alive)
+    outs_c = coll.merge_groups(pos, vel, mass, radius, alive, chunk=32)
+    for a, b in zip(outs_c, outs_d):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_merge_in_rollout_above_dense_ceiling(rng):
+    """merge mode above _DENSE_BOUNCE_MAX_N routes chunked root finding."""
+    import orbital_tpu as ot
+    from orbital_tpu.engine.state import make_state
+
+    n = 8192
+    pos = rng.normal(size=(n, 3)) * 50.0
+    vel = rng.normal(size=(n, 3)) * 0.01
+    mass = np.full(n, 1.0 / n)
+    radius = np.full(n, 1e-4)
+    # plant one definitely-overlapping pair
+    pos[1] = pos[0] + 1e-5
+    st = make_state(pos, vel, mass, radius, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1e-6, eps2=1e-4, collisions="merge",
+                       force_impl="chunked", chunk=1024)
+    st = ot.init_forces(st, cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 1)
+    alive = np.asarray(fin.alive)
+    assert not alive[1] and alive[0]
+    assert float(np.asarray(fin.mass)[0]) == pytest.approx(2.0 / n, rel=1e-5)

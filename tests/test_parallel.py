@@ -66,11 +66,48 @@ def test_sharded_step_matches_unsharded(cluster_state):
     assert int(out.step) == 2
 
 
-def test_sharded_rejects_merge(cluster_state):
+def test_sharded_merge_matches_unsharded(rng):
+    """Cross-shard merge: contact-gated all_gather + exact global merge
+    must reproduce the unsharded merge step (including the rare-event
+    skip path when nothing touches)."""
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import resolve_force_fn
+
+    n = 64
+    pos = rng.normal(size=(n, 3)) * 5.0
+    vel = rng.normal(size=(n, 3)) * 0.01
+    mass = rng.uniform(0.5, 1.5, n) / n
+    radius = np.full(n, 1e-3)
+    # plant overlapping pairs that cross shard boundaries (8 bodies/shard)
+    pos[9] = pos[0] + 5e-4   # shards 1 and 0
+    pos[63] = pos[17] - 5e-4  # shards 7 and 2
+    st = make_state(pos, vel, mass, radius, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1e-4, eps2=1e-4, collisions="merge")
+    st = ot.init_forces(st, cfg.replace(force_impl="dense"))
+
+    ref_step = make_step_fn(cfg.replace(force_impl="dense"),
+                            resolve_force_fn(cfg.replace(force_impl="dense"), n))
+    ref = ref_step(st)
+    assert not np.asarray(ref.alive).all()  # merges actually happened
+
     mesh = make_mesh()
-    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, collisions="merge")
-    with pytest.raises(NotImplementedError):
-        make_sharded_step(cfg, mesh, cluster_state)
+    step = make_sharded_step(cfg, mesh, st)
+    out = step(shard_state(mesh, st))
+    np.testing.assert_array_equal(np.asarray(out.alive), np.asarray(ref.alive))
+    np.testing.assert_allclose(np.asarray(out.mass), np.asarray(ref.mass),
+                               rtol=2e-6)
+    alive = np.asarray(ref.alive)
+    np.testing.assert_allclose(np.asarray(out.pos)[alive],
+                               np.asarray(ref.pos)[alive], rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.vel)[alive],
+                               np.asarray(ref.vel)[alive], rtol=2e-5, atol=1e-6)
+
+    # a second step with no remaining contacts exercises the skip path
+    out2 = step(out)
+    ref2 = ref_step(ref)
+    np.testing.assert_array_equal(np.asarray(out2.alive), np.asarray(ref2.alive))
+    np.testing.assert_allclose(np.asarray(out2.pos)[alive],
+                               np.asarray(ref2.pos)[alive], rtol=2e-5, atol=1e-6)
 
 
 def test_sharded_bounce_matches_unsharded(rng):
