@@ -154,6 +154,30 @@ def bench_hermite(n: int, iters: int = 2) -> float:
     return n / sec
 
 
+def bench_pm(n: int, grid: int = 128, iters: int = 3) -> float:
+    """Particle-mesh KDK step rate beyond the exact-kernel ceiling
+    (capability extension; collisionless accuracy contract, ops/pm.py)."""
+    import jax.numpy as jnp
+
+    import orbital_tpu as ot
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import resolve_force_fn
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.utils.timing import bench_chained
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(n, 3))
+    vel = 0.3 * rng.normal(size=(n, 3))
+    mass = np.full(n, 1.0 / n)
+    state = make_state(pos, vel, mass, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=0.01, force_impl="pm",
+                       pm_grid=grid, track_potential=False)
+    state = ot.init_forces(state, cfg)
+    step = make_step_fn(cfg, resolve_force_fn(cfg, n))
+    sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
+    return n / sec
+
+
 def bench_ensemble(n_ens: int = 1024) -> float:
     """Config 5: vmapped perturbed solar systems; ensemble body-steps/s."""
     import jax
@@ -242,6 +266,10 @@ def main() -> None:
         extras["hermite_body_steps_per_s_65536"] = round(bench_hermite(65536), 1)
     except Exception as e:  # noqa: BLE001
         extras["bench_hermite_error"] = str(e)[:200]
+    try:
+        extras["pm_body_steps_per_s_1048576_grid128"] = round(bench_pm(1 << 20), 1)
+    except Exception as e:  # noqa: BLE001
+        extras["bench_pm_error"] = str(e)[:200]
 
     result = {
         "metric": "body-steps/s/chip @ N=65536 (KDK leapfrog, softened O(N^2) Pallas gravity, ds32)",

@@ -95,6 +95,13 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
             pos, mass, alive, G=cfg.G, eps2=cfg.eps2,
             with_potential=cfg.track_potential
         )
+    if impl == "pm":
+        from ..ops.pm import pm_acc_potential
+
+        return lambda pos, mass, alive: pm_acc_potential(
+            pos, mass, alive, G_grav=cfg.G, eps2=cfg.eps2,
+            grid=cfg.pm_grid, with_potential=cfg.track_potential
+        )
     if impl == "ring":
         # the ring force needs the mesh's shard count and must run inside
         # shard_map; it cannot be resolved from a config alone

@@ -1,0 +1,147 @@
+"""Particle-mesh (PM) gravity: FFT Poisson solve for N >> 10^5.
+
+The exact O(N^2) kernels top out around N ~ 1.3e5 per chip (DESIGN.md);
+this solver trades small-scale accuracy for O(N + G^3 log G) cost, the
+standard Hockney–Eastwood open-boundary scheme recast in XLA primitives
+(FFTs run on the TPU tensor cores; deposits/gathers are segment-sums):
+
+  1. cloud-in-cell (CIC) deposit of particle masses onto a G^3 grid over
+     the live bodies' bounding cube;
+  2. potential by convolution with the softened Green's function
+     K(r) = 1/sqrt(|r|^2 + eps^2): zero-pad to (2G)^3 so the circular
+     FFT convolution equals the open-boundary linear one (no periodic
+     images), phi = -G_grav * IFFT(FFT(K) . FFT(rho));
+  3. acc = -grad(phi) by centered differences (the padded solution is
+     exact one cell beyond the image region, so edges need no one-sided
+     stencils), CIC-gathered back to the particles.
+
+Accuracy contract (documented, NOT the exact-kernel contract): pair
+forces are accurate to ~(h/r)^2 beyond a few cell spacings h and smoothed
+below ~h, so the *effective* softening is max(eps, ~h). Use it when the
+physics is collisionless (clusters, disks, cosmology-style runs) — for
+collisional dynamics at small N stay on the exact kernels. The potential
+diagnostic subtracts the leading CIC self-energy G m^2/eps and is
+approximate at O(h/eps).
+
+This is a capability extension beyond the reference (which is exact
+O(N^2) only, core/physics.py:125-159); it exists to push past the exact
+path's single-chip ceiling (ROADMAP: N >> 1.3e5).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["pm_acc_potential"]
+
+
+def _cic_weights(uc):
+    """Trilinear (CIC) base cells and weights. uc: [N, 3] cell-center
+    coords. Returns (i0 [N,3] int32, fr [N,3] in [0,1])."""
+    i0 = jnp.floor(uc).astype(jnp.int32)
+    fr = uc - i0
+    return i0, fr
+
+
+@partial(jax.jit, static_argnames=("G_grav", "eps2", "grid", "with_potential"))
+def pm_acc_potential(
+    pos: jax.Array,
+    mass: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    G_grav: float,
+    eps2: float,
+    grid: int = 64,
+    with_potential: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """PM accelerations (and approximate potential) for all bodies.
+
+    Same call contract as the exact force kernels: (acc [N,3], U scalar),
+    dead bodies inert. ``grid`` is the mesh resolution per axis (the FFT
+    runs on the zero-padded (2*grid)^3 cube). Requires eps2 > 0.
+    """
+    if eps2 <= 0.0:
+        raise ValueError("the PM solver requires eps2 > 0")
+    n = pos.shape[0]
+    g = int(grid)
+    f32 = jnp.float32
+
+    pos32 = pos.astype(f32)
+    alive_f = (jnp.ones((n,), f32) if alive is None
+               else alive.astype(f32))
+    m_eff = mass.astype(f32) * alive_f
+
+    # bounding cube of the LIVE bodies (dead bodies park far away and must
+    # not blow up the box)
+    big = jnp.asarray(3.4e38, f32)
+    lo = jnp.min(jnp.where(alive_f[:, None] > 0, pos32, big), axis=0)
+    hi = jnp.max(jnp.where(alive_f[:, None] > 0, pos32, -big), axis=0)
+    center = 0.5 * (lo + hi)
+    half = jnp.maximum(jnp.max(0.5 * (hi - lo)), 1e-30) * 1.02
+    h = 2.0 * half / g                       # cell size
+    origin = center - half
+
+    # CIC deposit: cell centers at (i + 0.5) h
+    uc = (pos32 - origin) / h - 0.5
+    uc = jnp.clip(uc, 0.0, g - 1.001)        # also tames far-parked dead
+    i0, fr = _cic_weights(uc)
+    i1 = jnp.minimum(i0 + 1, g - 1)
+
+    wx = jnp.stack([1.0 - fr[:, 0], fr[:, 0]], 1)   # [N, 2]
+    wy = jnp.stack([1.0 - fr[:, 1], fr[:, 1]], 1)
+    wz = jnp.stack([1.0 - fr[:, 2], fr[:, 2]], 1)
+    ix = jnp.stack([i0[:, 0], i1[:, 0]], 1)
+    iy = jnp.stack([i0[:, 1], i1[:, 1]], 1)
+    iz = jnp.stack([i0[:, 2], i1[:, 2]], 1)
+
+    # flattened target cells for the 8 corners: [N, 2, 2, 2]
+    flat = ((ix[:, :, None, None] * g + iy[:, None, :, None]) * g
+            + iz[:, None, None, :])
+    w8 = (wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+          * m_eff[:, None, None, None])
+    rho = jax.ops.segment_sum(w8.reshape(-1), flat.reshape(-1),
+                              num_segments=g * g * g).reshape(g, g, g)
+
+    # open-boundary Green's function on the zero-padded cube: coordinate
+    # k in [0, 2g) maps to the mirrored displacement ((k+g) mod 2g) - g
+    p = 2 * g
+    k = jnp.arange(p)
+    d = (jnp.where(k > g, k - p, k)).astype(f32) * h   # [p] displacements
+    r2 = (d[:, None, None] ** 2 + d[None, :, None] ** 2
+          + d[None, None, :] ** 2)
+    kern = jax.lax.rsqrt(r2 + f32(eps2))
+
+    rho_p = jnp.zeros((p, p, p), f32).at[:g, :g, :g].set(rho)
+    phi = -G_grav * jnp.fft.irfftn(
+        jnp.fft.rfftn(rho_p) * jnp.fft.rfftn(kern), s=(p, p, p))
+
+    # centered-difference field; the padded phi is exact one cell beyond
+    # the image region, so rolls never alias wrong data into [0, g)
+    inv2h = 1.0 / (2.0 * h)
+    def grad_axis(a):
+        return ((jnp.roll(phi, -1, a) - jnp.roll(phi, 1, a))
+                * -inv2h)[:g, :g, :g]
+
+    fx, fy, fz = grad_axis(0), grad_axis(1), grad_axis(2)
+
+    def gather(fld):
+        vals = fld.reshape(-1)[flat]          # [N, 2, 2, 2]
+        w = (wx[:, :, None, None] * wy[:, None, :, None]
+             * wz[:, None, None, :])
+        return jnp.sum(vals * w, axis=(1, 2, 3))
+
+    acc = jnp.stack([gather(fx), gather(fy), gather(fz)], axis=-1)
+    acc = acc * alive_f[:, None]
+
+    if with_potential:
+        phi_at = gather(phi[:g, :g, :g].reshape(g, g, g))
+        # subtract the leading CIC self-interaction (each particle sees its
+        # own smoothed cloud): -G m K(0) = -G m / eps
+        self_phi = -G_grav * m_eff * (1.0 / float(eps2) ** 0.5)
+        U = 0.5 * jnp.sum(m_eff * (phi_at - self_phi))
+    else:
+        U = jnp.zeros((), f32)
+    return acc.astype(pos.dtype), U.astype(pos.dtype)

@@ -36,7 +36,10 @@ class SimConfig:
             "pallas_sym" (half-pair symmetric kernel, no PE) |
             "mxu" (XLA Gram-matmul study) | "pallas_mxu" (MXU-tiled
             Pallas kernel: matmul distances + matmul accumulation;
-            fastest at large N, Gram-identity accuracy caveats) | "ring".
+            fastest at large N, Gram-identity accuracy caveats) |
+            "pm" (particle-mesh FFT Poisson solver, O(N + G^3 log G) for
+            N >> 1e5; collisionless accuracy contract, see ops/pm.py) |
+            "ring".
         chunk: row-block size for the chunked/pallas force paths.
         shard_axis: mesh axis name for the ring force path (None = unsharded).
         track_potential: compute the softened potential every force eval
@@ -50,6 +53,7 @@ class SimConfig:
         ring_block_impl: per-round block-force implementation inside the
             shard_map ppermute ring — "auto" (Pallas on TPU when the local
             block tiles, dense jnp otherwise), "pallas", or "dense".
+        pm_grid: mesh resolution per axis for force_impl="pm".
     """
 
     dt: float
@@ -65,13 +69,14 @@ class SimConfig:
     adaptive_eta: Optional[float] = None
     dt_min: float = 0.0
     ring_block_impl: str = "auto"
+    pm_grid: int = 64
 
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
         if self.integrator not in ("kdk", "euler", "rk4", "hermite"):
             raise ValueError(f"bad integrator: {self.integrator!r}")
-        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "pallas_mxu", "ring"):
+        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "pallas_mxu", "pm", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
         if self.ring_block_impl not in ("auto", "pallas", "dense"):
             raise ValueError(f"bad ring_block_impl: {self.ring_block_impl!r}")
