@@ -119,6 +119,8 @@ def bench_config(n: int, drift_steps: int, iters: int):
 
     sec_per_step = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
     rate = n / sec_per_step
+    if drift_steps <= 0:
+        return rate, sec_per_step, None
 
     E0 = energy_hybrid(state, eps2)
     # chunked: single XLA programs much past ~60 s can trip the TPU worker
@@ -270,6 +272,13 @@ def main() -> None:
         extras["pm_body_steps_per_s_1048576_grid128"] = round(bench_pm(1 << 20), 1)
     except Exception as e:  # noqa: BLE001
         extras["bench_pm_error"] = str(e)[:200]
+    try:
+        # exact-kernel ceiling datapoint (2x the headline N)
+        rate_131k, sps_131k, _ = bench_config(131072, drift_steps=0, iters=2)
+        extras["body_steps_per_s_131072"] = round(rate_131k, 1)
+        extras["ms_per_step_131072"] = round(sps_131k * 1e3, 2)
+    except Exception as e:  # noqa: BLE001
+        extras["bench_131072_error"] = str(e)[:200]
 
     result = {
         "metric": "body-steps/s/chip @ N=65536 (KDK leapfrog, softened O(N^2) Pallas gravity, ds32)",

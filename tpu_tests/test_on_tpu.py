@@ -81,3 +81,53 @@ def test_ds32_drift_on_tpu(cluster):
     fin, _ = ot.rollout_jit(st, cfg, 2000)
     E1 = energy_hybrid(fin, eps2)
     assert abs((E1 - E0) / E0) < 1e-6
+
+
+def test_fused_detect_on_tpu(cluster):
+    from orbital_tpu.ops.collisions import count_contacts_dense
+    from orbital_tpu.ops.pallas_forces import pairwise_acc_detect_pallas
+
+    pos, _, mass, radius = cluster
+    alive = np.ones(len(mass), bool)
+    a_ref, U_ref = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-4)
+    c_ref = int(count_contacts_dense(pos, radius, alive))
+    a, U, c = pairwise_acc_detect_pallas(pos, mass, radius, alive,
+                                         G=1.0, eps2=1e-4)
+    assert int(c) == c_ref
+    assert _relerr(a, a_ref) < 1e-5
+
+
+def test_pallas_jerk_on_tpu(cluster):
+    from orbital_tpu.ops.forces import accel_jerk_dense
+    from orbital_tpu.ops.pallas_jerk import accel_jerk_pallas
+
+    pos, vel, mass, _ = cluster
+    a_ref, j_ref, _ = accel_jerk_dense(pos, vel, mass, G=1.0, eps2=1e-4)
+    a, j, _ = accel_jerk_pallas(pos, vel, mass, G=1.0, eps2=1e-4)
+    assert _relerr(a, a_ref) < 1e-5
+    assert _relerr(j, j_ref) < 1e-5
+
+
+def test_pallas_mxu_on_tpu(cluster):
+    """Gram-formulation kernel at its documented (reduced) accuracy."""
+    from orbital_tpu.ops.pallas_forces_mxu import pairwise_acc_pallas_mxu
+
+    pos, _, mass, _ = cluster
+    a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-4)
+    a, _ = pairwise_acc_pallas_mxu(pos, mass, G=1.0, eps2=1e-4)
+    assert _relerr(a, a_ref) < 5e-3
+
+
+def test_pm_on_tpu():
+    from orbital_tpu.ops.pm import pm_acc_potential
+
+    rng = np.random.default_rng(1)
+    n = 2048
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = (rng.uniform(0.5, 1.5, n) / n).astype(np.float32)
+    a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=0.09)
+    a, _ = pm_acc_potential(pos, mass, G_grav=1.0, eps2=0.09, grid=64)
+    a, a_ref = np.asarray(a), np.asarray(a_ref)
+    rms = (np.sqrt(np.mean(np.sum((a - a_ref) ** 2, -1)))
+           / np.sqrt(np.mean(np.sum(a_ref ** 2, -1))))
+    assert rms < 0.03
