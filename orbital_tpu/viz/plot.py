@@ -70,7 +70,12 @@ def _plot_core(
     if show_barycenter and trajs and trajs[0].shape[0] > 0:
         m = np.asarray(masses, float)
         stack = np.stack(trajs, axis=0)  # [B, T', 3]
-        rcm = np.tensordot(m, stack, axes=(0, 0)) / m.sum()
+        # NaN records mark dead bodies (far-parked; see plot_trajectory) —
+        # weight each record's barycenter over its finite entries only
+        fin = np.isfinite(stack).all(axis=-1)          # [B, T']
+        w = m[:, None] * fin
+        num = np.einsum("bt,btk->tk", w, np.nan_to_num(stack))
+        rcm = num / np.maximum(w.sum(axis=0), 1e-300)[:, None]
         bx, by = rcm[:, ix], rcm[:, iy]
         for ax in axes:
             if barycenter_trail and len(bx) > 1:
@@ -144,6 +149,19 @@ def plot_trajectory(
 
     pos = np.asarray(traj.pos, float) * length_scale  # [R, N, 3]
     n = pos.shape[1]
+    # dead/padding bodies are parked at far positions (see
+    # engine.state.far_positions) — NaN them out per record so trails stop
+    # at the merge and axis limits stay on the live scene
+    if hasattr(traj, "alive") and traj.alive is not None:
+        alive = np.asarray(traj.alive, bool)  # [R, N]
+        pos = np.where(alive[:, :, None], pos, np.nan)
+        keep = alive.any(axis=0)              # drop never-alive padding rows
+        pos = pos[:, keep]
+        n = pos.shape[1]
+        if names is not None:
+            names = [nm for nm, k in zip(names, keep) if k]
+        if masses is not None:
+            masses = np.asarray(masses, float)[keep]
     names = names or [f"body{i}" for i in range(n)]
     masses = np.asarray(masses, float) if masses is not None else np.ones(n)
     trajs = [pos[:, i, :] for i in range(n)]

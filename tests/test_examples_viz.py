@@ -87,3 +87,32 @@ def test_render_video_fallback_or_stitch(tmp_path):
     assert any(f.endswith(".png") for f in frames)
     if info["ffmpeg"]:
         assert info["stitched"] and (tmp_path / "v.mp4").exists()
+
+
+def test_plot_trajectory_masks_dead_bodies(tmp_path, rng):
+    """Far-parked dead bodies (merges/padding) must not blow up the plot:
+    their records NaN out, never-alive padding rows drop entirely."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import orbital_tpu as ot
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.viz.plot import plot_trajectory
+
+    pos = np.array([[-0.5, 0, 0], [0.5, 0, 0], [0, 8.0, 0]])
+    vel = np.array([[0.2, 0, 0], [-0.2, 0, 0], [0, 0, 0]])
+    mass = np.array([2.0, 1.0, 1e-3])
+    radius = np.array([0.2, 0.2, 0.01])
+    st = make_state(pos, vel, mass, radius, precision="f32", pad_to=4)
+    cfg = ot.SimConfig(dt=0.1, G=1e-6, eps2=1e-8, collisions="merge",
+                       force_impl="dense")
+    st = ot.init_forces(st, cfg)
+    fin, traj = ot.rollout_jit(st, cfg, 60, record_every=10)
+    assert not np.asarray(fin.alive)[1]  # merge happened
+
+    out = tmp_path / "merged.png"
+    fig, axes = plot_trajectory(traj, masses=np.asarray(fin.mass),
+                                savepath=str(out), show=False)
+    # axis limits must stay on the live scene, not the 1e8-scale parking
+    xlo, xhi = axes[0].get_xlim()
+    assert abs(xlo) < 100 and abs(xhi) < 100
+    assert out.exists()
