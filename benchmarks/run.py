@@ -138,6 +138,10 @@ def main():
     ap.add_argument("--precision", default="ds32", choices=["f32", "ds32", "f64"])
     ap.add_argument("--integrator", default="kdk",
                     choices=["kdk", "euler", "rk4", "hermite"])
+    ap.add_argument("--force-impl", default="auto",
+                    choices=["auto", "dense", "chunked", "pallas",
+                             "pallas_sym", "mxu", "pallas_mxu", "pm"])
+    ap.add_argument("--pm-grid", type=int, default=64)
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     args = ap.parse_args()
 
@@ -153,7 +157,8 @@ def main():
             state, cfg = cluster_state(args.n, args.precision)
         else:
             state, cfg = scene_state(args.config, args.precision)
-        cfg = cfg.replace(integrator=args.integrator)
+        cfg = cfg.replace(integrator=args.integrator,
+                          force_impl=args.force_impl, pm_grid=args.pm_grid)
         out = measure(state, cfg, args.steps, args.drift_steps, args.iters)
 
     if args.profile:
@@ -161,6 +166,7 @@ def main():
 
     out.update(config=args.config, precision=args.precision,
                integrator=getattr(args, "integrator", "kdk"),
+               force_impl=getattr(args, "force_impl", "auto"),
                backend=jax.default_backend())
     print(json.dumps(out))
 

@@ -57,6 +57,8 @@ def simulate(
     integrator: str = "kdk",
     collisions: str = "none",
     restitution: float = 1.0,
+    force_impl: str = "auto",
+    pm_grid: int = 64,
     unit_profile: UnitProfile = STANDARD,
     rescale: Optional[Rescale] = None,
 ) -> SimResult:
@@ -91,6 +93,8 @@ def simulate(
         integrator=integrator,
         collisions=collisions,
         restitution=restitution,
+        force_impl=force_impl,
+        pm_grid=pm_grid,
     )
     state = make_state(arrays.pos, arrays.vel, arrays.mass, arrays.radius,
                        precision=precision, rescale=rescale)
