@@ -90,19 +90,22 @@ def pm_acc_potential(
     i0, fr = _cic_weights(uc)
     i1 = jnp.minimum(i0 + 1, g - 1)
 
-    wx = jnp.stack([1.0 - fr[:, 0], fr[:, 0]], 1)   # [N, 2]
-    wy = jnp.stack([1.0 - fr[:, 1], fr[:, 1]], 1)
-    wz = jnp.stack([1.0 - fr[:, 2], fr[:, 2]], 1)
-    ix = jnp.stack([i0[:, 0], i1[:, 0]], 1)
-    iy = jnp.stack([i0[:, 1], i1[:, 1]], 1)
-    iz = jnp.stack([i0[:, 2], i1[:, 2]], 1)
+    # 8 CIC corners kept as explicit [8, N] stacks: a [N, 2, 2, 2] layout
+    # gets 64x-padded by TPU (8, 128) tiling and OOMs at multi-million N
+    wxs = (1.0 - fr[:, 0], fr[:, 0])
+    wys = (1.0 - fr[:, 1], fr[:, 1])
+    wzs = (1.0 - fr[:, 2], fr[:, 2])
+    ixs = (i0[:, 0], i1[:, 0])
+    iys = (i0[:, 1], i1[:, 1])
+    izs = (i0[:, 2], i1[:, 2])
+    corners = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    flat8 = jnp.stack(
+        [(ixs[a] * g + iys[b]) * g + izs[c] for a, b, c in corners])  # [8,N]
+    w8 = jnp.stack(
+        [wxs[a] * wys[b] * wzs[c] for a, b, c in corners])            # [8,N]
 
-    # flattened target cells for the 8 corners: [N, 2, 2, 2]
-    flat = ((ix[:, :, None, None] * g + iy[:, None, :, None]) * g
-            + iz[:, None, None, :])
-    w8 = (wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
-          * m_eff[:, None, None, None])
-    rho = jax.ops.segment_sum(w8.reshape(-1), flat.reshape(-1),
+    rho = jax.ops.segment_sum((w8 * m_eff[None]).reshape(-1),
+                              flat8.reshape(-1),
                               num_segments=g * g * g).reshape(g, g, g)
 
     # open-boundary Green's function on the zero-padded cube: coordinate
@@ -125,19 +128,22 @@ def pm_acc_potential(
         return ((jnp.roll(phi, -1, a) - jnp.roll(phi, 1, a))
                 * -inv2h)[:g, :g, :g]
 
-    fx, fy, fz = grad_axis(0), grad_axis(1), grad_axis(2)
+    fields = [grad_axis(0), grad_axis(1), grad_axis(2)]
+    if with_potential:
+        fields.append(phi[:g, :g, :g])
+    # one channel-stacked gather instead of one per field: the random HBM
+    # access dominates PM cost (the FFT is ~2% at 1M bodies), and fetching
+    # all channels per cell index amortizes it. Layout [C, 8, N] keeps the
+    # long axis last — trailing tiny axes get 64x-padded by (8,128) tiling
+    # and OOM at multi-million N.
+    F = jnp.stack([f.reshape(-1) for f in fields], axis=0)   # [C, g^3]
+    vals = F[:, flat8]                                       # [C, 8, N]
+    out = jnp.sum(vals * w8[None], axis=1)                   # [C, N]
 
-    def gather(fld):
-        vals = fld.reshape(-1)[flat]          # [N, 2, 2, 2]
-        w = (wx[:, :, None, None] * wy[:, None, :, None]
-             * wz[:, None, None, :])
-        return jnp.sum(vals * w, axis=(1, 2, 3))
-
-    acc = jnp.stack([gather(fx), gather(fy), gather(fz)], axis=-1)
-    acc = acc * alive_f[:, None]
+    acc = out[0:3].T * alive_f[:, None]
 
     if with_potential:
-        phi_at = gather(phi[:g, :g, :g].reshape(g, g, g))
+        phi_at = out[3]
         # subtract the leading CIC self-interaction (each particle sees its
         # own smoothed cloud): -G m K(0) = -G m / eps
         self_phi = -G_grav * m_eff * (1.0 / float(eps2) ** 0.5)
