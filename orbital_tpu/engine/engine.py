@@ -126,6 +126,7 @@ class SimulationEngine:
         }
         self.time_elapsed = 0.0
         self.step_idx = 0
+        self._hist_phase = 0  # steps since the last history record (run())
 
     def _rebuild_compiled(self, n: int) -> None:
         """(Re)build the compiled force/step functions for a body count.
@@ -214,6 +215,7 @@ class SimulationEngine:
         alive = np.asarray(self.state.alive)
         if self.record_history:
             self._append_history(pos, alive)
+            self._hist_phase = 0  # a record just landed; run() strides from here
         if self.cache and self.cache_every_n and (self.step_idx % self.cache_every_n == 0):
             self._sync_objects()
             self.save_frame()
@@ -225,6 +227,14 @@ class SimulationEngine:
     _HISTORY_FLOAT_BUDGET = 30_000_000
     # recorded floats per compiled rollout window (device ys + one transfer)
     _WINDOW_FLOAT_BUDGET = 2**25
+    # pair-evaluations per compiled program: single XLA programs running
+    # >> 1 min can trip this platform's TPU worker watchdog (DESIGN.md §7),
+    # so cap steps-per-rollout by N (2^27/N = ~2048 steps at N=65536,
+    # ~50 s at the measured rate; small N is unconstrained in practice)
+    _WATCHDOG_PAIR_BUDGET = 2**27
+
+    def _max_steps_per_program(self) -> int:
+        return max(64, self._WATCHDOG_PAIR_BUDGET // max(1, self.state.n_bodies))
 
     def _history_stride(self, steps: int) -> int:
         if not self.record_history:
@@ -234,28 +244,58 @@ class SimulationEngine:
             return max(1, math.ceil(total / self._HISTORY_FLOAT_BUDGET))
         return max(1, int(self.history_every))
 
-    def _advance(self, steps: int, stride: int) -> None:
-        """Advance ``steps`` compiled steps, appending history every
-        ``stride``-th step (0 = no recording), in bounded-memory windows:
-        each window is one rollout whose recorded snapshots are streamed to
-        the host immediately (device + host buffers stay O(window))."""
-        rec_total = steps // stride if stride else 0
+    def _roll_unrecorded(self, steps: int) -> None:
+        cap = self._max_steps_per_program()
+        done = 0
+        while done < steps:
+            n = min(cap, steps - done)
+            self.state, _ = rollout(self.state, self.config, n,
+                                    record_every=0, force_fn=self._force_fn)
+            done += n
+
+    def _roll_recorded(self, steps: int, record_every: int) -> None:
+        """``steps`` must be a multiple of ``record_every``; snapshots are
+        streamed to the host window by window (device + host buffers stay
+        O(window), programs stay under the watchdog cap)."""
         per_window = max(1, self._WINDOW_FLOAT_BUDGET // (6 * self.state.n_bodies))
+        per_window = max(1, min(per_window,
+                                self._max_steps_per_program() // record_every))
+        rec_total = steps // record_every
         done_rec = 0
         while done_rec < rec_total:
             w_rec = min(per_window, rec_total - done_rec)
-            final, traj = rollout(self.state, self.config, w_rec * stride,
-                                  record_every=stride, force_fn=self._force_fn)
+            final, traj = rollout(self.state, self.config,
+                                  w_rec * record_every,
+                                  record_every=record_every,
+                                  force_fn=self._force_fn)
             self.state = final
             pos_all = np.asarray(traj.pos, np.float64) * self.rescale.length
             alive_all = np.asarray(traj.alive)
             for r in range(w_rec):
                 self._append_history(pos_all[r], alive_all[r])
             done_rec += w_rec
-        tail = steps - rec_total * (stride or 0)
+
+    def _advance(self, steps: int, stride: int) -> None:
+        """Advance ``steps`` compiled steps, appending history every
+        ``stride``-th step globally (0 = no recording). The stride phase
+        (``self._hist_phase``: steps accumulated since the last history
+        record) persists across segments and run() calls, so frame-boundary
+        segmentation never shifts or drops records."""
+        done = 0
+        if stride:
+            phase = self._hist_phase % stride
+            pre = (stride - phase) % stride  # steps to the pending record
+            if pre and steps >= pre:
+                self._roll_recorded(pre, pre)  # exactly one record
+                done = pre
+            n_full = (steps - done) // stride
+            if n_full > 0:
+                self._roll_recorded(n_full * stride, stride)
+                done += n_full * stride
+            self._hist_phase = (self._hist_phase + steps) % stride
+        tail = steps - done
         if tail:
-            self.state, _ = rollout(self.state, self.config, tail,
-                                    record_every=0, force_fn=self._force_fn)
+            self._roll_unrecorded(tail)
         self.time_elapsed += self.dt * steps
         self.step_idx += steps
 

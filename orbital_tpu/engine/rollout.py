@@ -120,7 +120,14 @@ def resolve_force_detect_fn(cfg: SimConfig, n: int):
     tiles (~4 extra VPU ops/pair); dense/chunked pay a cheap sqrt-free
     second pass. The stepper uses the count to ``lax.cond``-skip the
     collision resolution sweep — the reference instead pays a second full
-    O(N^2) scan every step (core/physics.py:510-518)."""
+    O(N^2) scan every step (core/physics.py:510-518).
+
+    Returns None for force implementations without a fused-detect variant
+    (pallas_sym / mxu / pallas_mxu / pm / ring) — callers then keep the
+    user's force path and fall back to the unconditional resolution sweep.
+    The Gram (mxu) and PM paths could not gate correctly anyway: their r^2
+    noise floor can sit above contact thresholds (see ops.pallas_forces_mxu
+    docstring)."""
     from ..ops.collisions import count_contacts_chunked, count_contacts_dense
 
     impl = cfg.force_impl
@@ -139,7 +146,7 @@ def resolve_force_detect_fn(cfg: SimConfig, n: int):
             pos, mass, radius, alive, G=cfg.G, eps2=cfg.eps2,
             with_potential=cfg.track_potential)
 
-    if impl in ("dense", "pallas_sym", "mxu"):
+    if impl == "dense":
         def fn(pos, mass, radius, alive):
             acc, U = pairwise_acc_dense(pos, mass, alive, G=cfg.G, eps2=cfg.eps2)
             return acc, U, count_contacts_dense(pos, radius, alive)
@@ -151,7 +158,7 @@ def resolve_force_detect_fn(cfg: SimConfig, n: int):
             return acc, U, count_contacts_chunked(pos, radius, alive,
                                                   chunk=min(cfg.chunk, n))
         return fn
-    raise ValueError(f"no fused-detect force path for force_impl {impl!r}")
+    return None
 
 
 def resolve_accel_jerk_fn(cfg: SimConfig, n: int):
@@ -161,7 +168,12 @@ def resolve_accel_jerk_fn(cfg: SimConfig, n: int):
     from ..ops.forces import accel_jerk_chunked, accel_jerk_dense
 
     impl = cfg.force_impl
-    if impl in ("auto", "pallas", "pallas_sym", "mxu", "ring"):
+    if impl == "pm":
+        raise ValueError(
+            "integrator='hermite' needs exact per-pair jerks, which the "
+            "particle-mesh solver cannot provide; use kdk/euler/rk4 with "
+            "force_impl='pm', or an exact force path for hermite")
+    if impl in ("auto", "pallas", "pallas_sym", "mxu", "pallas_mxu", "ring"):
         if n <= _DENSE_MAX_N:
             impl = "dense"
         elif jax.default_backend() == "tpu" and n % cfg.chunk == 0:
@@ -259,7 +271,9 @@ def rollout(
     aj = (resolve_accel_jerk_fn(cfg, state.n_bodies)
           if cfg.integrator == "hermite" else None)
     fd = None
-    if cfg.collisions != "none" and cfg.integrator == "kdk" and cfg.force_impl != "ring":
+    if cfg.collisions != "none" and cfg.integrator == "kdk":
+        # None for force paths without a fused-detect variant -> the
+        # stepper keeps the user's force path + unconditional sweep
         fd = resolve_force_detect_fn(cfg, state.n_bodies)
     step_fn = make_step_fn(cfg, fn, accel_jerk_fn=aj, force_detect_fn=fd)
 

@@ -101,7 +101,10 @@ def _contacts_block(pos_i, radius_i, alive_i, ids_i, pos, radius, alive, ids):
     dy = pos_i[:, None, 1] - pos[None, :, 1]
     dz = pos_i[:, None, 2] - pos[None, :, 2]
     r2 = dx * dx + dy * dy + dz * dz
-    rsum = radius_i[:, None] + radius[None, :]
+    # slightly inflated threshold: strictly conservative vs the resolution
+    # sweeps' sqrt-based test (a grazing pair may cost a redundant sweep
+    # but can never skip a real one)
+    rsum = (radius_i[:, None] + radius[None, :]) * 1.00001
     touch = ((r2 <= rsum * rsum)
              & (ids_i[:, None] != ids[None, :])
              & alive_i[:, None] & alive[None, :])

@@ -97,7 +97,11 @@ def _nbody_kernel(i_ref, jT_ref, out_ref, *, G: float, eps2: float,
         # ops/pair.
         ri = i_ref[:, 4:5]
         rj = jT_ref[4:5, :]
-        rsum = ri + rj
+        # the 1e-5 inflation makes the gate strictly conservative against
+        # the resolution sweeps' formulations (sqrt(r2) <= rsum in state
+        # dtype, or f32 r2 <= rsum^2): a boundary-grazing pair can only
+        # cause a redundant sweep, never a skipped one
+        rsum = (ri + rj) * 1.00001
         touch = r2 <= rsum * rsum
         out_ref[:, 5] += jnp.sum(touch.astype(jnp.float32), axis=1)
 

@@ -80,7 +80,10 @@ def pm_acc_potential(
     lo = jnp.min(jnp.where(alive_f[:, None] > 0, pos32, big), axis=0)
     hi = jnp.max(jnp.where(alive_f[:, None] > 0, pos32, -big), axis=0)
     center = 0.5 * (lo + hi)
-    half = jnp.maximum(jnp.max(0.5 * (hi - lo)), 1e-30) * 1.02
+    # margin: 2% plus a full cell, so the uc clip below can never touch a
+    # live particle even at small grids (2% alone is < half a cell for
+    # g <~ 25)
+    half = jnp.maximum(jnp.max(0.5 * (hi - lo)), 1e-30) * (1.02 + 2.0 / g)
     h = 2.0 * half / g                       # cell size
     origin = center - half
 

@@ -370,3 +370,67 @@ def test_history_records_per_step_alive(tmp_path):
     n_small = len(eng.history[uuid_small])
     n_far = len(eng.history[eng.objects[-1].uuid])
     assert 1 < n_small < n_far == 201
+
+
+def test_history_stride_phase_survives_frame_segmentation(tmp_path):
+    """Frame-boundary segmentation must not shift or drop strided history
+    records (review finding: per-segment phase reset could record nothing
+    when cache_every_n < stride)."""
+    def fresh(cache, cache_every_n=5):
+        a = Object(5.972e24, 6.371e6, velocity=np.zeros(3),
+                   coordinates=Coordinates(0, 0, 0), name="earth")
+        b = Object(7.348e22, 1.737e6, velocity=np.zeros(3),
+                   coordinates=Coordinates(3.844e8, 0, 0), name="moon")
+        set_circular_orbit(a, b)
+        return SimulationEngine(
+            ObjectCollection([a, b]), dt=3600.0, softening=1e3,
+            cache=cache, cache_fp=str(tmp_path / "p.jsonl"),
+            cache_every_n=cache_every_n, max_hist=None, history_every=7)
+
+    e_framed = fresh(cache=True)     # segments of 5 < stride of 7
+    e_plain = fresh(cache=False)
+    e_framed.run(50)
+    e_plain.run(50)
+    h_f = np.asarray(e_framed.history[e_framed.objects[1].uuid])
+    h_p = np.asarray(e_plain.history[e_plain.objects[1].uuid])
+    assert h_f.shape == h_p.shape == (8, 3)  # seed + records at 7,14,...,49
+    np.testing.assert_allclose(h_f, h_p, rtol=1e-14)
+
+
+def test_nonfused_force_impls_keep_collisions(tmp_path):
+    """force_impl without a fused-detect variant must stay on the chosen
+    kernel with the unconditional sweep — not silently swap to dense, not
+    raise (review findings on resolve_force_detect_fn)."""
+    from orbital_tpu.engine.rollout import resolve_force_detect_fn
+    from orbital_tpu.utils.config import SimConfig as SC
+
+    for impl in ("pallas_sym", "mxu", "pallas_mxu", "pm", "ring"):
+        cfg = SC(dt=1e-3, G=1.0, eps2=1e-4, collisions="bounce",
+                 force_impl=impl)
+        assert resolve_force_detect_fn(cfg, 256) is None
+
+    # end-to-end: a bouncing pair under pm forces (unfused sweep path)
+    import orbital_tpu as ot
+    from orbital_tpu.engine.state import make_state
+
+    pos = np.array([[-1.0, 0, 0], [1.0, 0, 0], [0, 5.0, 0], [0, -5.0, 0]])
+    vel = np.array([[0.5, 0, 0], [-0.5, 0, 0], [0, 0, 0], [0, 0, 0]])
+    mass = np.array([1.0, 1.0, 1e-3, 1e-3])
+    radius = np.array([0.3, 0.3, 0.01, 0.01])
+    cfg = ot.SimConfig(dt=0.05, G=1e-4, eps2=0.25, collisions="bounce",
+                       restitution=0.8, force_impl="pm", pm_grid=32)
+    st = ot.init_forces(make_state(pos, vel, mass, radius, precision="f32"),
+                        cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 80)
+    assert np.isfinite(np.asarray(fin.pos)).all()
+    assert float(np.asarray(fin.vel)[0, 0]) < 0  # the pair bounced
+
+
+def test_hermite_rejects_pm():
+    import orbital_tpu as ot
+    from orbital_tpu.engine.rollout import resolve_accel_jerk_fn
+
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, integrator="hermite",
+                       force_impl="pm")
+    with pytest.raises(ValueError, match="hermite"):
+        resolve_accel_jerk_fn(cfg, 256)
