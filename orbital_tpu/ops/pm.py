@@ -46,7 +46,9 @@ def _cic_weights(uc):
     return i0, fr
 
 
-@partial(jax.jit, static_argnames=("G_grav", "eps2", "grid", "with_potential"))
+@partial(jax.jit,
+         static_argnames=("G_grav", "eps2", "grid", "with_potential",
+                          "axis_name"))
 def pm_acc_potential(
     pos: jax.Array,
     mass: jax.Array,
@@ -56,12 +58,20 @@ def pm_acc_potential(
     eps2: float,
     grid: int = 64,
     with_potential: bool = True,
+    axis_name: Optional[str] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """PM accelerations (and approximate potential) for all bodies.
 
     Same call contract as the exact force kernels: (acc [N,3], U scalar),
     dead bodies inert. ``grid`` is the mesh resolution per axis (the FFT
     runs on the zero-padded (2*grid)^3 cube). Requires eps2 > 0.
+
+    Multi-chip: with ``axis_name`` set (inside shard_map over body-sharded
+    particles), the bounding box is agreed via pmin/pmax, each shard
+    deposits its particles locally and ONE psum of the G^3 mass grid (a
+    few MB over ICI) makes the density global; the FFT solve is replicated
+    per device (cheap — the grid is tiny next to the particles) and the
+    gather stays local. N then scales with the mesh.
     """
     if eps2 <= 0.0:
         raise ValueError("the PM solver requires eps2 > 0")
@@ -79,6 +89,9 @@ def pm_acc_potential(
     big = jnp.asarray(3.4e38, f32)
     lo = jnp.min(jnp.where(alive_f[:, None] > 0, pos32, big), axis=0)
     hi = jnp.max(jnp.where(alive_f[:, None] > 0, pos32, -big), axis=0)
+    if axis_name is not None:
+        lo = jax.lax.pmin(lo, axis_name)
+        hi = jax.lax.pmax(hi, axis_name)
     center = 0.5 * (lo + hi)
     # margin: 2% plus a full cell, so the uc clip below can never touch a
     # live particle even at small grids (2% alone is < half a cell for
@@ -110,6 +123,8 @@ def pm_acc_potential(
     rho = jax.ops.segment_sum((w8 * m_eff[None]).reshape(-1),
                               flat8.reshape(-1),
                               num_segments=g * g * g).reshape(g, g, g)
+    if axis_name is not None:
+        rho = jax.lax.psum(rho, axis_name)  # global density, one collective
 
     # open-boundary Green's function on the zero-padded cube: coordinate
     # k in [0, 2g) maps to the mirrored displacement ((k+g) mod 2g) - g
@@ -151,6 +166,8 @@ def pm_acc_potential(
         # own smoothed cloud): -G m K(0) = -G m / eps
         self_phi = -G_grav * m_eff * (1.0 / float(eps2) ** 0.5)
         U = 0.5 * jnp.sum(m_eff * (phi_at - self_phi))
+        if axis_name is not None:
+            U = jax.lax.psum(U, axis_name)
     else:
         U = jnp.zeros((), f32)
     return acc.astype(pos.dtype), U.astype(pos.dtype)

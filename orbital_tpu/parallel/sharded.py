@@ -281,14 +281,27 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
     the only other collective is one psum for the potential.
     """
     axis = axis or cfg.shard_axis or "body"
-    cfg = cfg.replace(shard_axis=axis, force_impl="ring")
+    use_pm = cfg.force_impl == "pm"
+    cfg = cfg.replace(shard_axis=axis,
+                      force_impl="pm" if use_pm else "ring")
     n_shards = mesh.shape[axis]
     n_bodies = state_example.n_bodies
     if n_bodies % n_shards != 0:
         raise ValueError(f"N={n_bodies} must divide across {n_shards} shards "
                          f"(pad via make_state(pad_to=...))")
 
-    force = ring_force_fn(cfg, n_shards)
+    if use_pm:
+        # particle-mesh across the mesh: local deposit + one psum of the
+        # grid; the O(N^2) ring never runs (see ops.pm docstring)
+        from ..ops.pm import pm_acc_potential
+
+        def force(pos, mass, alive):
+            return pm_acc_potential(pos, mass, alive, G_grav=cfg.G,
+                                    eps2=cfg.eps2, grid=cfg.pm_grid,
+                                    with_potential=cfg.track_potential,
+                                    axis_name=axis)
+    else:
+        force = ring_force_fn(cfg, n_shards)
     kdk = make_step_fn(cfg.replace(collisions="none"), force)
 
     if cfg.collisions == "bounce":

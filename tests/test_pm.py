@@ -79,3 +79,34 @@ def test_pm_requires_softening(smooth_cluster):
     pos, mass, _ = smooth_cluster
     with pytest.raises(ValueError, match="eps2"):
         pm_acc_potential(pos, mass, G_grav=1.0, eps2=0.0)
+
+
+def test_pm_sharded_matches_unsharded(smooth_cluster, rng):
+    """Body-sharded PM (local deposit + one psum of the grid) must agree
+    with the single-device solve; collective box agreement included."""
+    import jax
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.parallel.mesh import make_mesh
+    from orbital_tpu.parallel.sharded import make_sharded_step, shard_state
+
+    pos, mass, eps2 = smooth_cluster
+    n = len(mass)
+    vel = (0.1 * rng.normal(size=(n, 3))).astype(np.float32)
+    st = make_state(pos, vel, mass, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="pm",
+                       pm_grid=32, collisions="none")
+    st = ot.init_forces(st, cfg)
+
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import resolve_force_fn
+    ref = make_step_fn(cfg, resolve_force_fn(cfg, n))(st)
+
+    mesh = make_mesh()
+    step = make_sharded_step(cfg, mesh, st)
+    out = step(shard_state(mesh, st))
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               rtol=1e-5, atol=1e-7)
+    assert float(out.potential) == pytest.approx(float(ref.potential),
+                                                 rel=1e-5)
