@@ -283,6 +283,26 @@ def main() -> None:
         extras["ms_per_step_131072"] = round(sps_131k * 1e3, 2)
     except Exception as e:  # noqa: BLE001
         extras["bench_131072_error"] = str(e)[:200]
+    try:
+        # headline config minus the per-step potential sum (the reference
+        # computes U every eval, so the primary headline keeps it; this is
+        # the production-stepper rate when diagnostics are on-demand)
+        import orbital_tpu as ot
+        from orbital_tpu.engine.integrators import make_step_fn
+        from orbital_tpu.engine.rollout import resolve_force_fn
+        from orbital_tpu.engine.state import make_state
+        from orbital_tpu.utils.timing import bench_chained
+
+        pos, vel, mass, eps2 = make_cluster(65536)
+        st = make_state(pos, vel, mass, precision="ds32")
+        cfg_np = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2,
+                              track_potential=False)
+        st = ot.init_forces(st, cfg_np)
+        step = make_step_fn(cfg_np, resolve_force_fn(cfg_np, 65536))
+        sec = bench_chained(step, st, iters=4, iters_hi=12)
+        extras["body_steps_per_s_65536_no_potential"] = round(65536 / sec, 1)
+    except Exception as e:  # noqa: BLE001
+        extras["bench_no_potential_error"] = str(e)[:200]
 
     result = {
         "metric": "body-steps/s/chip @ N=65536 (KDK leapfrog, softened O(N^2) Pallas gravity, ds32)",

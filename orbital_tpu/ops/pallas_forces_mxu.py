@@ -18,8 +18,8 @@ square-root chain on the VPU (~5 ops/pair):
 Numerics (why this is OPT-IN, not the default): the Gram identity cancels
 ~log2(|r|^2 / r2) bits on close pairs, so per-pair force errors reach
 ~1e-3 relative at r^2 ~ eps^2 with O(1) positions — measured 10k-step
-energy drift stays within the 1e-6 budget for softened clusters (leapfrog
-tolerates bounded Hamiltonian noise; see DESIGN.md "MXU study"), but the
+energy drift 3.0e-8 at N=4096 (vs 1.3e-8 for the exact kernel; leapfrog
+tolerates the bounded Hamiltonian noise — DESIGN.md "MXU study"), but the
 VPU kernel's 1e-7 pair accuracy is the safe default. Self-pairs are
 zeroed in-kernel on the (few) diagonal-overlapping tiles — their analytic
 weight m_i eps^-3 would otherwise swamp the f32 accumulation. Contact
