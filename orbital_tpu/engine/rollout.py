@@ -102,6 +102,18 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
             pos, mass, alive, G_grav=cfg.G, eps2=cfg.eps2,
             grid=cfg.pm_grid, with_potential=cfg.track_potential
         )
+    if impl == "p3m":
+        from ..ops.p3m import p3m_acc_potential
+
+        def fn(pos, mass, alive):
+            # the overflow counter is dropped on the hot path; size
+            # cfg.p3m_capacity by probing p3m_acc_potential directly
+            acc, U, _ = p3m_acc_potential(
+                pos, mass, alive, G_grav=cfg.G, eps2=cfg.eps2,
+                grid=cfg.pm_grid, capacity=cfg.p3m_capacity,
+                with_potential=cfg.track_potential)
+            return acc, U
+        return fn
     if impl == "ring":
         # the ring force needs the mesh's shard count and must run inside
         # shard_map; it cannot be resolved from a config alone
@@ -168,11 +180,11 @@ def resolve_accel_jerk_fn(cfg: SimConfig, n: int):
     from ..ops.forces import accel_jerk_chunked, accel_jerk_dense
 
     impl = cfg.force_impl
-    if impl == "pm":
+    if impl in ("pm", "p3m"):
         raise ValueError(
             "integrator='hermite' needs exact per-pair jerks, which the "
-            "particle-mesh solver cannot provide; use kdk/euler/rk4 with "
-            "force_impl='pm', or an exact force path for hermite")
+            f"mesh solvers cannot provide; use kdk/euler/rk4 with "
+            f"force_impl={impl!r}, or an exact force path for hermite")
     if impl in ("auto", "pallas", "pallas_sym", "mxu", "pallas_mxu", "ring"):
         if n <= _DENSE_MAX_N:
             impl = "dense"

@@ -1,0 +1,214 @@
+r"""P3M gravity: particle-mesh far field + exact short-range correction.
+
+PM alone smooths forces below the mesh scale (ops/pm.py contract); P3M
+restores near-exact pair forces at large N by Ewald-splitting the softened
+kernel (Hockney & Eastwood):
+
+    1/sqrt(r^2+eps^2) = erf(r/2s)/r  +  [1/sqrt(r^2+eps^2) - erf(r/2s)/r]
+                        \__ mesh __/     \__ short range, ~0 past ~4.5s __/
+
+The mesh solves the smooth erf kernel (same deconvolved-CIC pipeline as
+``ops.pm``, split scale s = ``sigma_cells`` mesh cells); the short-range
+remainder is summed exactly over neighbor cells of an r_cut-sized cell
+grid, built with static shapes:
+
+  * bodies are binned by argsort(cell_id); rank-in-cell comes from a
+    searchsorted against the sorted ids (all static shapes);
+  * a [cells+1, capacity] index table holds up to ``capacity`` bodies per
+    cell (the +1 row is an all-sentinel pad for out-of-range neighbors and
+    dead bodies); bodies beyond capacity are *dropped from the short-range
+    sum* and counted — the returned ``overflow`` must be 0 for exact
+    results (raise capacity or cut_sigma otherwise);
+  * a lax.map over cell blocks computes each cell's bodies against its 27
+    neighbors' ([M] x [27 M] masked pair tiles) and segment-sums back.
+
+When to use: large-N systems with bounded density contrast (uniform /
+cosmological-style media) that need better-than-mesh force accuracy —
+measured ~1e-3 RMS force error vs the exact kernel (grid 64, defaults).
+Strongly concentrated clusters overflow any fixed per-cell capacity
+(centrally ~1000s of bodies per r_cut cell); use the exact kernels or PM
+there. The reference has no analog (exact O(N^2) only); this extends the
+framework past the exact path's single-chip ceiling with near-exact
+forces.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .pm import _bounding_cube, _pm_core
+
+__all__ = ["p3m_acc_potential"]
+
+_OFFSETS = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+            for c in (-1, 0, 1)]
+
+
+def _short_factors(r2, sigma, eps2):
+    """Short-range acceleration factor g(r) (acc = G m_j g(r) (r_j - r_i))
+    and potential kernel K_short(r), both finite at r = 0 (self-pairs are
+    index-masked anyway; the guard keeps the math NaN-free)."""
+    alpha = 1.0 / (2.0 * sigma)
+    safe = r2 > 0.0
+    r2s = jnp.where(safe, r2, 1.0)
+    r = jnp.sqrt(r2s)
+    inv_r = 1.0 / r
+    inv_r3 = inv_r * inv_r * inv_r
+    erf_t = jax.scipy.special.erf(alpha * r)
+    gauss = (2.0 * alpha / math.sqrt(math.pi)) * jnp.exp(-(alpha * r) ** 2)
+    g_exact = jax.lax.rsqrt(r2 + eps2) / (r2 + eps2)
+    g_long = (erf_t - gauss * r) * inv_r3
+    g = jnp.where(safe, g_exact - g_long, 0.0)
+    k_short = jnp.where(safe,
+                        jax.lax.rsqrt(r2s + eps2) - erf_t * inv_r, 0.0)
+    return g, k_short
+
+
+@partial(jax.jit,
+         static_argnames=("G_grav", "eps2", "grid", "sigma_cells",
+                          "cut_sigma", "capacity", "cell_block",
+                          "with_potential", "deconvolve"))
+def p3m_acc_potential(
+    pos: jax.Array,
+    mass: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    G_grav: float,
+    eps2: float,
+    grid: int = 64,
+    sigma_cells: float = 1.5,
+    cut_sigma: float = 4.5,
+    capacity: int = 64,
+    cell_block: int = 32,
+    with_potential: bool = True,
+    deconvolve: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """P3M accelerations, potential, and the short-range overflow count.
+
+    Returns (acc [N,3], U, overflow int32). ``overflow`` counts live
+    bodies that did not fit their cell's ``capacity`` and were excluded
+    from the short-range sum (0 = exact within the split's ~erfc(cut/2)
+    truncation). Requires eps2 > 0 and eps <~ the split scale
+    (sigma_cells mesh cells) — P3M exists to resolve *below* the mesh.
+    """
+    if eps2 <= 0.0:
+        raise ValueError("the P3M solver requires eps2 > 0")
+    n = pos.shape[0]
+    g = int(grid)
+    f32 = jnp.float32
+
+    pos32 = pos.astype(f32)
+    alive_b = (jnp.ones((n,), bool) if alive is None else alive.astype(bool))
+    alive_f = alive_b.astype(f32)
+    m_eff = mass.astype(f32) * alive_f
+
+    # ---- far field: mesh solve of the smooth erf kernel -------------------
+    def kern_long(r2_grid, h):
+        sigma = sigma_cells * h
+        rg = jnp.sqrt(r2_grid)
+        safe = rg > 0.0
+        return jnp.where(
+            safe,
+            jax.scipy.special.erf(rg / (2.0 * sigma)) / jnp.where(safe, rg, 1.0),
+            1.0 / (sigma * math.sqrt(math.pi)))
+
+    acc_mesh, phi_at, h = _pm_core(
+        pos32, m_eff, alive_f, g=g, G_grav=G_grav, kern_builder=kern_long,
+        with_potential=with_potential, axis_name=None, deconvolve=deconvolve)
+    sigma = sigma_cells * h
+    rcut2 = (cut_sigma * sigma) ** 2
+
+    # ---- short range: static-capacity cell lists --------------------------
+    # cell size >= r_cut by construction: gc cells span the same cube as
+    # the g-cell mesh, gc <= g / (sigma_cells * cut_sigma)
+    gc = max(1, int(g / (sigma_cells * cut_sigma)))
+    gc3 = gc * gc * gc
+    center, half = _bounding_cube(pos32, alive_f, g, None)
+    origin = center - half
+    s_cell = 2.0 * half / gc
+
+    cc = jnp.clip(jnp.floor((pos32 - origin) / s_cell).astype(jnp.int32),
+                  0, gc - 1)
+    cell_id = (cc[:, 0] * gc + cc[:, 1]) * gc + cc[:, 2]
+    cell_id = jnp.where(alive_b, cell_id, gc3)  # dead bodies -> pad row
+
+    order = jnp.argsort(cell_id)
+    sc = cell_id[order]
+    first = jnp.searchsorted(sc, sc, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    keep = (rank < capacity) & (sc < gc3)
+    overflow = jnp.sum((rank >= capacity) & (sc < gc3), dtype=jnp.int32)
+
+    table = jnp.full((gc3 + 1, capacity), n, jnp.int32)
+    table = table.at[jnp.where(keep, sc, gc3),
+                     jnp.clip(rank, 0, capacity - 1)].set(
+        jnp.where(keep, order.astype(jnp.int32), n))
+
+    # sentinel row n: far away, massless
+    pos_pad = jnp.concatenate(
+        [pos32, jnp.full((1, 3), 1e30, f32)], axis=0)
+    m_pad = jnp.concatenate([m_eff, jnp.zeros((1,), f32)])
+
+    n_blocks = -(-gc3 // cell_block)
+    pad_cells = n_blocks * cell_block - gc3
+
+    def block(c0):
+        cells = c0 + jnp.arange(cell_block)
+        valid_cell = cells < gc3
+        cells_c = jnp.where(valid_cell, cells, gc3)
+        cz = cells % gc
+        cy = (cells // gc) % gc
+        cx = cells // (gc * gc)
+
+        nb_ids = []
+        for a, b, c in _OFFSETS:
+            nx, ny, nz = cx + a, cy + b, cz + c
+            ok = ((0 <= nx) & (nx < gc) & (0 <= ny) & (ny < gc)
+                  & (0 <= nz) & (nz < gc) & valid_cell)
+            nb_ids.append(jnp.where(ok, (nx * gc + ny) * gc + nz, gc3))
+        nb = jnp.stack(nb_ids, axis=1)                   # [B, 27]
+
+        idx_my = table[cells_c]                          # [B, M]
+        idx_nb = table[nb].reshape(cell_block, -1)       # [B, 27M]
+
+        pi = pos_pad[idx_my]                             # [B, M, 3]
+        pj = pos_pad[idx_nb]                             # [B, 27M, 3]
+        mj = m_pad[idx_nb]                               # [B, 27M]
+
+        dx = pj[:, None, :, 0] - pi[:, :, None, 0]       # [B, M, 27M]
+        dy = pj[:, None, :, 1] - pi[:, :, None, 1]
+        dz = pj[:, None, :, 2] - pi[:, :, None, 2]
+        r2 = dx * dx + dy * dy + dz * dz
+        pair_ok = ((idx_my[:, :, None] != idx_nb[:, None, :])
+                   & (r2 < rcut2))
+        gsh, ksh = _short_factors(r2, sigma, eps2)
+        w = jnp.where(pair_ok, mj[:, None, :] * gsh, 0.0)
+        acc_b = G_grav * jnp.stack(
+            [jnp.sum(w * dx, -1), jnp.sum(w * dy, -1), jnp.sum(w * dz, -1)],
+            axis=-1)                                     # [B, M, 3]
+        pe_b = jnp.sum(jnp.where(pair_ok, mj[:, None, :] * ksh, 0.0), -1)
+        return idx_my, acc_b, pe_b
+
+    starts = jnp.arange(0, n_blocks * cell_block, cell_block)
+    idx_all, acc_all, pe_all = jax.lax.map(block, starts)
+    idx_flat = idx_all.reshape(-1)
+    acc_short = jax.ops.segment_sum(
+        acc_all.reshape(-1, 3), idx_flat, num_segments=n + 1)[:n]
+    pe_short = jax.ops.segment_sum(
+        pe_all.reshape(-1), idx_flat, num_segments=n + 1)[:n]
+    del pad_cells  # cells beyond gc3 are sentinel rows; nothing to trim
+
+    acc = (acc_mesh + acc_short) * alive_f[:, None]
+
+    if with_potential:
+        # mesh self-interaction under the erf kernel: -G m K_long(0)
+        self_phi = -G_grav * m_eff * (1.0 / (sigma * math.sqrt(math.pi)))
+        U_mesh = 0.5 * jnp.sum(m_eff * (phi_at - self_phi))
+        U = U_mesh + (-0.5 * G_grav) * jnp.sum(m_eff * pe_short)
+    else:
+        U = jnp.zeros((), f32)
+    return acc.astype(pos.dtype), U.astype(pos.dtype), overflow

@@ -39,7 +39,9 @@ class SimConfig:
             fastest at large N, Gram-identity accuracy caveats) |
             "pm" (particle-mesh FFT Poisson solver, O(N + G^3 log G) for
             N >> 1e5; collisionless accuracy contract, see ops/pm.py) |
-            "ring".
+            "p3m" (PM far field + exact short-range cell-list correction,
+            ~2e-3 force accuracy at large N for bounded density contrast;
+            see ops/p3m.py) | "ring".
         chunk: row-block size for the chunked/pallas force paths.
         shard_axis: mesh axis name for the ring force path (None = unsharded).
         track_potential: compute the softened potential every force eval
@@ -53,7 +55,11 @@ class SimConfig:
         ring_block_impl: per-round block-force implementation inside the
             shard_map ppermute ring — "auto" (Pallas on TPU when the local
             block tiles, dense jnp otherwise), "pallas", or "dense".
-        pm_grid: mesh resolution per axis for force_impl="pm".
+        pm_grid: mesh resolution per axis for force_impl="pm"/"p3m".
+        p3m_capacity: max bodies per short-range cell (force_impl="p3m");
+            overflowing bodies silently lose short-range pairs — size it
+            from the density (call ops.p3m.p3m_acc_potential directly once
+            to read the overflow counter).
     """
 
     dt: float
@@ -70,13 +76,14 @@ class SimConfig:
     dt_min: float = 0.0
     ring_block_impl: str = "auto"
     pm_grid: int = 64
+    p3m_capacity: int = 64
 
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
         if self.integrator not in ("kdk", "euler", "rk4", "hermite"):
             raise ValueError(f"bad integrator: {self.integrator!r}")
-        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "pallas_mxu", "pm", "ring"):
+        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "pallas_mxu", "pm", "p3m", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
         if self.ring_block_impl not in ("auto", "pallas", "dense"):
             raise ValueError(f"bad ring_block_impl: {self.ring_block_impl!r}")
