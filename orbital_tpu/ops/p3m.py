@@ -24,7 +24,9 @@ grid, built with static shapes:
 
 When to use: large-N systems with bounded density contrast (uniform /
 cosmological-style media) that need better-than-mesh force accuracy —
-measured ~1e-3 RMS force error vs the exact kernel (grid 64, defaults).
+measured 2.9e-3 RMS force error vs the exact kernel (grid 64, defaults)
+at softenings far below the mesh scale, and 714 ms/eval at N=1M on v5e
+(grid 224, capacity 64, zero overflow; exact kernel: ~5.3 s, PM: 115 ms).
 Strongly concentrated clusters overflow any fixed per-cell capacity
 (centrally ~1000s of bodies per r_cut cell); use the exact kernels or PM
 there. The reference has no analog (exact O(N^2) only); this extends the
@@ -153,8 +155,14 @@ def p3m_acc_potential(
         [pos32, jnp.full((1, 3), 1e30, f32)], axis=0)
     m_pad = jnp.concatenate([m_eff, jnp.zeros((1,), f32)])
 
+    # pre-gather per-cell body data ONCE: the pair sweep then reads whole
+    # [M]-rows per (cell, neighbor) — contiguous streams instead of the
+    # per-body random gathers that dominated the first implementation
+    # (measured ~10x on the sweep at N=1M)
+    cell_pos = pos_pad[table]                            # [gc3+1, M, 3]
+    cell_m = m_pad[table]                                # [gc3+1, M]
+
     n_blocks = -(-gc3 // cell_block)
-    pad_cells = n_blocks * cell_block - gc3
 
     def block(c0):
         cells = c0 + jnp.arange(cell_block)
@@ -175,9 +183,9 @@ def p3m_acc_potential(
         idx_my = table[cells_c]                          # [B, M]
         idx_nb = table[nb].reshape(cell_block, -1)       # [B, 27M]
 
-        pi = pos_pad[idx_my]                             # [B, M, 3]
-        pj = pos_pad[idx_nb]                             # [B, 27M, 3]
-        mj = m_pad[idx_nb]                               # [B, 27M]
+        pi = cell_pos[cells_c]                           # [B, M, 3]
+        pj = cell_pos[nb].reshape(cell_block, -1, 3)     # [B, 27M, 3]
+        mj = cell_m[nb].reshape(cell_block, -1)          # [B, 27M]
 
         dx = pj[:, None, :, 0] - pi[:, :, None, 0]       # [B, M, 27M]
         dy = pj[:, None, :, 1] - pi[:, :, None, 1]
@@ -200,7 +208,6 @@ def p3m_acc_potential(
         acc_all.reshape(-1, 3), idx_flat, num_segments=n + 1)[:n]
     pe_short = jax.ops.segment_sum(
         pe_all.reshape(-1), idx_flat, num_segments=n + 1)[:n]
-    del pad_cells  # cells beyond gc3 are sentinel rows; nothing to trim
 
     acc = (acc_mesh + acc_short) * alive_f[:, None]
 
