@@ -95,14 +95,20 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
             pos, mass, alive, G=cfg.G, eps2=cfg.eps2,
             with_potential=cfg.track_potential
         )
-    if impl == "pm":
-        from ..ops.pm import pm_acc_potential
+    if impl in ("pm", "p3m"):
+        box = None
+        if cfg.pm_box is not None:
+            import numpy as _np
 
-        return lambda pos, mass, alive: pm_acc_potential(
-            pos, mass, alive, G_grav=cfg.G, eps2=cfg.eps2,
-            grid=cfg.pm_grid, with_potential=cfg.track_potential
-        )
-    if impl == "p3m":
+            box = (_np.asarray(cfg.pm_box[:3], _np.float32),
+                   _np.float32(cfg.pm_box[3]))
+        if impl == "pm":
+            from ..ops.pm import pm_acc_potential
+
+            return lambda pos, mass, alive: pm_acc_potential(
+                pos, mass, alive, G_grav=cfg.G, eps2=cfg.eps2,
+                grid=cfg.pm_grid, with_potential=cfg.track_potential,
+                box=box)
         from ..ops.p3m import p3m_acc_potential
 
         def fn(pos, mass, alive):
@@ -111,7 +117,7 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
             acc, U, _ = p3m_acc_potential(
                 pos, mass, alive, G_grav=cfg.G, eps2=cfg.eps2,
                 grid=cfg.pm_grid, capacity=cfg.p3m_capacity,
-                with_potential=cfg.track_potential)
+                with_potential=cfg.track_potential, box=box)
             return acc, U
         return fn
     if impl == "ring":

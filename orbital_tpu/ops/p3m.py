@@ -88,8 +88,13 @@ def p3m_acc_potential(
     cell_block: int = 32,
     with_potential: bool = True,
     deconvolve: bool = True,
+    box=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """P3M accelerations, potential, and the short-range overflow count.
+
+    ``box = (center [3], half)`` pins the mesh AND the short-range cell
+    grid (recommended for long rollouts — a fixed split makes the total
+    force conservative; see ops.pm._pm_core).
 
     Returns (acc [N,3], U, overflow int32). ``overflow`` counts live
     bodies that did not fit their cell's ``capacity`` and were excluded
@@ -120,7 +125,8 @@ def p3m_acc_potential(
 
     acc_mesh, phi_at, h = _pm_core(
         pos32, m_eff, alive_f, g=g, G_grav=G_grav, kern_builder=kern_long,
-        with_potential=with_potential, axis_name=None, deconvolve=deconvolve)
+        with_potential=with_potential, axis_name=None, deconvolve=deconvolve,
+        box=box)
     sigma = sigma_cells * h
     rcut2 = (cut_sigma * sigma) ** 2
 
@@ -129,7 +135,11 @@ def p3m_acc_potential(
     # the g-cell mesh, gc <= g / (sigma_cells * cut_sigma)
     gc = max(1, int(g / (sigma_cells * cut_sigma)))
     gc3 = gc * gc * gc
-    center, half = _bounding_cube(pos32, alive_f, g, None)
+    if box is None:
+        center, half = _bounding_cube(pos32, alive_f, g, None)
+    else:
+        center = jnp.asarray(box[0], f32)
+        half = jnp.asarray(box[1], f32)
     origin = center - half
     s_cell = 2.0 * half / gc
 

@@ -60,6 +60,10 @@ class SimConfig:
             overflowing bodies silently lose short-range pairs — size it
             from the density (call ops.p3m.p3m_acc_potential directly once
             to read the overflow counter).
+        pm_box: optional (cx, cy, cz, half) pinning the pm/p3m mesh to a
+            fixed cube. A static mesh makes the approximate force a fixed
+            Hamiltonian that leapfrog conserves (recommended for long
+            rollouts); default refits the live bounding cube every step.
     """
 
     dt: float
@@ -77,6 +81,7 @@ class SimConfig:
     ring_block_impl: str = "auto"
     pm_grid: int = 64
     p3m_capacity: int = 64
+    pm_box: Optional[tuple] = None
 
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
@@ -87,6 +92,8 @@ class SimConfig:
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
         if self.ring_block_impl not in ("auto", "pallas", "dense"):
             raise ValueError(f"bad ring_block_impl: {self.ring_block_impl!r}")
+        if self.pm_box is not None and len(self.pm_box) != 4:
+            raise ValueError("pm_box must be (cx, cy, cz, half)")
         if self.adaptive_eta is not None and not (self.dt_min > 0.0):
             # dt_min = 0 would let a collapsed Aarseth ratio freeze
             # simulation time inside the compiled rollout (steps would

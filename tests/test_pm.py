@@ -116,3 +116,26 @@ def test_pm_sharded_matches_unsharded(smooth_cluster, rng):
                                rtol=1e-5, atol=1e-7)
     assert float(out.potential) == pytest.approx(float(ref.potential),
                                                  rel=1e-5)
+
+
+def test_pm_static_box(smooth_cluster):
+    """A pinned mesh box gives ~the same forces as the refit box (when the
+    box matches the data) and is wired through SimConfig.pm_box."""
+    pos, mass, eps2 = smooth_cluster
+    ext = float(np.abs(pos).max()) * (1.02 + 2.0 / 64)
+    a_fit, _ = pm_acc_potential(pos, mass, G_grav=1.0, eps2=eps2, grid=64)
+    a_box, _ = pm_acc_potential(pos, mass, G_grav=1.0, eps2=eps2, grid=64,
+                                box=(np.zeros(3, np.float32), ext))
+    rms = (np.sqrt(np.mean(np.sum((np.asarray(a_box) - np.asarray(a_fit)) ** 2, -1)))
+           / np.sqrt(np.mean(np.sum(np.asarray(a_fit) ** 2, -1))))
+    assert rms < 0.02  # same mesh scale, slightly different origin snap
+
+    from orbital_tpu.engine.state import make_state
+    st = make_state(pos, np.zeros_like(pos), mass, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="pm",
+                       pm_grid=64, pm_box=(0.0, 0.0, 0.0, ext))
+    st = ot.init_forces(st, cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 5)
+    assert np.isfinite(np.asarray(fin.pos)).all()
+    with pytest.raises(ValueError, match="pm_box"):
+        ot.SimConfig(dt=1.0, pm_box=(1.0, 2.0))
