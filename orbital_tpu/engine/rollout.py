@@ -96,12 +96,7 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
             with_potential=cfg.track_potential
         )
     if impl in ("pm", "p3m"):
-        box = None
-        if cfg.pm_box is not None:
-            import numpy as _np
-
-            box = (_np.asarray(cfg.pm_box[:3], _np.float32),
-                   _np.float32(cfg.pm_box[3]))
+        box = cfg.pm_box_arrays()
         if impl == "pm":
             from ..ops.pm import pm_acc_potential
 

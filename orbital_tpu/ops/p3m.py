@@ -42,9 +42,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .pm import _bounding_cube, _pm_core
+from .pm import _pm_core
 
-__all__ = ["p3m_acc_potential"]
+__all__ = ["p3m_acc_potential", "p3m_overflow_probe"]
 
 _OFFSETS = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
             for c in (-1, 0, 1)]
@@ -65,8 +65,12 @@ def _short_factors(r2, sigma, eps2):
     g_exact = jax.lax.rsqrt(r2 + eps2) / (r2 + eps2)
     g_long = (erf_t - gauss * r) * inv_r3
     g = jnp.where(safe, g_exact - g_long, 0.0)
+    # at r = 0 between DISTINCT bodies (degenerate ICs; self-pairs are
+    # index-masked by the caller) the pair potential is finite:
+    # K_short(0) = 1/eps - lim erf(ar)/r = 1/eps - 2a/sqrt(pi)
+    k0 = eps2 ** -0.5 - 2.0 * alpha / math.sqrt(math.pi)
     k_short = jnp.where(safe,
-                        jax.lax.rsqrt(r2s + eps2) - erf_t * inv_r, 0.0)
+                        jax.lax.rsqrt(r2s + eps2) - erf_t * inv_r, k0)
     return g, k_short
 
 
@@ -123,7 +127,7 @@ def p3m_acc_potential(
             jax.scipy.special.erf(rg / (2.0 * sigma)) / jnp.where(safe, rg, 1.0),
             1.0 / (sigma * math.sqrt(math.pi)))
 
-    acc_mesh, phi_at, h = _pm_core(
+    acc_mesh, phi_at, h, center, half = _pm_core(
         pos32, m_eff, alive_f, g=g, G_grav=G_grav, kern_builder=kern_long,
         with_potential=with_potential, axis_name=None, deconvolve=deconvolve,
         box=box)
@@ -132,14 +136,11 @@ def p3m_acc_potential(
 
     # ---- short range: static-capacity cell lists --------------------------
     # cell size >= r_cut by construction: gc cells span the same cube as
-    # the g-cell mesh, gc <= g / (sigma_cells * cut_sigma)
+    # the g-cell mesh (center/half come FROM the mesh solve, so the split
+    # and the cell grid can never desynchronize), gc <= g / (sigma_cells
+    # * cut_sigma)
     gc = max(1, int(g / (sigma_cells * cut_sigma)))
     gc3 = gc * gc * gc
-    if box is None:
-        center, half = _bounding_cube(pos32, alive_f, g, None)
-    else:
-        center = jnp.asarray(box[0], f32)
-        half = jnp.asarray(box[1], f32)
     origin = center - half
     s_cell = 2.0 * half / gc
 
@@ -229,3 +230,19 @@ def p3m_acc_potential(
     else:
         U = jnp.zeros((), f32)
     return acc.astype(pos.dtype), U.astype(pos.dtype), overflow
+
+
+def p3m_overflow_probe(state, cfg) -> int:
+    """Short-range capacity check for a live simulation state.
+
+    The stepper's force path drops the overflow counter (a ForceFn returns
+    only (acc, U)), so a system whose density grows mid-rollout can start
+    silently losing short-range pairs. Call this between rollout chunks —
+    a nonzero return means cfg.p3m_capacity must grow (or the box/grid
+    change) before the results can be trusted.
+    """
+    _, _, ov = p3m_acc_potential(
+        state.pos, state.mass, state.alive, G_grav=cfg.G, eps2=cfg.eps2,
+        grid=cfg.pm_grid, capacity=cfg.p3m_capacity, with_potential=False,
+        box=cfg.pm_box_arrays())
+    return int(ov)

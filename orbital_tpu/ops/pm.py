@@ -88,7 +88,7 @@ def _pm_core(pos32, m_eff, alive_f, *, g: int, G_grav: float, kern_builder,
              with_potential: bool, axis_name, deconvolve: bool, box=None):
     """Shared mesh pipeline: deposit -> padded FFT convolution with the
     kernel produced by ``kern_builder(r2_grid, h)`` -> gradient -> gather.
-    Returns (acc [N,3] alive-masked, phi_at [N] or None, h).
+    Returns (acc [N,3] alive-masked, phi_at [N] or None, h, center, half).
 
     ``box`` (center [3], half scalar) fixes the mesh instead of re-fitting
     it to the live extent every call: with a static box the mesh force is
@@ -160,7 +160,7 @@ def _pm_core(pos32, m_eff, alive_f, *, g: int, G_grav: float, kern_builder,
 
     acc = out[0:3].T * alive_f[:, None]
     phi_at = out[3] if with_potential else None
-    return acc, phi_at, h
+    return acc, phi_at, h, center, half
 
 
 @partial(jax.jit,
@@ -209,7 +209,7 @@ def pm_acc_potential(
     def kern(r2_grid, h):
         return jax.lax.rsqrt(r2_grid + f32(eps2))
 
-    acc, phi_at, _ = _pm_core(
+    acc, phi_at, _, _, _ = _pm_core(
         pos32, m_eff, alive_f, g=g, G_grav=G_grav, kern_builder=kern,
         with_potential=with_potential, axis_name=axis_name,
         deconvolve=deconvolve, box=box)

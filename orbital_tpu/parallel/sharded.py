@@ -277,10 +277,18 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
 
     Returns a jitted ``step(state) -> state`` where every body array of
     ``state`` is sharded along ``axis`` of ``mesh``. The KDK update runs
-    elementwise on local shards; the force evaluation is the ppermute ring;
-    the only other collective is one psum for the potential.
+    elementwise on local shards. Force collectives by path: the exact
+    force is the ppermute ring plus one psum for the potential;
+    ``force_impl="pm"`` instead runs NO ring — pmin/pmax agree the mesh
+    box (skipped with a static ``cfg.pm_box``) and one psum of the G^3
+    mass grid globalizes the density. Collision modes add their own
+    (bounce: impulse ring; merge: contact-count ring + gated all_gather).
     """
     axis = axis or cfg.shard_axis or "body"
+    if cfg.force_impl == "p3m":
+        raise NotImplementedError(
+            "P3M is single-device today (its cell tables don't shard); "
+            "use force_impl='pm' or the exact ring under shard_map")
     use_pm = cfg.force_impl == "pm"
     cfg = cfg.replace(shard_axis=axis,
                       force_impl="pm" if use_pm else "ring")
@@ -295,11 +303,13 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
         # grid; the O(N^2) ring never runs (see ops.pm docstring)
         from ..ops.pm import pm_acc_potential
 
+        pm_box = cfg.pm_box_arrays()
+
         def force(pos, mass, alive):
             return pm_acc_potential(pos, mass, alive, G_grav=cfg.G,
                                     eps2=cfg.eps2, grid=cfg.pm_grid,
                                     with_potential=cfg.track_potential,
-                                    axis_name=axis)
+                                    axis_name=axis, box=pm_box)
     else:
         force = ring_force_fn(cfg, n_shards)
     kdk = make_step_fn(cfg.replace(collisions="none"), force)

@@ -59,6 +59,8 @@ def simulate(
     restitution: float = 1.0,
     force_impl: str = "auto",
     pm_grid: int = 64,
+    p3m_capacity: int = 64,
+    pm_box: Optional[tuple] = None,
     unit_profile: UnitProfile = STANDARD,
     rescale: Optional[Rescale] = None,
 ) -> SimResult:
@@ -95,6 +97,8 @@ def simulate(
         restitution=restitution,
         force_impl=force_impl,
         pm_grid=pm_grid,
+        p3m_capacity=p3m_capacity,
+        pm_box=pm_box,
     )
     state = make_state(arrays.pos, arrays.vel, arrays.mass, arrays.radius,
                        precision=precision, rescale=rescale)

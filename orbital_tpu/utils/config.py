@@ -104,3 +104,14 @@ class SimConfig:
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
+
+    def pm_box_arrays(self):
+        """``pm_box`` as (center ndarray [3], half float32) or None — the
+        form ``ops.pm`` / ``ops.p3m`` take (one conversion point so every
+        consumer pins the same cube)."""
+        if self.pm_box is None:
+            return None
+        import numpy as np
+
+        return (np.asarray(self.pm_box[:3], np.float32),
+                np.float32(self.pm_box[3]))
