@@ -131,3 +131,19 @@ def test_pm_on_tpu():
     rms = (np.sqrt(np.mean(np.sum((a - a_ref) ** 2, -1)))
            / np.sqrt(np.mean(np.sum(a_ref ** 2, -1))))
     assert rms < 0.03
+
+
+def test_p3m_on_tpu():
+    from orbital_tpu.ops.p3m import p3m_acc_potential
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    pos = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    mass = (rng.uniform(0.5, 1.5, n) / n).astype(np.float32)
+    a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
+    a, _, ov = p3m_acc_potential(pos, mass, G_grav=1.0, eps2=1e-6, grid=64)
+    assert int(ov) == 0
+    a, a_ref = np.asarray(a), np.asarray(a_ref)
+    rms = (np.sqrt(np.mean(np.sum((a - a_ref) ** 2, -1)))
+           / np.sqrt(np.mean(np.sum(a_ref ** 2, -1))))
+    assert rms < 6e-3
