@@ -384,7 +384,12 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
     returns ``(step, shardings)`` where ``shardings`` places a batched
     state onto the mesh.
     """
-    cfg = cfg.replace(shard_axis=body_axis, force_impl="ring")
+    if cfg.force_impl == "p3m":
+        raise NotImplementedError(
+            "P3M is single-device today (its cell tables don't shard)")
+    use_pm = cfg.force_impl == "pm"
+    cfg = cfg.replace(shard_axis=body_axis,
+                      force_impl="pm" if use_pm else "ring")
     if cfg.collisions == "merge":
         raise NotImplementedError(
             "merge under the vmapped ensemble turns the contact-gated "
@@ -395,7 +400,18 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
     if n_bodies % n_body_shards != 0:
         raise ValueError(f"N={n_bodies} must divide across {n_body_shards} shards")
 
-    force = ring_force_fn(cfg, n_body_shards)
+    if use_pm:
+        from ..ops.pm import pm_acc_potential
+
+        pm_box = cfg.pm_box_arrays()
+
+        def force(pos, mass, alive):
+            return pm_acc_potential(pos, mass, alive, G_grav=cfg.G,
+                                    eps2=cfg.eps2, grid=cfg.pm_grid,
+                                    with_potential=cfg.track_potential,
+                                    axis_name=body_axis, box=pm_box)
+    else:
+        force = ring_force_fn(cfg, n_body_shards)
     kdk = make_step_fn(cfg.replace(collisions="none"), force)
     if cfg.collisions == "bounce":
         from ..engine.integrators import _accumulate

@@ -139,3 +139,38 @@ def test_pm_static_box(smooth_cluster):
     assert np.isfinite(np.asarray(fin.pos)).all()
     with pytest.raises(ValueError, match="pm_box"):
         ot.SimConfig(dt=1.0, pm_box=(1.0, 2.0))
+
+
+def test_pm_2d_ensemble_mesh(smooth_cluster, rng):
+    """PM under the (ensemble x body) 2D mesh: vmapped members, box via
+    pmin/pmax per member, one grid psum per member."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import resolve_force_fn
+    from orbital_tpu.parallel.sharded import make_sharded_ensemble_step
+
+    pos, mass, eps2 = smooth_cluster
+    n = 512
+    pos, mass = pos[:n], mass[:n]
+    vel = (0.1 * rng.normal(size=(n, 3))).astype(np.float32)
+    base = make_state(pos, vel, mass, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="pm",
+                       pm_grid=32, collisions="none")
+    base = ot.init_forces(base, cfg)
+    ref = make_step_fn(cfg, resolve_force_fn(cfg, n))(base)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("ensemble", "body"))
+    E = 2
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (E,) + x.shape) if x is not None else None,
+        base)
+    step, shardings = make_sharded_ensemble_step(cfg, mesh, batched)
+    batched = jax.device_put(batched, shardings)
+    out = step(batched)
+    for e in range(E):
+        np.testing.assert_allclose(np.asarray(out.pos)[e], np.asarray(ref.pos),
+                                   rtol=1e-5, atol=1e-7)
