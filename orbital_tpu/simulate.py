@@ -59,7 +59,7 @@ def simulate(
     restitution: float = 1.0,
     force_impl: str = "auto",
     pm_grid: int = 64,
-    p3m_capacity: int = 64,
+    p3m_capacity: Union[int, str] = "auto",
     pm_box: Optional[tuple] = None,
     unit_profile: UnitProfile = STANDARD,
     rescale: Optional[Rescale] = None,
@@ -97,11 +97,29 @@ def simulate(
         restitution=restitution,
         force_impl=force_impl,
         pm_grid=pm_grid,
-        p3m_capacity=p3m_capacity,
+        p3m_capacity=64 if p3m_capacity == "auto" else int(p3m_capacity),
         pm_box=pm_box,
     )
     state = make_state(arrays.pos, arrays.vel, arrays.mass, arrays.radius,
                        precision=precision, rescale=rescale)
+    if force_impl == "p3m" and p3m_capacity == "auto":
+        # probe the initial density and size the per-cell capacity with
+        # headroom (the short-range sum silently loses overflowed pairs;
+        # re-probe mid-run with ops.p3m.p3m_overflow_probe if the system
+        # contracts)
+        from .ops.p3m import p3m_overflow_probe
+
+        cap = 32
+        while cap <= 4096:
+            cfg = cfg.replace(p3m_capacity=cap)
+            if p3m_overflow_probe(state, cfg) == 0:
+                break
+            cap *= 2
+        else:
+            raise ValueError(
+                "p3m_capacity='auto' exceeded 4096 bodies/cell — the scene "
+                "is too concentrated for P3M; use exact kernels or PM")
+        cfg = cfg.replace(p3m_capacity=min(4096, int(cap * 1.5)))
     state = init_forces(state, cfg)
     final, traj = rollout_jit(state, cfg, steps, record_every)
     assert isinstance(traj, Trajectory)

@@ -83,3 +83,25 @@ def test_p3m_requires_softening(uniform_box):
     pos, mass = uniform_box
     with pytest.raises(ValueError, match="eps2"):
         p3m_acc_potential(pos, mass, G_grav=1.0, eps2=0.0)
+
+
+def test_simulate_p3m_auto_capacity(uniform_box):
+    """simulate(force_impl='p3m') sizes the per-cell capacity from the
+    actual density and completes with finite results."""
+    from orbital_tpu.models.scene import SceneArrays
+
+    pos, mass = uniform_box
+    n = len(mass)
+    arrays = SceneArrays(
+        pos=np.asarray(pos, np.float64),
+        vel=np.zeros((n, 3)),
+        mass=np.asarray(mass, np.float64),
+        radius=np.zeros(n),
+        names=[f"b{i}" for i in range(n)],
+        uuids=[f"u{i}" for i in range(n)],
+    )
+    res = ot.simulate(arrays, steps=10, dt=1e-3, softening=1e-2,
+                      force_impl="p3m", pm_grid=32, precision="f32",
+                      rescale=None, record_every=5)
+    assert np.isfinite(res.pos).all()
+    assert res.config.p3m_capacity >= 32
