@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from .pm import _pm_core
 
-__all__ = ["p3m_acc_potential", "p3m_overflow_probe"]
+__all__ = ["p3m_acc_potential", "p3m_overflow_probe", "p3m_max_occupancy"]
 
 _OFFSETS = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
             for c in (-1, 0, 1)]
@@ -230,6 +230,47 @@ def p3m_acc_potential(
     else:
         U = jnp.zeros((), f32)
     return acc.astype(pos.dtype), U.astype(pos.dtype), overflow
+
+
+@partial(jax.jit,
+         static_argnames=("grid", "sigma_cells", "cut_sigma"))
+def p3m_max_occupancy(
+    pos: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    grid: int = 64,
+    sigma_cells: float = 1.5,
+    cut_sigma: float = 4.5,
+    box=None,
+) -> jax.Array:
+    """Max live bodies in any short-range cell — the capacity sizer.
+
+    Bins exactly like :func:`p3m_acc_potential` (same box, cell grid, and
+    dead-body handling) but costs one cheap segment-sum with NO capacity
+    dependence, so auto-sizing needs a single compile instead of probing
+    capacities through full force evaluations."""
+    from .pm import _bounding_cube
+
+    n = pos.shape[0]
+    g = int(grid)
+    f32 = jnp.float32
+    pos32 = pos.astype(f32)
+    alive_b = (jnp.ones((n,), bool) if alive is None else alive.astype(bool))
+    gc = max(1, int(g / (sigma_cells * cut_sigma)))
+    gc3 = gc * gc * gc
+    if box is None:
+        center, half = _bounding_cube(pos32, alive_b.astype(f32), g, None)
+    else:
+        center = jnp.asarray(box[0], f32)
+        half = jnp.asarray(box[1], f32)
+    s_cell = 2.0 * half / gc
+    cc = jnp.clip(jnp.floor((pos32 - (center - half)) / s_cell)
+                  .astype(jnp.int32), 0, gc - 1)
+    cell_id = (cc[:, 0] * gc + cc[:, 1]) * gc + cc[:, 2]
+    cell_id = jnp.where(alive_b, cell_id, gc3)
+    counts = jax.ops.segment_sum(alive_b.astype(jnp.int32), cell_id,
+                                 num_segments=gc3 + 1)
+    return jnp.max(counts[:gc3])
 
 
 def p3m_overflow_probe(state, cfg) -> int:

@@ -146,6 +146,28 @@ def ring_bounce_fn(cfg: SimConfig, n_shards: int):
     return fn
 
 
+
+def _mesh_force_fn(cfg: SimConfig, axis: str):
+    """PM force closure for a body-sharded axis (shared by the 1D and 2D
+    step builders so their force dispatch can't drift apart)."""
+    from ..ops.pm import pm_acc_potential
+
+    pm_box = cfg.pm_box_arrays()
+
+    def force(pos, mass, alive):
+        return pm_acc_potential(pos, mass, alive, G_grav=cfg.G,
+                                eps2=cfg.eps2, grid=cfg.pm_grid,
+                                with_potential=cfg.track_potential,
+                                axis_name=axis, box=pm_box)
+
+    return force
+
+
+_P3M_SHARDED_MSG = ("P3M is single-device today (its cell tables don't "
+                    "shard); use force_impl='pm' or the exact ring under "
+                    "shard_map")
+
+
 def ring_contacts_fn(cfg: SimConfig, n_shards: int):
     """Global directed touching-pair count over the sharded system: each
     ring round counts local-vs-visiting contacts with the sqrt-free
@@ -286,9 +308,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
     """
     axis = axis or cfg.shard_axis or "body"
     if cfg.force_impl == "p3m":
-        raise NotImplementedError(
-            "P3M is single-device today (its cell tables don't shard); "
-            "use force_impl='pm' or the exact ring under shard_map")
+        raise NotImplementedError(_P3M_SHARDED_MSG)
     use_pm = cfg.force_impl == "pm"
     cfg = cfg.replace(shard_axis=axis,
                       force_impl="pm" if use_pm else "ring")
@@ -301,15 +321,7 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
     if use_pm:
         # particle-mesh across the mesh: local deposit + one psum of the
         # grid; the O(N^2) ring never runs (see ops.pm docstring)
-        from ..ops.pm import pm_acc_potential
-
-        pm_box = cfg.pm_box_arrays()
-
-        def force(pos, mass, alive):
-            return pm_acc_potential(pos, mass, alive, G_grav=cfg.G,
-                                    eps2=cfg.eps2, grid=cfg.pm_grid,
-                                    with_potential=cfg.track_potential,
-                                    axis_name=axis, box=pm_box)
+        force = _mesh_force_fn(cfg, axis)
     else:
         force = ring_force_fn(cfg, n_shards)
     kdk = make_step_fn(cfg.replace(collisions="none"), force)
@@ -385,8 +397,7 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
     state onto the mesh.
     """
     if cfg.force_impl == "p3m":
-        raise NotImplementedError(
-            "P3M is single-device today (its cell tables don't shard)")
+        raise NotImplementedError(_P3M_SHARDED_MSG)
     use_pm = cfg.force_impl == "pm"
     cfg = cfg.replace(shard_axis=body_axis,
                       force_impl="pm" if use_pm else "ring")
@@ -401,15 +412,7 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
         raise ValueError(f"N={n_bodies} must divide across {n_body_shards} shards")
 
     if use_pm:
-        from ..ops.pm import pm_acc_potential
-
-        pm_box = cfg.pm_box_arrays()
-
-        def force(pos, mass, alive):
-            return pm_acc_potential(pos, mass, alive, G_grav=cfg.G,
-                                    eps2=cfg.eps2, grid=cfg.pm_grid,
-                                    with_potential=cfg.track_potential,
-                                    axis_name=body_axis, box=pm_box)
+        force = _mesh_force_fn(cfg, body_axis)
     else:
         force = ring_force_fn(cfg, n_body_shards)
     kdk = make_step_fn(cfg.replace(collisions="none"), force)

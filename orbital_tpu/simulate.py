@@ -88,6 +88,13 @@ def simulate(
         while steps % record_every:
             record_every -= 1
 
+    if isinstance(p3m_capacity, str) and p3m_capacity != "auto":
+        raise ValueError(
+            f"p3m_capacity must be an int or 'auto', got {p3m_capacity!r}")
+    if pm_box is not None:
+        # pm_box arrives in scene (physical) units like softening/dt;
+        # internal state is rescaled, so the pinned cube must be too
+        pm_box = tuple(float(v) / rescale.length for v in pm_box)
     cfg = SimConfig(
         dt=dt / rescale.time,
         G=rescale.g_internal(unit_profile.G),
@@ -103,23 +110,21 @@ def simulate(
     state = make_state(arrays.pos, arrays.vel, arrays.mass, arrays.radius,
                        precision=precision, rescale=rescale)
     if force_impl == "p3m" and p3m_capacity == "auto":
-        # probe the initial density and size the per-cell capacity with
-        # headroom (the short-range sum silently loses overflowed pairs;
+        # size the per-cell capacity from the actual initial density in ONE
+        # cheap pass (the short-range sum silently loses overflowed pairs;
         # re-probe mid-run with ops.p3m.p3m_overflow_probe if the system
         # contracts)
-        from .ops.p3m import p3m_overflow_probe
+        from .ops.p3m import p3m_max_occupancy
 
-        cap = 32
-        while cap <= 4096:
-            cfg = cfg.replace(p3m_capacity=cap)
-            if p3m_overflow_probe(state, cfg) == 0:
-                break
-            cap *= 2
-        else:
+        occ = int(p3m_max_occupancy(state.pos, state.alive, grid=pm_grid,
+                                    box=cfg.pm_box_arrays()))
+        cap = max(32, -(-int(occ * 1.5) // 8) * 8)  # 1.5x headroom, /8 align
+        if cap > 4096:
             raise ValueError(
-                "p3m_capacity='auto' exceeded 4096 bodies/cell — the scene "
-                "is too concentrated for P3M; use exact kernels or PM")
-        cfg = cfg.replace(p3m_capacity=min(4096, int(cap * 1.5)))
+                f"p3m_capacity='auto': densest cell holds {occ} bodies "
+                "(needs > 4096 with headroom) — the scene is too "
+                "concentrated for P3M; use exact kernels or PM")
+        cfg = cfg.replace(p3m_capacity=cap)
     state = init_forces(state, cfg)
     final, traj = rollout_jit(state, cfg, steps, record_every)
     assert isinstance(traj, Trajectory)

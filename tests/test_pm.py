@@ -160,17 +160,45 @@ def test_pm_2d_ensemble_mesh(smooth_cluster, rng):
     cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="pm",
                        pm_grid=32, collisions="none")
     base = ot.init_forces(base, cfg)
-    ref = make_step_fn(cfg, resolve_force_fn(cfg, n))(base)
+    # member 1 gets perturbed state so cross-member mixing bugs (pmean,
+    # member swaps) can't hide behind identical inputs
+    base2 = base.replace(vel=base.vel * 0.5,
+                         pos=base.pos * np.float32(1.05))
+    base2 = ot.init_forces(base2, cfg)
+    step_ref = make_step_fn(cfg, resolve_force_fn(cfg, n))
+    refs = [step_ref(base), step_ref(base2)]
 
     devices = np.array(jax.devices()[:8]).reshape(2, 4)
     mesh = Mesh(devices, axis_names=("ensemble", "body"))
-    E = 2
     batched = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (E,) + x.shape) if x is not None else None,
-        base)
+        lambda a, b: (jnp.stack([a, b]) if a is not None else None),
+        base, base2)
     step, shardings = make_sharded_ensemble_step(cfg, mesh, batched)
     batched = jax.device_put(batched, shardings)
     out = step(batched)
-    for e in range(E):
+    for e, ref in enumerate(refs):
         np.testing.assert_allclose(np.asarray(out.pos)[e], np.asarray(ref.pos),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_simulate_converts_pm_box_to_internal_units(rng):
+    """pm_box arrives in scene units like softening; simulate() must
+    rescale it (a raw box under natural rescale would be ~L0x too large)."""
+    from orbital_tpu.models.scene import SceneArrays
+
+    n = 256
+    pos = rng.uniform(-1e11, 1e11, size=(n, 3))  # SI-ish magnitudes
+    mass = rng.uniform(1e20, 1e22, n)
+    arrays = SceneArrays(pos=pos, vel=np.zeros((n, 3)), mass=mass,
+                         radius=np.zeros(n),
+                         names=[f"b{i}" for i in range(n)],
+                         uuids=[f"u{i}" for i in range(n)])
+    half_phys = 2e11
+    res = ot.simulate(arrays, steps=2, dt=100.0, softening=1e9,
+                      force_impl="pm", pm_grid=32, precision="f32",
+                      pm_box=(0.0, 0.0, 0.0, half_phys), record_every=1)
+    assert np.isfinite(res.pos).all()
+    # the stored config box is in internal units: half / rescale.length
+    assert res.config.pm_box[3] == pytest.approx(
+        half_phys / res.rescale.length, rel=1e-6)
+    assert res.config.pm_box[3] < 100  # natural units are O(1-10)
