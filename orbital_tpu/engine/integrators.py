@@ -106,10 +106,12 @@ def make_step_fn(
     dense/chunked/Pallas by N); defaults to the dense evaluator.
 
     ``force_detect_fn(pos, mass, radius, alive) -> (acc, U, contacts)``
-    fuses contact detection into the KDK force evaluation
+    fuses contact detection into the step's closing force evaluation
     (``rollout.resolve_force_detect_fn``); with it, the collision
-    resolution sweep is lax.cond-skipped on contact-free steps. KDK only:
-    its force positions are exactly the collision-time positions.
+    resolution sweep is lax.cond-skipped on contact-free steps. Applies
+    to kdk, euler, and rk4 — each evaluates forces at exactly the
+    collision-time (post-drift/final) positions. Hermite's force eval is
+    at *predicted* positions, so it keeps the unconditional sweep.
 
     KDK (velocity-Verlet) order matches the reference exactly
     (core/engine.py:65-97): the cached ``state.acc`` is a(t); collisions run
@@ -177,13 +179,18 @@ def make_step_fn(
         pos, pos_lo = _accumulate(state.pos, state.pos_lo, dr)
         vel, vel_lo = _accumulate(state.vel, state.vel_lo, dv)
 
-        acc, potential = force_fn(pos, state.mass, state.alive)
+        contacts = None
+        if fuse_detect:
+            acc, potential, contacts = force_detect_fn(
+                pos, state.mass, state.radius, state.alive)
+        else:
+            acc, potential = force_fn(pos, state.mass, state.alive)
         state = state.replace(
             pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo,
             acc=acc, potential=potential,
             time=state.time + dt, step=state.step + 1,
         )
-        return _apply_collisions(cfg, state)
+        return _apply_collisions(cfg, state, contacts)
 
     if accel_jerk_fn is None:
         from ..ops.forces import accel_jerk_dense
@@ -247,12 +254,17 @@ def make_step_fn(
             pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel)
         else:
             pos, pos_lo = _accumulate(state.pos, state.pos_lo, dt * vel, dt * vel_lo)
-        acc, potential = force_fn(pos, state.mass, state.alive)
+        contacts = None
+        if fuse_detect:
+            acc, potential, contacts = force_detect_fn(
+                pos, state.mass, state.radius, state.alive)
+        else:
+            acc, potential = force_fn(pos, state.mass, state.alive)
         state = state.replace(
             pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo,
             acc=acc, potential=potential,
             time=state.time + dt, step=state.step + 1,
         )
-        return _apply_collisions(cfg, state)
+        return _apply_collisions(cfg, state, contacts)
 
     return {"kdk": kdk, "euler": euler, "rk4": rk4, "hermite": hermite}[cfg.integrator]

@@ -284,7 +284,7 @@ def rollout(
     aj = (resolve_accel_jerk_fn(cfg, state.n_bodies)
           if cfg.integrator == "hermite" else None)
     fd = None
-    if cfg.collisions != "none" and cfg.integrator == "kdk":
+    if cfg.collisions != "none" and cfg.integrator in ("kdk", "euler", "rk4"):
         # None for force paths without a fused-detect variant -> the
         # stepper keeps the user's force path + unconditional sweep
         fd = resolve_force_detect_fn(cfg, state.n_bodies)

@@ -308,9 +308,12 @@ def test_fused_detect_ignores_far_parked_dead(rng):
     assert int(c) == 0
 
 
-def test_cond_gated_bounce_matches_unconditional(rng):
+@pytest.mark.parametrize("integrator", ["kdk", "euler", "rk4"])
+def test_cond_gated_bounce_matches_unconditional(rng, integrator):
     """Stepping with the fused-detect cond gate must be bit-identical to the
-    always-sweep stepper, through both contact-free and colliding steps."""
+    always-sweep stepper, through both contact-free and colliding steps,
+    for every integrator whose closing force eval sees collision-time
+    positions."""
     import orbital_tpu as ot
     from orbital_tpu.engine.integrators import make_step_fn
     from orbital_tpu.engine.rollout import (resolve_force_detect_fn,
@@ -323,7 +326,8 @@ def test_cond_gated_bounce_matches_unconditional(rng):
     mass = np.array([1.0, 1.0, 1e-3, 1e-3])
     radius = np.array([0.3, 0.3, 0.01, 0.01])
     cfg = ot.SimConfig(dt=0.05, G=1e-4, eps2=1e-6, collisions="bounce",
-                       restitution=0.8, force_impl="dense")
+                       restitution=0.8, force_impl="dense",
+                       integrator=integrator)
     s_a = ot.init_forces(make_state(pos, vel, mass, radius, precision="f32"), cfg)
     s_b = s_a
     step_plain = make_step_fn(cfg, resolve_force_fn(cfg, 4))
