@@ -47,13 +47,23 @@ __all__ = [
     "NBodyState", "Precision", "Rescale", "make_state",
     "Trajectory", "init_forces", "rollout", "rollout_jit", "SimConfig",
     "simulate", "SimResult", "SimulationEngine", "run_simulation",
+    "pm_acc_potential", "p3m_acc_potential",
 ]
 
 
 def __getattr__(name):
-    # Lazy: the engine facade pulls in collision/viz machinery.
+    # Lazy: the engine facade pulls in collision/viz machinery, the mesh
+    # solvers are large-N specialty paths.
     if name in ("SimulationEngine", "run_simulation"):
         from .engine.engine import SimulationEngine, run_simulation
 
         return {"SimulationEngine": SimulationEngine, "run_simulation": run_simulation}[name]
+    if name == "pm_acc_potential":
+        from .ops.pm import pm_acc_potential
+
+        return pm_acc_potential
+    if name == "p3m_acc_potential":
+        from .ops.p3m import p3m_acc_potential
+
+        return p3m_acc_potential
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
