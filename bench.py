@@ -247,6 +247,26 @@ def main() -> None:
         "ms_per_step_65536": round(sps_65k * 1e3, 3),
         "energy_drift_65536_10000steps": drift_65k,
     }
+
+    def _checkpoint_result():
+        """Persist progressively: if the alarm fires mid-extras (~12 TPU
+        compiles make total wall time vary), the emitted 'cached' result is
+        still THIS run's fresh headline + whatever extras completed."""
+        snap = {
+            "metric": ("body-steps/s/chip @ N=65536 (KDK leapfrog, "
+                       "softened O(N^2) Pallas gravity, ds32)"),
+            "value": round(rate_65k, 1),
+            "unit": "body-steps/s",
+            "vs_baseline": round(rate_65k / BASELINE_65K, 1),
+            "extras": dict(extras),
+        }
+        try:
+            with open(_LAST_GOOD, "w") as f:
+                json.dump(snap, f)
+        except OSError:
+            pass
+
+    _checkpoint_result()
     # secondary configs are best-effort: never lose the headline line
     try:
         rate_4k, sps_4k, drift_4k = bench_config(4096, drift_steps=10000, iters=100)
@@ -258,16 +278,19 @@ def main() -> None:
         )
     except Exception as e:  # noqa: BLE001
         extras["bench_4096_error"] = str(e)[:200]
+    _checkpoint_result()
     try:
         extras["ensemble_1024x26solar_body_steps_per_s"] = round(bench_ensemble(1024), 1)
     except Exception as e:  # noqa: BLE001
         extras["bench_ensemble_error"] = str(e)[:200]
+    _checkpoint_result()
     try:
         rate_coll = bench_rate_with_collisions(65536)
         extras["body_steps_per_s_65536_with_collision_sweep"] = round(rate_coll, 1)
         extras["vs_baseline_65536_with_collision_sweep"] = round(rate_coll / BASELINE_65K, 1)
     except Exception as e:  # noqa: BLE001
         extras["bench_collisions_error"] = str(e)[:200]
+    _checkpoint_result()
     try:
         extras["hermite_body_steps_per_s_65536"] = round(bench_hermite(65536), 1)
     except Exception as e:  # noqa: BLE001
@@ -276,6 +299,7 @@ def main() -> None:
         extras["pm_body_steps_per_s_1048576_grid128"] = round(bench_pm(1 << 20), 1)
     except Exception as e:  # noqa: BLE001
         extras["bench_pm_error"] = str(e)[:200]
+    _checkpoint_result()
     try:
         # exact-kernel ceiling datapoint (2x the headline N)
         rate_131k, sps_131k, _ = bench_config(131072, drift_steps=0, iters=2)
