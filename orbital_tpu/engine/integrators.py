@@ -98,6 +98,7 @@ def make_step_fn(
     force_fn: ForceFn,
     accel_jerk_fn: Optional[Callable] = None,
     force_detect_fn: Optional[Callable] = None,
+    accel_jerk_detect_fn: Optional[Callable] = None,
 ) -> Callable[[NBodyState], NBodyState]:
     """Build the jittable single-step function for a config.
 
@@ -110,8 +111,15 @@ def make_step_fn(
     (``rollout.resolve_force_detect_fn``); with it, the collision
     resolution sweep is lax.cond-skipped on contact-free steps. Applies
     to kdk, euler, and rk4 — each evaluates forces at exactly the
-    collision-time (post-drift/final) positions. Hermite's force eval is
-    at *predicted* positions, so it keeps the unconditional sweep.
+    collision-time (post-drift/final) positions.
+
+    ``accel_jerk_detect_fn(pos, vel, mass, radius, alive) -> (acc, jerk,
+    U, contacts)`` is the Hermite analog
+    (``rollout.resolve_accel_jerk_detect_fn``). Hermite's force eval is at
+    *predicted* positions, so its gate tests predicted separations: a
+    contact forming only in the predictor->corrector gap resolves one
+    step late (once penetration deepens) — the resolution sweep itself
+    always runs on true post-correction positions.
 
     KDK (velocity-Verlet) order matches the reference exactly
     (core/engine.py:65-97): the cached ``state.acc`` is a(t); collisions run
@@ -230,7 +238,12 @@ def make_step_fn(
         # predict
         rp = r0 + dt * v0 + (0.5 * dt2) * a0 + (dt2 * dt / 6.0) * j0
         vp = v0 + dt * a0 + (0.5 * dt2) * j0
-        a1, j1, potential = accel_jerk_fn(rp, vp, state.mass, state.alive)
+        contacts = None
+        if accel_jerk_detect_fn is not None and cfg.collisions != "none":
+            a1, j1, potential, contacts = accel_jerk_detect_fn(
+                rp, vp, state.mass, state.radius, state.alive)
+        else:
+            a1, j1, potential = accel_jerk_fn(rp, vp, state.mass, state.alive)
         # correct
         dv = (0.5 * dt) * (a0 + a1) + (dt2 / 12.0) * (j0 - j1)
         vel, vel_lo = _accumulate(state.vel, state.vel_lo, dv)
@@ -243,7 +256,7 @@ def make_step_fn(
             acc=a1, jerk=j1, potential=potential,
             time=state.time + dt, step=state.step + 1,
         )
-        return _apply_collisions(cfg, state)
+        return _apply_collisions(cfg, state, contacts)
 
     def euler(state: NBodyState) -> NBodyState:
         # v(t+dt) = v(t) + a(t) dt; r(t+dt) = r(t) + v(t+dt) dt

@@ -23,7 +23,8 @@ from .integrators import ForceFn, make_step_fn
 from .state import NBodyState
 
 __all__ = ["Trajectory", "resolve_force_fn", "resolve_force_detect_fn",
-           "resolve_accel_jerk_fn", "init_forces", "rollout", "rollout_jit"]
+           "resolve_accel_jerk_fn", "resolve_accel_jerk_detect_fn",
+           "init_forces", "rollout", "rollout_jit"]
 
 # Above this body count the dense [N, N] path gives way to row-blocked or
 # Pallas kernels ("auto" policy).
@@ -115,6 +116,21 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
                 with_potential=cfg.track_potential, box=box)
             return acc, U
         return fn
+    if impl == "tree":
+        from ..ops.tree import tree_acc_potential
+
+        def fn(pos, mass, alive):
+            # the overflow counter is dropped on the hot path; size
+            # cfg.tree_capacity / tree_max_cells via tree_occupancy_probe
+            # (simulate(force_impl="tree") does) and re-probe between
+            # rollout chunks if the system contracts
+            acc, U, _ = tree_acc_potential(
+                pos, mass, alive, G_grav=cfg.G, eps2=cfg.eps2,
+                levels=cfg.tree_levels, capacity=cfg.tree_capacity,
+                ws=cfg.tree_ws, max_cells=cfg.tree_max_cells,
+                with_potential=cfg.track_potential, box=cfg.pm_box_arrays())
+            return acc, U
+        return fn
     if impl == "ring":
         # the ring force needs the mesh's shard count and must run inside
         # shard_map; it cannot be resolved from a config alone
@@ -181,10 +197,10 @@ def resolve_accel_jerk_fn(cfg: SimConfig, n: int):
     from ..ops.forces import accel_jerk_chunked, accel_jerk_dense
 
     impl = cfg.force_impl
-    if impl in ("pm", "p3m"):
+    if impl in ("pm", "p3m", "tree"):
         raise ValueError(
             "integrator='hermite' needs exact per-pair jerks, which the "
-            f"mesh solvers cannot provide; use kdk/euler/rk4 with "
+            f"mesh/tree solvers cannot provide; use kdk/euler/rk4 with "
             f"force_impl={impl!r}, or an exact force path for hermite")
     if impl in ("auto", "pallas", "pallas_sym", "mxu", "pallas_mxu", "ring"):
         if n <= _DENSE_MAX_N:
@@ -205,6 +221,46 @@ def resolve_accel_jerk_fn(cfg: SimConfig, n: int):
 
     return lambda pos, vel, mass, alive: accel_jerk_pallas(
         pos, vel, mass, alive, G=cfg.G, eps2=cfg.eps2)
+
+
+def resolve_accel_jerk_detect_fn(cfg: SimConfig, n: int):
+    """Hermite acc+jerk with fused contact detection:
+    ``fn(pos, vel, mass, radius, alive) -> (acc, jerk, U, contacts)``.
+    On the Pallas path detection rides the jerk sweep's r^2 tiles; the
+    dense/chunked paths pay a cheap sqrt-free second pass at the same
+    (predicted) positions. The Hermite stepper uses the count to
+    lax.cond-skip its collision resolution sweep — previously hermite
+    always paid the separate unconditional sweep (ROADMAP round-2 gap)."""
+    from ..ops.collisions import count_contacts_chunked, count_contacts_dense
+    from ..ops.forces import accel_jerk_chunked, accel_jerk_dense
+
+    impl = cfg.force_impl
+    if impl in ("auto", "pallas", "pallas_sym", "mxu", "pallas_mxu", "ring"):
+        if n <= _DENSE_MAX_N:
+            impl = "dense"
+        elif jax.default_backend() == "tpu" and n % cfg.chunk == 0:
+            impl = "jerk_pallas"
+        else:
+            impl = "chunked"
+
+    if impl == "dense":
+        def fn(pos, vel, mass, radius, alive):
+            acc, jerk, U = accel_jerk_dense(pos, vel, mass, alive,
+                                            G=cfg.G, eps2=cfg.eps2)
+            return acc, jerk, U, count_contacts_dense(pos, radius, alive)
+        return fn
+    if impl == "chunked":
+        def fn(pos, vel, mass, radius, alive):
+            acc, jerk, U = accel_jerk_chunked(pos, vel, mass, alive,
+                                              G=cfg.G, eps2=cfg.eps2,
+                                              chunk=min(cfg.chunk, n))
+            return acc, jerk, U, count_contacts_chunked(
+                pos, radius, alive, chunk=min(cfg.chunk, n))
+        return fn
+    from ..ops.pallas_jerk import accel_jerk_detect_pallas
+
+    return lambda pos, vel, mass, radius, alive: accel_jerk_detect_pallas(
+        pos, vel, mass, radius, alive, G=cfg.G, eps2=cfg.eps2)
 
 
 def init_forces(state: NBodyState, cfg: SimConfig, force_fn: Optional[ForceFn] = None) -> NBodyState:
@@ -284,11 +340,15 @@ def rollout(
     aj = (resolve_accel_jerk_fn(cfg, state.n_bodies)
           if cfg.integrator == "hermite" else None)
     fd = None
+    ajd = None
     if cfg.collisions != "none" and cfg.integrator in ("kdk", "euler", "rk4"):
         # None for force paths without a fused-detect variant -> the
         # stepper keeps the user's force path + unconditional sweep
         fd = resolve_force_detect_fn(cfg, state.n_bodies)
-    step_fn = make_step_fn(cfg, fn, accel_jerk_fn=aj, force_detect_fn=fd)
+    if cfg.collisions != "none" and cfg.integrator == "hermite":
+        ajd = resolve_accel_jerk_detect_fn(cfg, state.n_bodies)
+    step_fn = make_step_fn(cfg, fn, accel_jerk_fn=aj, force_detect_fn=fd,
+                           accel_jerk_detect_fn=ajd)
 
     if record_every <= 0:
         final = lax.fori_loop(0, steps, lambda _, s: step_fn(s), state)

@@ -225,6 +225,40 @@ def test_merge_collisions_in_rollout():
     np.testing.assert_allclose(np.asarray(fin.vel)[0], [(2 - 3) / 5.0, 0, 0], atol=1e-12)
 
 
+def test_hermite_bounce_collisions_in_rollout():
+    """Hermite + bounce: the fused predicted-position contact gate
+    (rollout.resolve_accel_jerk_detect_fn) must not change collision
+    semantics — momentum conserved, bodies separate after the bounce."""
+    pos = np.array([[0.0, 0, 0], [5.0, 0, 0]])
+    vel = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
+    mass = np.array([2.0, 3.0])
+    radius = np.array([1.0, 1.0])
+    st = make_state(pos, vel, mass, radius, precision="f64")
+    cfg = ot.SimConfig(dt=0.05, G=1e-20, collisions="bounce",
+                       restitution=1.0, integrator="hermite")
+    st = ot.init_forces(st, cfg)
+    p0 = np.asarray(momentum(st.vel, st.mass))
+    fin, _ = ot.rollout_jit(st, cfg, 200)
+    p1 = np.asarray(momentum(fin.vel, fin.mass))
+    np.testing.assert_allclose(p1, p0, atol=1e-12)
+    v = np.asarray(fin.vel)
+    assert v[0, 0] < 0 < v[1, 0]
+
+
+def test_hermite_merge_collisions_in_rollout():
+    pos = np.array([[0.0, 0, 0], [5.0, 0, 0]])
+    vel = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
+    mass = np.array([2.0, 3.0])
+    radius = np.array([1.0, 1.0])
+    st = make_state(pos, vel, mass, radius, precision="f64")
+    cfg = ot.SimConfig(dt=0.05, G=1e-20, collisions="merge",
+                       integrator="hermite")
+    st = ot.init_forces(st, cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 200)
+    assert np.asarray(fin.alive).tolist() == [True, False]
+    assert float(np.asarray(fin.mass)[0]) == 5.0
+
+
 def test_rk4_more_accurate_than_kdk():
     # one full orbit: RK4's position error is orders of magnitude below
     # leapfrog's at the same dt

@@ -275,6 +275,35 @@ def test_fused_detect_counts_match_dense(rng):
     assert float(U) == pytest.approx(float(U_ref), rel=1e-5)
 
 
+def test_jerk_fused_detect_matches_dense(rng):
+    """The Hermite variant: acc+jerk+U match the plain jerk kernel and the
+    contact count matches the dense oracle at the same positions."""
+    from orbital_tpu.engine.state import far_positions
+    from orbital_tpu.ops.collisions import count_contacts_dense
+    from orbital_tpu.ops.forces import accel_jerk_dense
+    from orbital_tpu.ops.pallas_jerk import accel_jerk_detect_pallas
+
+    n = 256
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    vel = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.1, 2.0, n).astype(np.float32)
+    radius = rng.uniform(0.0, 0.15, n).astype(np.float32)
+    alive = rng.uniform(size=n) > 0.15
+    pos[~alive] = far_positions(int((~alive).sum()), 2.0,
+                                np.float32).astype(np.float32)
+    a_ref, j_ref, U_ref = accel_jerk_dense(pos, vel, mass, alive,
+                                           G=1.0, eps2=1e-4)
+    c_ref = int(count_contacts_dense(pos, radius * alive, alive))
+    a, j, U, c = accel_jerk_detect_pallas(pos, vel, mass, radius, alive,
+                                          G=1.0, eps2=1e-4,
+                                          tile_i=64, tile_j=128)
+    assert c_ref > 0
+    assert int(c) == c_ref
+    assert _relerr(np.asarray(a)[alive], np.asarray(a_ref)[alive]) < 1e-5
+    assert _relerr(np.asarray(j)[alive], np.asarray(j_ref)[alive]) < 1e-4
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-5)
+
+
 def test_fused_detect_zero_when_separated(rng):
     from orbital_tpu.ops.pallas_forces import pairwise_acc_detect_pallas
 
