@@ -47,7 +47,7 @@ __all__ = [
     "NBodyState", "Precision", "Rescale", "make_state",
     "Trajectory", "init_forces", "rollout", "rollout_jit", "SimConfig",
     "simulate", "SimResult", "SimulationEngine", "run_simulation",
-    "pm_acc_potential", "p3m_acc_potential",
+    "pm_acc_potential", "p3m_acc_potential", "tree_acc_potential",
 ]
 
 
@@ -66,4 +66,8 @@ def __getattr__(name):
         from .ops.p3m import p3m_acc_potential
 
         return p3m_acc_potential
+    if name == "tree_acc_potential":
+        from .ops.tree import tree_acc_potential
+
+        return tree_acc_potential
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

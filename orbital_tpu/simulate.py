@@ -61,6 +61,9 @@ def simulate(
     pm_grid: int = 64,
     p3m_capacity: Union[int, str] = "auto",
     pm_box: Optional[tuple] = None,
+    tree_levels: int = 6,
+    tree_capacity: Union[int, str] = "auto",
+    tree_ws: int = 1,
     unit_profile: UnitProfile = STANDARD,
     rescale: Optional[Rescale] = None,
 ) -> SimResult:
@@ -91,6 +94,9 @@ def simulate(
     if isinstance(p3m_capacity, str) and p3m_capacity != "auto":
         raise ValueError(
             f"p3m_capacity must be an int or 'auto', got {p3m_capacity!r}")
+    if isinstance(tree_capacity, str) and tree_capacity != "auto":
+        raise ValueError(
+            f"tree_capacity must be an int or 'auto', got {tree_capacity!r}")
     if pm_box is not None:
         # pm_box arrives in scene (physical) units like softening/dt;
         # internal state is rescaled, so the pinned cube must be too
@@ -106,6 +112,9 @@ def simulate(
         pm_grid=pm_grid,
         p3m_capacity=64 if p3m_capacity == "auto" else int(p3m_capacity),
         pm_box=pm_box,
+        tree_levels=tree_levels,
+        tree_capacity=48 if tree_capacity == "auto" else int(tree_capacity),
+        tree_ws=tree_ws,
     )
     state = make_state(arrays.pos, arrays.vel, arrays.mass, arrays.radius,
                        precision=precision, rescale=rescale)
@@ -125,6 +134,27 @@ def simulate(
                 "(needs > 4096 with headroom) — the scene is too "
                 "concentrated for P3M; use exact kernels or PM")
         cfg = cfg.replace(p3m_capacity=cap)
+    if force_impl == "tree":
+        # size per-cell capacity and the occupied-cell sweep budget from
+        # the actual initial distribution in one cheap pass; re-probe
+        # mid-run with ops.tree.tree_occupancy_probe if the system
+        # contracts (the hot path drops the overflow counter)
+        from .ops.tree import tree_occupancy_probe
+
+        occ, ncells = tree_occupancy_probe(state.pos, state.alive,
+                                           levels=tree_levels,
+                                           box=cfg.pm_box_arrays())
+        kcells = min(state.n_bodies, 8 ** tree_levels,
+                     -(-int(int(ncells) * 1.5) // 1024) * 1024)
+        cfg = cfg.replace(tree_max_cells=kcells)
+        if tree_capacity == "auto":
+            cap = max(16, -(-int(int(occ) * 1.5) // 8) * 8)
+            if cap > 4096:
+                raise ValueError(
+                    f"tree_capacity='auto': densest cell holds {int(occ)} "
+                    "bodies — raise tree_levels (finer cells) for this "
+                    "concentration")
+            cfg = cfg.replace(tree_capacity=cap)
     state = init_forces(state, cfg)
     final, traj = rollout_jit(state, cfg, steps, record_every)
     assert isinstance(traj, Trajectory)

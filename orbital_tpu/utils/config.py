@@ -41,7 +41,12 @@ class SimConfig:
             N >> 1e5; collisionless accuracy contract, see ops/pm.py) |
             "p3m" (PM far field + exact short-range cell-list correction,
             ~2e-3 force accuracy at large N for bounded density contrast;
-            see ops/p3m.py) | "ring".
+            see ops/p3m.py) |
+            "tree" (multilevel monopole far field + exact occupied-cell
+            near field — the solver for strongly *concentrated* large-N
+            systems where P3M's per-cell capacity overflows; ~1e-2 RMS
+            forces at tree_ws=1, ~3e-3 at tree_ws=2; see ops/tree.py) |
+            "ring".
         chunk: row-block size for the chunked/pallas force paths.
         shard_axis: mesh axis name for the ring force path (None = unsharded).
         track_potential: compute the softened potential every force eval
@@ -60,10 +65,23 @@ class SimConfig:
             overflowing bodies silently lose short-range pairs — size it
             from the density (call ops.p3m.p3m_acc_potential directly once
             to read the overflow counter).
-        pm_box: optional (cx, cy, cz, half) pinning the pm/p3m mesh to a
-            fixed cube. A static mesh makes the approximate force a fixed
-            Hamiltonian that leapfrog conserves (recommended for long
-            rollouts); default refits the live bounding cube every step.
+        pm_box: optional (cx, cy, cz, half) pinning the pm/p3m mesh — and
+            the tree grid — to a fixed cube. A static mesh makes the
+            approximate force a fixed Hamiltonian that leapfrog conserves
+            (recommended for long rollouts); default refits the live
+            bounding cube every step.
+        tree_levels: force_impl="tree" pyramid depth (near field on
+            2^levels cells per side). Deeper tolerates higher density
+            contrast at 8x far-field cost per level.
+        tree_capacity: max bodies per finest tree cell; size it with
+            ops.tree.tree_occupancy_probe (simulate(force_impl="tree")
+            auto-sizes). Overflowing bodies lose near-field pairs and are
+            counted by the solver's overflow output.
+        tree_ws: tree well-separation in cells — 1 (fast, ~1e-2 RMS
+            forces) or 2 (~3e-3, ~4x the far-field + near-field cost).
+        tree_max_cells: static occupied-cell budget for the tree's
+            near-field sweep (0 = min(N, 8^levels), always safe; smaller
+            compiles a smaller sweep).
     """
 
     dt: float
@@ -82,14 +100,22 @@ class SimConfig:
     pm_grid: int = 64
     p3m_capacity: int = 64
     pm_box: Optional[tuple] = None
+    tree_levels: int = 6
+    tree_capacity: int = 48
+    tree_ws: int = 1
+    tree_max_cells: int = 0
 
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
         if self.integrator not in ("kdk", "euler", "rk4", "hermite"):
             raise ValueError(f"bad integrator: {self.integrator!r}")
-        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "pallas_mxu", "pm", "p3m", "ring"):
+        if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "pallas_mxu", "pm", "p3m", "tree", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
+        if self.tree_ws not in (1, 2):
+            raise ValueError(f"tree_ws must be 1 or 2, got {self.tree_ws}")
+        if not (2 <= self.tree_levels <= 8):
+            raise ValueError(f"tree_levels must be in [2, 8], got {self.tree_levels}")
         if self.ring_block_impl not in ("auto", "pallas", "dense"):
             raise ValueError(f"bad ring_block_impl: {self.ring_block_impl!r}")
         if self.pm_box is not None and len(self.pm_box) != 4:
