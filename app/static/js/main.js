@@ -10,21 +10,17 @@
  * grows as the camera closes in on a focused body, so moon systems become
  * explorable without breaking float precision at solar-system extents.
  */
-// three.js loads from the CDN importmap; without egress we degrade to a
-// visible banner instead of a silent blank canvas.
+// three.js loads from the CDN importmap; without egress we degrade to the
+// self-contained 2D canvas viewer (fallback2d.js — no external deps), so
+// zero-egress deploys still get a live, interactive scene.
 let THREE, OrbitControls;
 try {
   THREE = await import("three");
   ({ OrbitControls } = await import("three/addons/controls/OrbitControls.js"));
 } catch (err) {
-  const el = document.createElement("div");
-  el.className = "hud";
-  el.style.cssText = "top:40%;left:50%;transform:translate(-50%,-50%);max-width:420px;text-align:center;";
-  el.innerHTML = "<b>3D renderer unavailable</b><br>three.js could not load " +
-    "from the CDN (no network egress?). The simulation is still running — " +
-    "poll <code>/api/state</code> for live positions.";
-  document.body.appendChild(el);
-  throw err;
+  const { startFallback } = await import("./fallback2d.js");
+  startFallback(window.__BOOTSTRAP__ || { history: {}, snapshot: { bodies: [] } });
+  throw err;  // stop the 3D module; the fallback owns the page now
 }
 
 const POLL_MS = 1000;
