@@ -41,10 +41,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .pm import _pm_core
 
-__all__ = ["p3m_acc_potential", "p3m_overflow_probe", "p3m_max_occupancy"]
+__all__ = ["p3m_acc_potential", "p3m_ring_force", "p3m_overflow_probe",
+           "p3m_max_occupancy"]
 
 _OFFSETS = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
             for c in (-1, 0, 1)]
@@ -230,6 +232,184 @@ def p3m_acc_potential(
     else:
         U = jnp.zeros((), f32)
     return acc.astype(pos.dtype), U.astype(pos.dtype), overflow
+
+
+def p3m_ring_force(
+    pos: jax.Array,
+    mass: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    G_grav: float,
+    eps2: float,
+    grid: int = 64,
+    sigma_cells: float = 1.5,
+    cut_sigma: float = 4.5,
+    capacity: int = 64,
+    cell_block: int = 32,
+    with_potential: bool = True,
+    deconvolve: bool = True,
+    box=None,
+    axis_name: str,
+    n_shards: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Body-sharded P3M for use *inside* ``shard_map``: per-device body
+    shards in, per-device acc shard + replicated total potential out.
+
+    Composition: the mesh part is the standard sharded PM pipeline (local
+    CIC deposit, ONE psum of the mass grid, replicated FFT — the box is
+    agreed collectively or pinned via ``box``). The short-range cell-list
+    correction rides a ``lax.ppermute`` ring like the exact force: every
+    round the visiting (positions, masses, global-ids) block is re-binned
+    into the SAME global cell grid and each local cell sums its bodies
+    against the visitors in its 27-neighborhood; global ids make self-pair
+    exclusion exact in the diagonal round.
+
+    Scaling contract (be honest about it): this removes the single-device
+    *memory* ceiling (each chip holds N/D bodies and the mesh deposit/
+    gather scale with N/D), but the short-range sweep is ring-replicated —
+    each chip still does ~N x 27 x capacity pair work per force call, so
+    short-range wall time matches a single chip at the same total N rather
+    than dividing by D (domain decomposition, not done here, would be the
+    next step). Capacity overflow is NOT returned on this path (a ForceFn
+    returns (acc, U)); size ``capacity`` with :func:`p3m_max_occupancy`
+    on the full body set before sharding.
+    """
+    if eps2 <= 0.0:
+        raise ValueError("the P3M solver requires eps2 > 0")
+    nloc = pos.shape[0]
+    g = int(grid)
+    f32 = jnp.float32
+
+    pos32 = pos.astype(f32)
+    alive_b = (jnp.ones((nloc,), bool) if alive is None
+               else alive.astype(bool))
+    alive_f = alive_b.astype(f32)
+    m_eff = mass.astype(f32) * alive_f
+
+    def kern_long(r2_grid, h):
+        sigma = sigma_cells * h
+        rg = jnp.sqrt(r2_grid)
+        safe = rg > 0.0
+        return jnp.where(
+            safe,
+            jax.scipy.special.erf(rg / (2.0 * sigma)) / jnp.where(safe, rg, 1.0),
+            1.0 / (sigma * math.sqrt(math.pi)))
+
+    acc_mesh, phi_at, h, center, half = _pm_core(
+        pos32, m_eff, alive_f, g=g, G_grav=G_grav, kern_builder=kern_long,
+        with_potential=with_potential, axis_name=axis_name,
+        deconvolve=deconvolve, box=box)
+    sigma = sigma_cells * h
+    rcut2 = (cut_sigma * sigma) ** 2
+    gc = max(1, int(g / (sigma_cells * cut_sigma)))
+    gc3 = gc * gc * gc
+    origin = center - half
+    s_cell = 2.0 * half / gc
+
+    def bin_block(p32, a_b):
+        """[gc3+1, capacity] body-index table on the agreed global grid
+        (sentinel row gc3; sentinel index nloc)."""
+        cc = jnp.clip(jnp.floor((p32 - origin) / s_cell).astype(jnp.int32),
+                      0, gc - 1)
+        cid = (cc[:, 0] * gc + cc[:, 1]) * gc + cc[:, 2]
+        cid = jnp.where(a_b, cid, gc3)
+        order = jnp.argsort(cid)
+        sct = cid[order]
+        first = jnp.searchsorted(sct, sct, side="left")
+        rk = jnp.arange(nloc, dtype=jnp.int32) - first.astype(jnp.int32)
+        keep = (rk < capacity) & (sct < gc3)
+        tbl = jnp.full((gc3 + 1, capacity), nloc, jnp.int32)
+        tbl = tbl.at[jnp.where(keep, sct, gc3),
+                     jnp.clip(rk, 0, capacity - 1)].set(
+            jnp.where(keep, order.astype(jnp.int32), nloc))
+        return tbl
+
+    my_tbl = bin_block(pos32, alive_b)
+    pos_pad_i = jnp.concatenate([pos32, jnp.full((1, 3), 1e30, f32)], axis=0)
+    cell_pos_i = pos_pad_i[my_tbl]                     # [gc3+1, M, 3]
+    gid0 = (lax.axis_index(axis_name).astype(jnp.int32) * nloc
+            + jnp.arange(nloc, dtype=jnp.int32))
+    gid_pad_i = jnp.concatenate([gid0, jnp.full((1,), -2, jnp.int32)])
+
+    n_blocks = -(-gc3 // cell_block)
+    starts = jnp.arange(0, n_blocks * cell_block, cell_block)
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def sweep(visit):
+        pos_j, m_j, alive_j, gid_j = visit
+        tbl_j = bin_block(pos_j, alive_j)
+        pj_pad = jnp.concatenate([pos_j, jnp.full((1, 3), 1e30, f32)], axis=0)
+        mj_pad = jnp.concatenate([m_j, jnp.zeros((1,), f32)])
+        gj_pad = jnp.concatenate([gid_j, jnp.full((1,), -1, jnp.int32)])
+        cell_pos_j = pj_pad[tbl_j]
+        cell_m_j = mj_pad[tbl_j]
+        cell_g_j = gj_pad[tbl_j]
+
+        def block(c0):
+            cells = c0 + jnp.arange(cell_block)
+            valid_cell = cells < gc3
+            cells_c = jnp.where(valid_cell, cells, gc3)
+            cz = cells % gc
+            cy = (cells // gc) % gc
+            cx = cells // (gc * gc)
+            nb_ids = []
+            for a, b, c in _OFFSETS:
+                nx, ny, nz = cx + a, cy + b, cz + c
+                ok = ((0 <= nx) & (nx < gc) & (0 <= ny) & (ny < gc)
+                      & (0 <= nz) & (nz < gc) & valid_cell)
+                nb_ids.append(jnp.where(ok, (nx * gc + ny) * gc + nz, gc3))
+            nb = jnp.stack(nb_ids, axis=1)             # [B, 27]
+
+            idx_my = my_tbl[cells_c]                   # [B, M] local indices
+            gid_my = gid_pad_i[idx_my]
+            pi = cell_pos_i[cells_c]                   # [B, M, 3]
+            pj = cell_pos_j[nb].reshape(cell_block, -1, 3)
+            mj = cell_m_j[nb].reshape(cell_block, -1)
+            gj = cell_g_j[nb].reshape(cell_block, -1)
+
+            dx = pj[:, None, :, 0] - pi[:, :, None, 0]
+            dy = pj[:, None, :, 1] - pi[:, :, None, 1]
+            dz = pj[:, None, :, 2] - pi[:, :, None, 2]
+            r2 = dx * dx + dy * dy + dz * dz
+            pair_ok = (gid_my[:, :, None] != gj[:, None, :]) & (r2 < rcut2)
+            gsh, ksh = _short_factors(r2, sigma, eps2)
+            w = jnp.where(pair_ok, mj[:, None, :] * gsh, 0.0)
+            acc_b = G_grav * jnp.stack(
+                [jnp.sum(w * dx, -1), jnp.sum(w * dy, -1),
+                 jnp.sum(w * dz, -1)], axis=-1)
+            pe_b = jnp.sum(jnp.where(pair_ok, mj[:, None, :] * ksh, 0.0), -1)
+            return idx_my, acc_b, pe_b
+
+        idx_all, acc_all, pe_all = jax.lax.map(block, starts)
+        idx_flat = idx_all.reshape(-1)
+        a = jax.ops.segment_sum(acc_all.reshape(-1, 3), idx_flat,
+                                num_segments=nloc + 1)[:nloc]
+        p = jax.ops.segment_sum(pe_all.reshape(-1), idx_flat,
+                                num_segments=nloc + 1)[:nloc]
+        return a, p
+
+    def round_k(k, carry):
+        acc_s, pe_s, visit = carry
+        a_r, p_r = sweep(visit)
+        visit = tuple(lax.ppermute(x, axis_name, perm=fwd) for x in visit)
+        return acc_s + a_r, pe_s + p_r, visit
+
+    visit0 = (pos32, m_eff, alive_b, gid0)
+    # zeros derive from shard-varying values so the carry's varying manual
+    # axes match the loop body's outputs (shard_map vma checking)
+    acc_s, pe_s, _ = lax.fori_loop(
+        0, n_shards, round_k,
+        (jnp.zeros_like(pos32), jnp.zeros_like(m_eff), visit0))
+
+    acc = (acc_mesh + acc_s) * alive_f[:, None]
+    if with_potential:
+        self_phi = -G_grav * m_eff * (1.0 / (sigma * math.sqrt(math.pi)))
+        u_local = (0.5 * jnp.sum(m_eff * (phi_at - self_phi))
+                   + (-0.5 * G_grav) * jnp.sum(m_eff * pe_s))
+        U = lax.psum(u_local, axis_name)
+    else:
+        U = jnp.zeros((), f32)
+    return acc.astype(pos.dtype), U.astype(pos.dtype)
 
 
 @partial(jax.jit,

@@ -147,12 +147,27 @@ def ring_bounce_fn(cfg: SimConfig, n_shards: int):
 
 
 
-def _mesh_force_fn(cfg: SimConfig, axis: str):
-    """PM force closure for a body-sharded axis (shared by the 1D and 2D
-    step builders so their force dispatch can't drift apart)."""
-    from ..ops.pm import pm_acc_potential
-
+def _mesh_force_fn(cfg: SimConfig, axis: str, n_shards: int):
+    """PM / P3M force closure for a body-sharded axis (shared by the 1D
+    and 2D step builders so their force dispatch can't drift apart). PM is
+    local deposit + one grid psum; P3M additionally rings its short-range
+    cell-list correction (see ops.p3m.p3m_ring_force for the scaling
+    contract)."""
     pm_box = cfg.pm_box_arrays()
+
+    if cfg.force_impl == "p3m":
+        from ..ops.p3m import p3m_ring_force
+
+        def force(pos, mass, alive):
+            return p3m_ring_force(pos, mass, alive, G_grav=cfg.G,
+                                  eps2=cfg.eps2, grid=cfg.pm_grid,
+                                  capacity=cfg.p3m_capacity,
+                                  with_potential=cfg.track_potential,
+                                  box=pm_box, axis_name=axis,
+                                  n_shards=n_shards)
+        return force
+
+    from ..ops.pm import pm_acc_potential
 
     def force(pos, mass, alive):
         return pm_acc_potential(pos, mass, alive, G_grav=cfg.G,
@@ -161,11 +176,6 @@ def _mesh_force_fn(cfg: SimConfig, axis: str):
                                 axis_name=axis, box=pm_box)
 
     return force
-
-
-_P3M_SHARDED_MSG = ("P3M is single-device today (its cell tables don't "
-                    "shard); use force_impl='pm' or the exact ring under "
-                    "shard_map")
 
 
 def ring_contacts_fn(cfg: SimConfig, n_shards: int):
@@ -303,25 +313,27 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
     force is the ppermute ring plus one psum for the potential;
     ``force_impl="pm"`` instead runs NO ring — pmin/pmax agree the mesh
     box (skipped with a static ``cfg.pm_box``) and one psum of the G^3
-    mass grid globalizes the density. Collision modes add their own
-    (bounce: impulse ring; merge: contact-count ring + gated all_gather).
+    mass grid globalizes the density; ``force_impl="p3m"`` adds a
+    ppermute ring for its short-range cell-list correction (memory
+    scales, short-range compute is ring-replicated — see
+    ops.p3m.p3m_ring_force). Collision modes add their own (bounce:
+    impulse ring; merge: contact-count ring + gated all_gather).
     """
     axis = axis or cfg.shard_axis or "body"
-    if cfg.force_impl == "p3m":
-        raise NotImplementedError(_P3M_SHARDED_MSG)
-    use_pm = cfg.force_impl == "pm"
+    use_mesh_solver = cfg.force_impl in ("pm", "p3m")
     cfg = cfg.replace(shard_axis=axis,
-                      force_impl="pm" if use_pm else "ring")
+                      force_impl=cfg.force_impl if use_mesh_solver else "ring")
     n_shards = mesh.shape[axis]
     n_bodies = state_example.n_bodies
     if n_bodies % n_shards != 0:
         raise ValueError(f"N={n_bodies} must divide across {n_shards} shards "
                          f"(pad via make_state(pad_to=...))")
 
-    if use_pm:
-        # particle-mesh across the mesh: local deposit + one psum of the
-        # grid; the O(N^2) ring never runs (see ops.pm docstring)
-        force = _mesh_force_fn(cfg, axis)
+    if use_mesh_solver:
+        # mesh solvers across the mesh: local deposit + one psum of the
+        # grid (PM), plus a ringed short-range correction (P3M); the
+        # O(N^2) ring never runs (see ops.pm / ops.p3m docstrings)
+        force = _mesh_force_fn(cfg, axis, n_shards)
     else:
         force = ring_force_fn(cfg, n_shards)
     kdk = make_step_fn(cfg.replace(collisions="none"), force)
@@ -396,11 +408,9 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
     returns ``(step, shardings)`` where ``shardings`` places a batched
     state onto the mesh.
     """
-    if cfg.force_impl == "p3m":
-        raise NotImplementedError(_P3M_SHARDED_MSG)
-    use_pm = cfg.force_impl == "pm"
+    use_mesh_solver = cfg.force_impl in ("pm", "p3m")
     cfg = cfg.replace(shard_axis=body_axis,
-                      force_impl="pm" if use_pm else "ring")
+                      force_impl=cfg.force_impl if use_mesh_solver else "ring")
     if cfg.collisions == "merge":
         raise NotImplementedError(
             "merge under the vmapped ensemble turns the contact-gated "
@@ -411,8 +421,8 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
     if n_bodies % n_body_shards != 0:
         raise ValueError(f"N={n_bodies} must divide across {n_body_shards} shards")
 
-    if use_pm:
-        force = _mesh_force_fn(cfg, body_axis)
+    if use_mesh_solver:
+        force = _mesh_force_fn(cfg, body_axis, n_body_shards)
     else:
         force = ring_force_fn(cfg, n_body_shards)
     kdk = make_step_fn(cfg.replace(collisions="none"), force)
