@@ -137,7 +137,7 @@ def main():
     ap.add_argument("--ensemble", type=int, default=1024)
     ap.add_argument("--precision", default="ds32", choices=["f32", "ds32", "f64"])
     ap.add_argument("--integrator", default="kdk",
-                    choices=["kdk", "euler", "rk4", "hermite"])
+                    choices=["kdk", "euler", "rk4", "hermite", "yoshida4"])
     ap.add_argument("--force-impl", default="auto",
                     choices=["auto", "dense", "chunked", "pallas",
                              "pallas_sym", "mxu", "pallas_mxu", "pm"])

@@ -157,6 +157,44 @@ def make_step_fn(
         with jax.named_scope("collisions"):
             return _apply_collisions(cfg, state, contacts)
 
+    def yoshida4(state: NBodyState) -> NBodyState:
+        """4th-order symplectic integrator (Yoshida 1990): the KDK kernel
+        composed three times with weights (w1, w0, w1), w1 = 1/(2-2^(1/3)),
+        w0 = 1 - 2 w1. Three force evaluations per step; symplectic like
+        KDK (bounded long-horizon energy error) but two orders more
+        accurate per step — the cheap upgrade when dt, not force cost,
+        limits accuracy. The middle sub-step runs *backwards* (w0 < 0);
+        that is intrinsic to 4th-order splitting (Suzuki), not a bug.
+
+        Contact detection rides the closing force evaluation (true
+        end-of-step positions), exactly as in kdk; the cached ``state.acc``
+        seeds the first sub-step's kick and the closing acceleration is
+        cached for the next step.
+        """
+        s = state
+        contacts = None
+        w1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+        for i, w in enumerate((w1, 1.0 - 2.0 * w1, w1)):
+            h = w * dt
+            last = i == 2
+            vel, vel_lo = _accumulate(s.vel, s.vel_lo, 0.5 * h * s.acc)
+            if vel_lo is None:
+                pos, pos_lo = _accumulate(s.pos, s.pos_lo, h * vel)
+            else:
+                pos, pos_lo = _accumulate(s.pos, s.pos_lo, h * vel,
+                                          h * vel_lo)
+            if last and fuse_detect:
+                acc, potential, contacts = force_detect_fn(
+                    pos, s.mass, s.radius, s.alive)
+            else:
+                acc, potential = force_fn(pos, s.mass, s.alive)
+            vel, vel_lo = _accumulate(vel, vel_lo, 0.5 * h * acc)
+            s = s.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo,
+                          acc=acc, potential=potential)
+        s = s.replace(time=state.time + dt, step=state.step + 1)
+        with jax.named_scope("collisions"):
+            return _apply_collisions(cfg, s, contacts)
+
     def rk4(state: NBodyState) -> NBodyState:
         """Classical RK4 (BASELINE north star names it alongside leapfrog).
 
@@ -280,4 +318,5 @@ def make_step_fn(
         )
         return _apply_collisions(cfg, state, contacts)
 
-    return {"kdk": kdk, "euler": euler, "rk4": rk4, "hermite": hermite}[cfg.integrator]
+    return {"kdk": kdk, "euler": euler, "rk4": rk4, "hermite": hermite,
+            "yoshida4": yoshida4}[cfg.integrator]

@@ -341,7 +341,8 @@ def rollout(
           if cfg.integrator == "hermite" else None)
     fd = None
     ajd = None
-    if cfg.collisions != "none" and cfg.integrator in ("kdk", "euler", "rk4"):
+    if cfg.collisions != "none" and cfg.integrator in ("kdk", "euler",
+                                                       "rk4", "yoshida4"):
         # None for force paths without a fused-detect variant -> the
         # stepper keeps the user's force path + unconditional sweep
         fd = resolve_force_detect_fn(cfg, state.n_bodies)

@@ -31,7 +31,10 @@ class SimConfig:
             "euler" (semi-implicit, reference: core/physics.py:315-332) |
             "rk4" (classical 4th order; 4 force evals/step) |
             "hermite" (4th-order predictor-corrector with jerk; 1 combined
-            acc+jerk eval/step, dense force path).
+            acc+jerk eval/step, dense force path) |
+            "yoshida4" (4th-order symplectic; 3 weighted KDK sub-steps,
+            3 force evals/step — KDK's long-horizon stability at two
+            orders higher per-step accuracy).
         force_impl: "auto" | "dense" | "chunked" | "pallas" |
             "pallas_sym" (half-pair symmetric kernel, no PE) |
             "mxu" (XLA Gram-matmul study) | "pallas_mxu" (MXU-tiled
@@ -108,7 +111,8 @@ class SimConfig:
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
-        if self.integrator not in ("kdk", "euler", "rk4", "hermite"):
+        if self.integrator not in ("kdk", "euler", "rk4", "hermite",
+                                   "yoshida4"):
             raise ValueError(f"bad integrator: {self.integrator!r}")
         if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "pallas_mxu", "pm", "p3m", "tree", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")

@@ -531,3 +531,73 @@ def test_merge_in_rollout_above_dense_ceiling(rng):
     alive = np.asarray(fin.alive)
     assert not alive[1] and alive[0]
     assert float(np.asarray(fin.mass)[0]) == pytest.approx(2.0 / n, rel=1e-5)
+
+
+def test_yoshida4_more_accurate_than_kdk():
+    # one full orbit at the same dt: the 4th-order symplectic composition
+    # lands orders of magnitude closer to the start than plain leapfrog
+    R = 3.844e8
+    m1, m2 = 5.972e24, 7.348e22
+    mu = G_SI * (m1 + m2)
+    v_rel = (1.0 + m2 / m1) * np.sqrt(mu / R)
+    a_orb = 1.0 / (2.0 / R - v_rel**2 / mu)
+    T = 2 * np.pi * np.sqrt(a_orb**3 / mu)
+    errs = {}
+    for integ in ("kdk", "yoshida4"):
+        st = _em_state("f64")
+        cfg = ot.SimConfig(dt=float(T / 500.0), G=G_SI, integrator=integ)
+        st = ot.init_forces(st, cfg)
+        fin, _ = ot.rollout_jit(st, cfg, 500)
+        errs[integ] = np.abs(np.asarray(fin.pos) - np.asarray(st.pos)).max()
+    assert errs["yoshida4"] < errs["kdk"] / 100.0
+
+
+def test_yoshida4_converges_4th_order():
+    st = _em_state("f64")
+    base_dt = 4000.0
+    horizon = 16
+    finals = {}
+    for k in (1, 2):
+        cfg = ot.SimConfig(dt=base_dt / k, G=G_SI, integrator="yoshida4")
+        s = ot.init_forces(st, cfg)
+        fin, _ = ot.rollout_jit(s, cfg, horizon * k)
+        finals[k] = np.asarray(fin.pos)
+    cfg = ot.SimConfig(dt=base_dt / 4, G=G_SI, integrator="yoshida4")
+    fin, _ = ot.rollout_jit(ot.init_forces(st, cfg), cfg, horizon * 4)
+    ref = np.asarray(fin.pos)
+    e1 = np.abs(finals[1] - ref).max()
+    e2 = np.abs(finals[2] - ref).max()
+    assert e1 / e2 > 10.0  # ~16 for clean 4th order
+
+
+def test_yoshida4_energy_error_far_below_kdk():
+    # both are symplectic (bounded energy oscillation, no secular drift),
+    # but the 4th-order composition's amplitude is ~(dt w)^2 smaller
+    from orbital_tpu.ops import diagnostics as diag
+    drift = {}
+    for integ in ("kdk", "yoshida4"):
+        st = _em_state("f64")
+        cfg = ot.SimConfig(dt=43200.0, G=G_SI, integrator=integ)
+        s = ot.init_forces(st, cfg)
+        e0 = float(diag.total_energy(s.vel_full(), s.mass, s.potential))
+        fin, _ = ot.rollout_jit(s, cfg, 2000)
+        e1 = float(diag.total_energy(fin.vel_full(), fin.mass, fin.potential))
+        drift[integ] = abs((e1 - e0) / e0)
+    assert drift["yoshida4"] < drift["kdk"] / 30.0
+
+
+def test_yoshida4_bounce_collisions_conserve_momentum():
+    # fused detection + cond-skipped resolution works through the
+    # composed stepper exactly as for kdk
+    pos = np.array([[-2.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    vel = np.array([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
+    st = ot.make_state(pos, vel, mass=np.array([1.0, 1.0]),
+                       radius=np.array([0.6, 0.6]), precision="f64")
+    cfg = ot.SimConfig(dt=0.05, G=0.0, eps2=1e-12, collisions="bounce",
+                       restitution=1.0, integrator="yoshida4")
+    s = ot.init_forces(st, cfg)
+    fin, _ = ot.rollout_jit(s, cfg, 100)
+    p = np.asarray(fin.vel_full() * fin.mass[:, None]).sum(axis=0)
+    np.testing.assert_allclose(p, 0.0, atol=1e-12)
+    # they bounced: x-velocities flipped sign
+    assert float(fin.vel_full()[0, 0]) < 0.0
