@@ -1,4 +1,4 @@
-r"""Multilevel tree gravity: hierarchical monopole far field + exact near field.
+r"""Multilevel tree gravity: hierarchical multipole far field + exact near field.
 
 The third member of the force family (exact kernels -> P3M -> PM), built for
 **strongly concentrated** systems — the regime the docstring of ops/p3m.py
@@ -16,46 +16,55 @@ cells (max-norm) while their parent cells at level ``l-1`` are within
 ``ws``. Since per-axis offsets shrink monotonically under floor-halving,
 the claim indicator crosses exactly once: **every pair is handled by
 exactly one level**, or — if the finest-level offset is still <= ws — by
-the exact near-field sweep. The level-``l`` claim set is the static
-stencil ``{d in [-(2ws+1), 2ws+1]^3 : max|d| > ws}`` with a per-axis
-parity mask at ``|d_axis| = 2ws+1`` (offset +(2ws+1) is claimed by even
-target cells, -(2ws+1) by odd ones — the floor-halving boundary).
+the exact near-field sweep.
 
-Each claimed (target cell, source cell) interaction is evaluated as the
-source *monopole* (mass at COM) acting at the *target COM*, plus its 3x3
-Jacobian (symmetric, 6 channels); expansions are pushed down the pyramid
-with exact re-centering (``A_child = A + J (COM_child - COM_parent)``) and
-each body applies a final first-order Taylor step ``a(x) = A + J (x -
-COM_cell)``. COM-COM monopole pairs are antisymmetric and the Taylor
-terms are mass-weighted about each COM, so **total momentum is conserved
-to rounding**.
+The far field is a convolution, so it runs on the MXU
+-----------------------------------------------------
+Per-cell sweeps over COM-anchored monopoles (the classic GPU tree design)
+are gather-bound on TPU: random gathers measure ~6.5 ns/element and
+``searchsorted`` ~96 ns/query on v5e, making an occupied-cell stencil
+sweep ~270 ms at 65k bodies — 10x the whole exact O(N^2) kernel. This
+implementation anchors source moments (monopole + dipole) and target
+expansions (acceleration A, Jacobian J, potential phi) at **cell
+centers**, which makes every tap weight a *static* function of the
+center-to-center offset — i.e. the level sweep is a literal convolution:
 
-Two sweep regimes (the TPU lesson: empty octants must cost nothing)
--------------------------------------------------------------------
-* Levels <= ``_DENSE_LEVELS``: one ``lax.scan`` over the stencil,
-  ``dynamic_slice``-shifted copies of the padded (count, mass, COM) grid,
-  accumulating for every cell simultaneously — pure dense VPU arithmetic,
-  zero gathers. Cost ~ stencil x 8^level, independent of N; cheap through
-  level 6 (~260k cells).
-* Deeper levels: a dense sweep would pay 316 x 8^level on mostly-empty
-  cells (the failure that killed the prototyped static-grid design,
-  ROADMAP round-3 notes). Instead only **occupied** target cells (a
-  compacted, sorted id list; parents found by ``searchsorted``, never a
-  dense inverse map) gather their stencil sources from the dense value
-  grid by computed linear index. Cost ~ stencil x occupied(level) <=
-  stencil x N.
+* Enumerate claims by PARENT offset ``D in [-ws, ws]^3`` and the 8x8
+  child-octant pairs ``(o_t, o_s)``; the claim condition
+  ``max|2D + o_s - o_t| > ws`` is offset-only, so there are no parity
+  masks and no data-dependent structure at all.
+* Pack octants into channels: input = 4 moments x 8 source octants = 32
+  channels on the (2^(l-1))^3 parent grid; output = 10 fields
+  (A 3, J 6, phi 1) x 8 target octants = 80 channels; the kernel is
+  spatially ``(2ws+1)^3``. XLA lowers this to MXU convolutions (run as
+  2ws+1 batched 2-D convs with shifted x-plane accumulation — TPU 3-D
+  conv support is poor). 128^3-cell level: ~13 ms in f32/HIGHEST
+  (measured) vs ~270 ms for the gather sweep it replaced.
+* Zero-padding at the grid boundary is exactly correct (out-of-range
+  cells are empty), so no validity masks exist anywhere in the far field.
+* Expansions are pushed down the pyramid with *static* octant deltas
+  (``A_child = A + J delta_o``, ``phi_child = phi - A . delta_o``), and
+  each body applies a final Taylor step about its finest cell center.
 
-Near field: only occupied finest-level cells are swept, each against its
-``(2ws+1)^3`` neighborhood through P3M-style static-capacity body tables
-with per-cell pre-gather. Bodies beyond ``capacity`` or occupied cells
-beyond ``max_cells`` are *counted* in the returned overflow (0 => every
-near pair was summed exactly). Deep ``levels`` is how concentration is
-tamed: each extra level cuts the densest cell's occupancy ~8x while the
-sparse far sweeps stay O(occupied).
+Tap antisymmetry: ``W_A(-r) = -W_A(r)`` and ``J(-r) = J(r)``, so the
+aggregate momentum exchange of any cell pair — including the dipole and
+Taylor terms — cancels exactly: **total momentum is conserved to
+rounding** (same guarantee the COM-monopole scheme had).
 
-Accuracy: ``ws=1`` is the fast default (316-shift stencil); ``ws=2``
-(1206 shifts) roughly a decade better — measured RMS force errors on
-concentrated clusters are in DESIGN.md (~1e-2 / ~3e-3). Softening
+Near field: only occupied finest-level cells are swept (occupied-cell
+lists come from the N sorted bodies, never from grid-sized scans), each
+cell against its ``(2ws+1)^3`` neighborhood through static-capacity body
+tables with per-cell pre-gather, i-side split by occupancy class
+(concentrated systems put most cells far below the densest cell's
+capacity). Bodies beyond ``capacity`` or occupied cells beyond
+``max_cells`` are *counted* in the returned overflow (0 => every near
+pair was summed exactly). Deep ``levels`` is how concentration is tamed:
+each extra level cuts the densest cell's occupancy ~8x while the conv
+far field grows only 8x in cheap MXU work.
+
+Accuracy: monopole+dipole sources with first-order target Taylor give
+O((h/R)^2) force error — ``ws=1`` measures ~1e-2 RMS on concentrated
+clusters, ``ws=2`` roughly a decade better (DESIGN.md). Softening
 ``eps2`` applies in *both* ranges, so the computed force is a consistent
 (if cell-assignment-discontinuous) approximation of the softened
 Hamiltonian. The reference has no analog (exact O(N^2) Python only,
@@ -70,21 +79,22 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .pm import _bounding_cube
 
-__all__ = ["tree_acc_potential", "tree_occupancy_probe", "tree_stencil"]
+# debug-only phase isolation for performance attribution (unset in prod)
+import os as _os
+_SKIP = _os.environ.get("TREE_SKIP", "")
 
-# levels up to this depth use dense shifted-grid stencil sweeps (zero
-# gathers); deeper levels use occupied-cell sparse sweeps
-_DENSE_LEVELS = 6
-# value-grid channels: count, mass, m*x, m*y, m*z
-_CH = 5
+__all__ = ["tree_acc_potential", "tree_occupancy_probe", "tree_stencil"]
 
 
 def tree_stencil(ws: int) -> list[tuple[int, int, int]]:
-    """Static claim stencil: all offsets with ``ws < max|d| <= 2 ws + 1``."""
+    """Static claim stencil: all offsets with ``ws < max|d| <= 2 ws + 1``.
+    (The far field realizes this set through the parent-offset x octant
+    enumeration; exported for tests and documentation.)"""
     p = 2 * ws + 1
     return [
         (a, b, c)
@@ -104,162 +114,206 @@ def _apply_sym(j6, v):
     return jnp.stack([ax, ay, az], axis=-1)
 
 
-def _monopole_terms(ms, r, *, G, eps2):
-    """Monopole acc/Jacobian/potential of sources ``ms`` at displacement
-    ``r = COM_target - COM_source`` [..., 3]. Returns (dA [...,3],
-    dJ [...,6], dphi [...]); multiply ms by the claim/validity mask first."""
-    r2 = r[..., 0] ** 2 + r[..., 1] ** 2 + r[..., 2] ** 2 + eps2
-    inv = lax.rsqrt(r2)
-    inv2 = inv * inv
-    w = (G * ms) * (inv * inv2)               # G m_s / R^3
-    dA = -w[..., None] * r
-    k = (3.0 * w) * inv2
-    rx, ry, rz = r[..., 0], r[..., 1], r[..., 2]
-    dJ = jnp.stack([k * rx * rx - w, k * ry * ry - w, k * rz * rz - w,
-                    k * rx * ry, k * rx * rz, k * ry * rz], axis=-1)
-    dphi = -w * r2                            # -G m_s / R
-    return dA, dJ, dphi
+# ---------------------------------------------------------------------------
+# far field: octant-channel convolution
+# ---------------------------------------------------------------------------
+
+# channel layouts (octant index o = ox*4 + oy*2 + oz)
+_IN_CH = 32    # 4 moments (m, px, py, pz) x 8 source octants: i = mom*8 + o
+_OUT_CH = 80   # 10 fields (Ax,Ay,Az, Jxx,Jyy,Jzz,Jxy,Jxz,Jyz, phi) x 8
+#                target octants: o_ch = oct*10 + field
 
 
-def _com_of(rows, centers):
-    """COM from (count, mass, m x) channel rows, cell center for empty."""
-    mass = rows[..., 1:2]
-    return jnp.where(mass > 0.0, rows[..., 2:5] / jnp.maximum(mass, 1e-30),
-                     centers)
+def _conv_taps(ws: int):
+    """Static tap geometry: list of (Dx, [k, 3] child offsets, [k] o_t,
+    [k] o_s) grouped by parent x-offset. Claim: max|2D + o_s - o_t| > ws."""
+    octs = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    groups = {}
+    for Dx in range(-ws, ws + 1):
+        for Dy in range(-ws, ws + 1):
+            for Dz in range(-ws, ws + 1):
+                for ot in octs:
+                    for os_ in octs:
+                        d = (2 * Dx + os_[0] - ot[0],
+                             2 * Dy + os_[1] - ot[1],
+                             2 * Dz + os_[2] - ot[2])
+                        if max(abs(c) for c in d) <= ws:
+                            continue
+                        groups.setdefault(Dx, []).append(
+                            ((Dy, Dz), d, ot, os_))
+    return groups
 
 
-def _cell_centers_of(ids, m, origin, h):
-    """Cell-center coordinates of linear cell ids (any shape)."""
-    cz = ids % m
-    cy = (ids // m) % m
-    cx = ids // (m * m)
-    return origin + (jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32)
-                     + 0.5) * h
-
-
-def _dense_centers(m, origin, h):
-    c = (jnp.arange(m, dtype=jnp.float32) + 0.5) * h
-    gx = jnp.broadcast_to(c[:, None, None], (m, m, m))
-    gy = jnp.broadcast_to(c[None, :, None], (m, m, m))
-    gz = jnp.broadcast_to(c[None, None, :], (m, m, m))
-    return origin + jnp.stack([gx, gy, gz], axis=-1)
-
-
-def _upsample(x):
-    """Nearest-neighbor 2x upsample of [m, m, m, C] -> [2m, 2m, 2m, C]."""
-    m = x.shape[0]
-    c = x.shape[-1]
-    x = jnp.broadcast_to(x[:, None, :, None, :, None, :],
-                         (m, 2, m, 2, m, 2, c))
-    return x.reshape(2 * m, 2 * m, 2 * m, c)
-
-
-def _dense_level_sweep(grid, com_t, *, G, eps2, ws, A, J, phi):
-    """Dense shifted-grid stencil sweep: accumulate one level's claims into
-    (A, J, phi) for EVERY cell simultaneously. grid [m,m,m,_CH]."""
-    m = grid.shape[0]
+def _conv_weights(ws: int, h, G: float, eps2: float):
+    """Per-x-slab conv weight tensors [OUT, IN, 2ws+1, 2ws+1] (traced —
+    they depend on the level's cell width ``h``). Tap weight blocks follow
+    the source-shift Taylor expansion about cell centers:
+      A   +=  m * W_A(r)      - J(r) p          (W_A = -G r / R^3)
+      J   +=  m * J(r)                          (J_ij = 3G r_i r_j/R^5
+                                                        - G delta_ij/R^3)
+      phi +=  m * g(r)        - G (r.p) / R^3   (g = -G / R)
+    with r = c_target - c_source = -d*h, R^2 = |r|^2 + eps2."""
     p = 2 * ws + 1
+    groups = _conv_taps(ws)
+    h = jnp.asarray(h, jnp.float32)
+    slabs = {}
+    for Dx, taps in groups.items():
+        # static per-tap geometry -> numpy; scale by traced h afterwards
+        dvec = np.array([t[1] for t in taps], np.float32)       # [T, 3]
+        ky = np.array([t[0][0] + ws for t in taps], np.int32)
+        kz = np.array([t[0][1] + ws for t in taps], np.int32)
+        o_t = np.array([t[2][0] * 4 + t[2][1] * 2 + t[2][2] for t in taps])
+        o_s = np.array([t[3][0] * 4 + t[3][1] * 2 + t[3][2] for t in taps])
+
+        r = -jnp.asarray(dvec) * h                              # [T, 3]
+        R2 = jnp.sum(r * r, axis=1) + eps2
+        inv = lax.rsqrt(R2)
+        inv3 = inv * inv * inv
+        inv5 = inv3 * inv * inv
+        W_A = -G * r * inv3[:, None]                            # [T, 3]
+        rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
+        Jt = jnp.stack([3.0 * G * rx * rx * inv5 - G * inv3,
+                        3.0 * G * ry * ry * inv5 - G * inv3,
+                        3.0 * G * rz * rz * inv5 - G * inv3,
+                        3.0 * G * rx * ry * inv5,
+                        3.0 * G * rx * rz * inv5,
+                        3.0 * G * ry * rz * inv5], axis=1)      # [T, 6]
+        g = -G * inv                                            # [T]
+
+        # per-tap [10 out-fields, 4 in-moments] weight block
+        blk = jnp.zeros((len(taps), 10, 4), jnp.float32)
+        blk = blk.at[:, 0:3, 0].set(W_A)                 # m -> A
+        blk = blk.at[:, 3:9, 0].set(Jt)                  # m -> J
+        blk = blk.at[:, 9, 0].set(g)                     # m -> phi
+        # p -> A: -J(r) p  (symmetric 3x3 from packed 6)
+        Jm = jnp.stack([
+            jnp.stack([Jt[:, 0], Jt[:, 3], Jt[:, 4]], 1),
+            jnp.stack([Jt[:, 3], Jt[:, 1], Jt[:, 5]], 1),
+            jnp.stack([Jt[:, 4], Jt[:, 5], Jt[:, 2]], 1)], 1)  # [T, 3, 3]
+        blk = blk.at[:, 0:3, 1:4].set(-Jm)
+        # p -> phi: -G (r.p)/R^3 = W_A . p
+        blk = blk.at[:, 9, 1:4].set(W_A)
+
+        # scatter tap blocks into the conv weight tensor
+        w = jnp.zeros((_OUT_CH, _IN_CH, p, p), jnp.float32)
+        oc = (o_t[:, None] * 10 + np.arange(10)[None, :])       # [T, 10]
+        ic = (np.arange(4)[None, :] * 8 + o_s[:, None])         # [T, 4]
+        w = w.at[oc[:, :, None], ic[:, None, :],
+                 ky[:, None, None], kz[:, None, None]].add(blk)
+        slabs[Dx] = w
+    return slabs
+
+
+def _level_conv(moments, ws: int, h, G: float, eps2: float):
+    """One level's far-field sweep as batched 2-D convolutions.
+
+    ``moments``: [s, 32, s, s] octant-packed parent grid (x as batch).
+    Returns [s, 80, s, s] (A, J, phi per target octant). f32/HIGHEST —
+    bf16 tap products would sit above the method's own error floor.
+    """
+    s = moments.shape[0]
+    slabs = _conv_weights(ws, h, G, eps2)
+    pad = jnp.zeros((ws, _IN_CH, s, s), jnp.float32)
+    xp = jnp.concatenate([pad, moments, pad], axis=0)   # [s+2ws, 32, s, s]
+    out = jnp.zeros((s, _OUT_CH, s, s), jnp.float32)
+    for Dx, w in slabs.items():
+        c2 = lax.conv_general_dilated(
+            xp, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST)
+        # target plane x reads source plane x + Dx (zero-padded, no wrap)
+        out = out + lax.dynamic_slice_in_dim(c2, ws + Dx, s, axis=0)
+    return out
+
+
+def _octant_pack(flat_chans, m):
+    """4 flat [m^3] moment grids -> [s, 32, s, s] octant-packed parent
+    grid (s = m/2; in-channel = moment*8 + octant, octant = ox*4+oy*2+oz)."""
+    s = m // 2
+    parts = []
+    for c in flat_chans:
+        g = c.reshape(s, 2, s, 2, s, 2)
+        g = g.transpose(0, 2, 4, 1, 3, 5).reshape(s, s, s, 8)
+        parts.append(g)
+    g = jnp.stack(parts, axis=3)                 # [s, s, s, 4, 8]
+    g = g.reshape(s, s, s, 32)
+    return g.transpose(0, 3, 1, 2)               # [s(x), 32, s(y), s(z)]
+
+
+def _unpack_fields(out):
+    """[s, 80, s, s] conv output -> 10 flat child-grid channels [m^3]
+    (m = 2s, x-major child linear ids). Channels stay SEPARATE 1-D arrays
+    for the same T(8,128) lane-padding reason as the moment pyramid."""
+    s = out.shape[0]
+    g = out.transpose(0, 2, 3, 1).reshape(s, s, s, 2, 2, 2, 10)
+    g = g.transpose(0, 3, 1, 4, 2, 5, 6)         # [s,2, s,2, s,2, 10]
+    return tuple(g[..., ch].reshape(-1) for ch in range(10))
+
+
+def _far_field(chans, levels, ws, half, origin, G, eps2):
+    """Conv far field over all levels. Returns 10 flat finest-grid field
+    channels [M^3] (Ax,Ay,Az, Jxx,Jyy,Jzz,Jxy,Jxz,Jyz, phi) — expansions
+    about cell centers."""
     f32 = jnp.float32
+    F = None
+    for lev in range(2, levels + 1):
+        m = 2 ** lev
+        h_lev = 2.0 * half / m
+        # dipole about centers: p = sum(m x) - m * center
+        mflat = chans[lev][0]
+        ids = jnp.arange(m * m * m, dtype=jnp.int32)
+        ctr = [(ids // (m * m)).astype(f32), ((ids // m) % m).astype(f32),
+               (ids % m).astype(f32)]
+        moms = [mflat]
+        for k in range(3):
+            c_k = origin[k] + (ctr[k] + 0.5) * h_lev
+            moms.append(chans[lev][1 + k] - mflat * c_k)
+        packed = _octant_pack(moms, m)
+        out = _level_conv(packed, ws, h_lev, G, eps2)     # [s, 80, s, s]
+        dF = _unpack_fields(out)
+        if F is None:
+            F = dF
+            continue
+        # push the parent expansion down with static octant deltas
+        # (child center - parent center = +-h_lev/2 per axis)
+        s = m // 2
+        sh = (s, 2, s, 2, s, 2)
+        half_h = 0.5 * h_lev
+        sides = jnp.asarray([-1.0, 1.0], f32) * half_h
+        dx = sides.reshape(1, 2, 1, 1, 1, 1)
+        dy = sides.reshape(1, 1, 1, 2, 1, 1)
+        dz = sides.reshape(1, 1, 1, 1, 1, 2)
 
-    src = jnp.concatenate([grid[..., 1:2], com_t], axis=-1)   # mass + COM
-    src_pad = jnp.pad(src, ((p, p), (p, p), (p, p), (0, 0)))
+        def up(c):
+            return jnp.broadcast_to(
+                c.reshape(s, 1, s, 1, s, 1), sh)
 
-    even = (jnp.arange(m) % 2 == 0).astype(f32)
-    odd = 1.0 - even
-    ones = jnp.ones((m,), f32)
-
-    def axis_mask(d):
-        return jnp.where(d == p, even, jnp.where(d == -p, odd, ones))
-
-    shifts = jnp.asarray(tree_stencil(ws), jnp.int32)
-
-    def body(carry, d):
-        A, J, phi = carry
-        zero = jnp.zeros((), d.dtype)
-        sd = lax.dynamic_slice(src_pad, (p + d[0], p + d[1], p + d[2], zero),
-                               (m, m, m, 4))
-        mask = (axis_mask(d[0])[:, None, None]
-                * axis_mask(d[1])[None, :, None]
-                * axis_mask(d[2])[None, None, :])
-        dA, dJ, dphi = _monopole_terms(sd[..., 0] * mask, com_t - sd[..., 1:4],
-                                       G=G, eps2=eps2)
-        return (A + dA, J + dJ, phi + dphi), None
-
-    (A, J, phi), _ = lax.scan(body, (A, J, phi), shifts)
-    return A, J, phi
-
-
-def _sparse_level_sweep(grid_flat, occ_ids, com_t, *, m, origin, h, G, eps2,
-                        ws, block=256):
-    """Occupied-cell stencil sweep at a deep level: each target cell in
-    ``occ_ids`` (sorted, sentinel m^3 padded) gathers its stencil sources
-    from the dense value grid by computed linear index. Returns per-target
-    (A [K,3], J [K,6], phi [K]) — empty octants cost nothing."""
-    f32 = jnp.float32
-    p = 2 * ws + 1
-    offs = jnp.asarray(tree_stencil(ws), jnp.int32)           # [S, 3]
-    m3 = m * m * m
-    grid_pad = jnp.concatenate(
-        [grid_flat, jnp.zeros((1, _CH), f32)], axis=0)        # sentinel row
-    K = occ_ids.shape[0]
-    n_blocks = -(-K // block)
-    ids_pad = jnp.concatenate(
-        [occ_ids, jnp.full((n_blocks * block - K,), m3, jnp.int32)])
-    com_pad = jnp.concatenate([com_t, jnp.zeros((n_blocks * block - K, 3),
-                                                f32)], axis=0)
-
-    def do_block(b0):
-        ids = lax.dynamic_slice(ids_pad, (b0,), (block,))
-        ct = lax.dynamic_slice(com_pad, (b0, 0), (block, 3))
-        valid = ids < m3
-        idc = jnp.where(valid, ids, 0)
-        cz = idc % m
-        cy = (idc // m) % m
-        cx = idc // (m * m)
-        nx = cx[:, None] + offs[None, :, 0]                   # [B, S]
-        ny = cy[:, None] + offs[None, :, 1]
-        nz = cz[:, None] + offs[None, :, 2]
-        ok = ((0 <= nx) & (nx < m) & (0 <= ny) & (ny < m)
-              & (0 <= nz) & (nz < m) & valid[:, None])
-        nid = jnp.where(ok, (nx * m + ny) * m + nz, m3)
-        rows = grid_pad[nid]                                  # [B, S, _CH]
-        # parity claim masks at |d| = p (see module docstring)
-        par = jnp.stack([cx, cy, cz], axis=-1) % 2            # [B, 3]
-
-        def amask(axis):
-            d = offs[None, :, axis]
-            pa = par[:, None, axis]
-            return jnp.where(d == p, (pa == 0),
-                             jnp.where(d == -p, (pa == 1), True))
-
-        claim = amask(0) & amask(1) & amask(2)
-        ms = rows[..., 1] * (ok & claim).astype(f32)
-        centers_s = _cell_centers_of(nid, m, origin, h)
-        com_s = _com_of(rows, centers_s)
-        dA, dJ, dphi = _monopole_terms(ms, ct[:, None, :] - com_s,
-                                       G=G, eps2=eps2)
-        return dA.sum(1), dJ.sum(1), dphi.sum(1)
-
-    starts = jnp.arange(0, n_blocks * block, block)
-    A_b, J_b, phi_b = lax.map(do_block, starts)
-    return (A_b.reshape(-1, 3)[:K], J_b.reshape(-1, 6)[:K],
-            phi_b.reshape(-1)[:K])
+        Ax, Ay, Az, Jxx, Jyy, Jzz, Jxy, Jxz, Jyz, phi = map(up, F)
+        Ax_c = Ax + Jxx * dx + Jxy * dy + Jxz * dz
+        Ay_c = Ay + Jxy * dx + Jyy * dy + Jyz * dz
+        Az_c = Az + Jxz * dx + Jyz * dy + Jzz * dz
+        phi_c = phi - (Ax * dx + Ay * dy + Az * dz)
+        pushed = (Ax_c, Ay_c, Az_c, Jxx, Jyy, Jzz, Jxy, Jxz, Jyz, phi_c)
+        F = tuple(p.reshape(-1) + d for p, d in zip(pushed, dF))
+    return F
 
 
-def _occupied_ids(grid_flat, K, m3):
-    """Sorted linear ids of occupied cells (count > 0), padded with the
-    sentinel ``m3``; plus the true occupied total (for overflow counting)."""
-    occupied = grid_flat[:, 0] > 0.0
-    ids = jnp.nonzero(occupied, size=K, fill_value=m3)[0].astype(jnp.int32)
-    return ids, jnp.sum(occupied.astype(jnp.int32))
+def _compact_sorted(flags, values, K, sentinel):
+    """Values at flagged positions, order-preserved, padded with
+    ``sentinel`` to static length K (flags/values aligned, values
+    ascending => result ascending). Runs over O(N)-length arrays only —
+    never over the 8^levels grid (a ``jnp.nonzero`` over the 16.7M-cell
+    level-8 grid measured 158 ms on v5e)."""
+    n = values.shape[0]
+    pos = jnp.nonzero(flags, size=K, fill_value=n)[0]
+    return jnp.where(pos < n, values[jnp.minimum(pos, n - 1)], sentinel)
 
 
 def _lookup_slot(sorted_ids, query):
     """Row index of ``query`` in the sorted (sentinel-padded) id list, or
-    ``len(sorted_ids)`` when absent — the dense-inverse-map replacement
-    (a [8^levels] int32 map would not fit at deep levels)."""
+    K (one-past-end) when absent."""
     K = sorted_ids.shape[0]
-    slot = jnp.searchsorted(sorted_ids, query).astype(jnp.int32)
+    slot = jnp.searchsorted(sorted_ids, query)
     hit = sorted_ids[jnp.minimum(slot, K - 1)] == query
     return jnp.where(hit, jnp.minimum(slot, K - 1), K)
 
@@ -278,7 +332,7 @@ def tree_acc_potential(
     capacity: int = 48,
     ws: int = 1,
     max_cells: int = 0,
-    cell_block: int = 32,
+    cell_block: int = 0,
     with_potential: bool = True,
     box=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -287,16 +341,15 @@ def tree_acc_potential(
     Args:
         levels: pyramid depth; the near field runs on ``2^levels`` cells
             per side. Deeper = ~8x lower per-cell occupancy (tames
-            concentration) at O(occupied) sparse far-field cost per extra
-            level.
+            concentration) at ~8x more (cheap, MXU) far-field conv work.
         capacity: max bodies per finest-level cell in the near-field
             tables. Size from :func:`tree_occupancy_probe`.
-        ws: well-separation in cells. 1 = fast (316-shift stencil, 27-cell
-            near field), 2 = accurate (1206 shifts, 125-cell near field).
+        ws: well-separation in cells. 1 = fast (3^3 parent conv, 27-cell
+            near field), 2 = accurate (5^3 parent conv, 125-cell near
+            field).
         max_cells: static occupied-cell budget for the near-field sweep
-            and the deep-level sparse far sweeps (0 = ``min(N,
-            8^levels)``, always safe). Occupied cells beyond it are
-            *dropped and counted* in the overflow.
+            (0 = ``min(N, 8^levels)``, always safe). Occupied cells
+            beyond it are *dropped and counted* in the overflow.
         box: optional (center [3], half) pinning the grid (recommended for
             long rollouts, same rationale as ``SimConfig.pm_box``); default
             refits the live bounding cube every call. Bodies outside a
@@ -339,115 +392,55 @@ def tree_acc_potential(
     cell_id = (cc[:, 0] * M + cc[:, 1]) * M + cc[:, 2]
     cell_id = jnp.where(alive_b, cell_id, M3)  # dead bodies -> sentinel
 
-    # ---- multipole pyramid: NGP deposit of (1, m, m x) + coarsening -------
-    data = jnp.concatenate(
-        [alive_f[:, None], m_eff[:, None], m_eff[:, None] * pos32], axis=1)
-    fine = jax.ops.segment_sum(data, cell_id, num_segments=M3 + 1)[:M3]
-    grids = {levels: fine.reshape(M, M, M, _CH)}
+    # ---- multipole pyramid: NGP deposit of (m, m x) + coarsening ----------
+    # Channels live as SEPARATE flat [m^3] arrays: a [m^3, C] array feeding
+    # a TPU gather/scatter gets relaid out to T(8,128) tiles — C=4 lanes
+    # pad to 128 and the level-8 grid inflates 32x to ~8.6 GB (measured
+    # OOM). 1-D channels keep the natural layout at every level.
+    chans = {levels: tuple(
+        jax.ops.segment_sum(c, cell_id, num_segments=M3 + 1)[:M3]
+        for c in (m_eff, m_eff * pos32[:, 0], m_eff * pos32[:, 1],
+                  m_eff * pos32[:, 2]))}
     for lev in range(levels - 1, 1, -1):
-        g = grids[lev + 1]
-        mm = g.shape[0] // 2
-        grids[lev] = g.reshape(mm, 2, mm, 2, mm, 2, _CH).sum(axis=(1, 3, 5))
+        mm = 2 ** lev
+        chans[lev] = tuple(
+            c.reshape(mm, 2, mm, 2, mm, 2).sum(axis=(1, 3, 5)).reshape(-1)
+            for c in chans[lev + 1])
 
     K = min(n, M3) if max_cells <= 0 else int(max_cells)
-    n_dense = min(levels, _DENSE_LEVELS)
 
-    # ---- far field, dense regime: coarse -> level n_dense -----------------
-    m2 = grids[2].shape[0]
-    A = jnp.zeros((m2, m2, m2, 3), f32)
-    J = jnp.zeros((m2, m2, m2, 6), f32)
-    phi = jnp.zeros((m2, m2, m2), f32)
-    com_prev = None
-    for lev in range(2, n_dense + 1):
-        g = grids[lev]
-        mlev = g.shape[0]
-        h_lev = 2.0 * half / mlev
-        com_t = _com_of(g, _dense_centers(mlev, origin, h_lev))
-        if com_prev is not None:
-            A_u, J_u, phi_u = _upsample(A), _upsample(J), _upsample(phi[..., None])
-            delta = com_t - _upsample(com_prev)
-            phi = phi_u[..., 0] - jnp.sum(A_u * delta, axis=-1)
-            A = A_u + _apply_sym(J_u, delta)
-            J = J_u
-        A, J, phi = _dense_level_sweep(g, com_t, G=G, eps2=eps2, ws=ws,
-                                       A=A, J=J, phi=phi)
-        com_prev = com_t
-
-    # ---- far field, sparse regime: occupied cells only at deep levels -----
-    if levels > _DENSE_LEVELS:
-        md = grids[n_dense].shape[0]
-        A_d = A.reshape(md ** 3, 3)
-        J_d = J.reshape(md ** 3, 6)
-        phi_d = phi.reshape(md ** 3)
-        com_d = com_prev.reshape(md ** 3, 3)
-        occ_prev = None  # (ids, A, J, phi, com) rows at the previous level
-        for lev in range(_DENSE_LEVELS + 1, levels + 1):
-            mlev = 2 ** lev
-            h_lev = 2.0 * half / mlev
-            grid_flat = grids[lev].reshape(mlev ** 3, _CH)
-            Kl = min(K, mlev ** 3)
-            ids, _ = _occupied_ids(grid_flat, Kl, mlev ** 3)
-            valid = ids < mlev ** 3
-            idc = jnp.where(valid, ids, 0)
-            centers = _cell_centers_of(ids, mlev, origin, h_lev)
-            com_t = _com_of(grid_flat[idc], centers)
-            # pull the parent expansion down onto this level's COMs
-            cz = idc % mlev
-            cy = (idc // mlev) % mlev
-            cx = idc // (mlev * mlev)
-            mp = mlev // 2
-            pid = ((cx >> 1) * mp + (cy >> 1)) * mp + (cz >> 1)
-            if occ_prev is None:
-                A_p, J_p, phi_p, com_p = (A_d[pid], J_d[pid], phi_d[pid],
-                                          com_d[pid])
-            else:
-                p_ids, Ap, Jp, php, cmp_ = occ_prev
-                slot = _lookup_slot(p_ids, pid)
-                sl = jnp.minimum(slot, p_ids.shape[0] - 1)
-                # every occupied cell's parent is occupied; sentinel target
-                # rows may miss — their contribution is masked out below
-                A_p, J_p, phi_p, com_p = Ap[sl], Jp[sl], php[sl], cmp_[sl]
-            delta = com_t - com_p
-            A_t = A_p + _apply_sym(J_p, delta)
-            phi_t = phi_p - jnp.sum(A_p * delta, axis=-1)
-            J_t = J_p
-            dA, dJ, dphi = _sparse_level_sweep(
-                grid_flat, ids, com_t, m=mlev, origin=origin, h=h_lev,
-                G=G, eps2=eps2, ws=ws)
-            vf = valid.astype(f32)
-            A_t = (A_t + dA) * vf[:, None]
-            J_t = (J_t + dJ) * vf[:, None]
-            phi_t = (phi_t + dphi) * vf
-            occ_prev = (ids, A_t, J_t, phi_t, com_t)
-
-        occ_L, A_L, J_L, phi_L, com_L = occ_prev
-        body_slot = _lookup_slot(occ_L, jnp.minimum(cell_id, M3))
-        pad = jnp.zeros((1,), f32)
-        A_b = jnp.concatenate([A_L, jnp.zeros((1, 3), f32)])[body_slot]
-        J_b = jnp.concatenate([J_L, jnp.zeros((1, 6), f32)])[body_slot]
-        phi_b = jnp.concatenate([phi_L, pad])[body_slot]
-        com_b = jnp.concatenate([com_L, jnp.zeros((1, 3), f32)])[body_slot]
-    else:
-        F = jnp.concatenate([A, J, phi[..., None], com_prev], axis=-1)
-        F = F.reshape(M3, 13)
-        F = jnp.concatenate([F, jnp.zeros((1, 13), f32)], axis=0)
-        rows = F[jnp.minimum(cell_id, M3)]
-        A_b, J_b, phi_b, com_b = (rows[:, 0:3], rows[:, 3:9], rows[:, 9],
-                                  rows[:, 10:13])
-
-    dx = pos32 - com_b
-    a_far = A_b + _apply_sym(J_b, dx)
-    phi_far = phi_b - jnp.sum(A_b * dx, axis=-1)
-
-    # ---- near field: exact sweep over OCCUPIED finest cells only ----------
-    grid_L_flat = grids[levels].reshape(M3, _CH)
-    occ_idx, occ_total = _occupied_ids(grid_L_flat, K, M3)
-
+    # sorted-body machinery (near field): occupied-cell lists come from
+    # the N sorted bodies, never from grid-sized scans
     order = jnp.argsort(cell_id)
     sc = cell_id[order]
     first = jnp.searchsorted(sc, sc, side="left")
+    last = jnp.searchsorted(sc, sc, side="right")
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-    slot = _lookup_slot(occ_idx, jnp.minimum(sc, M3))
+    cell_count = (last - first).astype(jnp.int32)   # per sorted body
+    is_first = (rank == 0) & (sc < M3)
+    occ_idx = _compact_sorted(is_first, sc, K, M3)  # sorted occupied cells
+    # dense cell -> slot inverse map: neighbor lookups are then single
+    # gathers (~6.5 ns) instead of searchsorted binary searches (~96
+    # ns/query on v5e — the near field issues 27 lookups per cell)
+    slot_of = jnp.full((M3 + 1,), K, jnp.int32).at[
+        jnp.minimum(occ_idx, M3)].set(
+        jnp.where(occ_idx < M3, jnp.arange(K, dtype=jnp.int32), K))
+
+    # ---- far field: per-level octant convolutions + body Taylor step ------
+    F_ch = _far_field(chans, levels, ws, half, origin, G, eps2)
+    idx_b = jnp.minimum(cell_id, M3)
+    zpad = jnp.zeros((1,), f32)
+    Fb = [jnp.concatenate([c, zpad])[idx_b] for c in F_ch]  # 10 x [N]
+    A_b = jnp.stack(Fb[0:3], axis=-1)
+    J_b = jnp.stack(Fb[3:9], axis=-1)
+    phi_b = Fb[9]
+    centers_b = origin + (cc.astype(f32) + 0.5) * h
+    dx = pos32 - centers_b
+    a_far = A_b + _apply_sym(J_b, dx)
+    phi_far = phi_b - jnp.sum(A_b * dx, axis=-1)
+
+    # ---- near field: exact sweeps over OCCUPIED finest cells only ---------
+    slot = slot_of[jnp.minimum(sc, M3)]
     keep = (rank < capacity) & (sc < M3) & (slot < K)
     cap_overflow = jnp.sum((rank >= capacity) & (sc < M3) & (slot < K),
                            dtype=jnp.int32)
@@ -458,59 +451,185 @@ def tree_acc_potential(
                      jnp.clip(rank, 0, capacity - 1)].set(
         jnp.where(keep, order.astype(jnp.int32), n))
 
-    pos_pad = jnp.concatenate([pos32, jnp.full((1, 3), 1e30, f32)], axis=0)
     m_pad = jnp.concatenate([m_eff, jnp.zeros((1,), f32)])
-    cell_pos = pos_pad[table]                                # [K+1, C, 3]
-    cell_m = m_pad[table]                                    # [K+1, C]
 
-    nb_off = [(a, b, c) for a in range(-ws, ws + 1)
-              for b in range(-ws, ws + 1) for c in range(-ws, ws + 1)]
-    n_blocks = -(-K // cell_block)
+    # Occupancy classes, three-list design. Concentrated systems put ~all
+    # mass skew in a few cells: at 65k Plummer the densest cell holds ~100
+    # bodies while the MEAN is ~3 — one full-capacity table makes every
+    # neighbor row pay the densest cell's width. Occupied cells split into:
+    #   * BIG (> 16 bodies): sweep their neighborhoods at full capacity.
+    #   * FRONTIER (small cells with >= 1 big neighbor — the thin shell
+    #     around the core): i-width 16, full-capacity j rows.
+    #   * CLEAN small (everything else, the vast majority): both sides
+    #     width 16 through a small-cells-only table.
+    # Every (target cell, neighbor) pair lands in exactly one sweep at
+    # the minimal width that holds its bodies, so no pairs are lost and
+    # no width is wasted.
+    #
+    # Row-gather economy: TPU gathers pay a per-ROW cost almost
+    # independent of row width (measured ~50 ns/row), so the tables pack
+    # all five channels (px py pz m idx) into ONE row — each neighbor
+    # costs one packed-row gather instead of five channel-row gathers.
+    nb9 = [(a, b) for a in range(-ws, ws + 1) for b in range(-ws, ws + 1)]
+    n_nb = len(nb9) * (2 * ws + 1)
 
-    def block(s0):
-        slots = s0 + jnp.arange(cell_block)
-        ids = occ_idx[jnp.minimum(slots, K - 1)]
-        valid = (slots < K) & (ids < M3)
-        cz = ids % M
-        cy = (ids // M) % M
-        cx = ids // (M * M)
-        nb_slots = []
-        for a, b, c in nb_off:
-            nx, ny, nz = cx + a, cy + b, cz + c
-            ok = ((0 <= nx) & (nx < M) & (0 <= ny) & (ny < M)
-                  & (0 <= nz) & (nz < M) & valid)
-            nid = jnp.where(ok, (nx * M + ny) * M + nz, M3)
-            nb_slots.append(_lookup_slot(occ_idx, nid))
-        nb = jnp.stack(nb_slots, axis=1)                     # [B, n_nb]
+    split = capacity > 16
+    c_small = 16 if split else capacity
+    occ_valid = occ_idx < M3
+    if split:
+        left = jnp.searchsorted(sc, occ_idx, side="left")
+        right = jnp.searchsorted(sc, occ_idx, side="right")
+        occ_counts = jnp.where(occ_valid, (right - left).astype(jnp.int32), 0)
+        big = occ_valid & (occ_counts > c_small)
+        K_big = min(K, max(256, K // 8))
+        K_f = min(K, max(512, K // 4))
+        ids_big = _compact_sorted(big, occ_idx, K_big, M3)
+        big_flag = jnp.zeros((M3 + 1,), bool).at[
+            jnp.minimum(ids_big, M3)].set(ids_big < M3)
+        # frontier classification: neighbor flag gathers over occupied ids
+        ocz = jnp.where(occ_valid, occ_idx, 0) % M
+        ocy = (jnp.where(occ_valid, occ_idx, 0) // M) % M
+        ocx = jnp.where(occ_valid, occ_idx, 0) // (M * M)
+        any_big = jnp.zeros((K,), bool)
+        for a in range(-ws, ws + 1):
+            for b in range(-ws, ws + 1):
+                for c in range(-ws, ws + 1):
+                    nx, ny, nz = ocx + a, ocy + b, ocz + c
+                    okn = ((0 <= nx) & (nx < M) & (0 <= ny) & (ny < M)
+                           & (0 <= nz) & (nz < M))
+                    nid = jnp.where(okn, (nx * M + ny) * M + nz, M3)
+                    any_big = any_big | big_flag[nid]
+        small = occ_valid & ~big
+        frontier = small & any_big
+        ids_small = _compact_sorted(small & ~any_big, occ_idx, K, M3)
+        ids_front = _compact_sorted(frontier, occ_idx, K_f, M3)
 
-        own = jnp.where(valid, slots, K)
-        idx_my = table[own]                                  # [B, C]
-        idx_nb = table[nb].reshape(cell_block, -1)           # [B, n_nb C]
-        pi = cell_pos[own]                                   # [B, C, 3]
-        pj = cell_pos[nb].reshape(cell_block, -1, 3)
-        mj = cell_m[nb].reshape(cell_block, -1)
+        # budget overflows: bodies whose cell fell past its list budget
+        # lose their target sweep — counted (their source role via the
+        # tables is unaffected)
+        body_big_sorted = cell_count > c_small
+        slot_big = _lookup_slot(ids_big, jnp.minimum(sc, M3))
+        big_drop = jnp.sum(body_big_sorted & (sc < M3) & (slot < K)
+                           & (slot_big >= K_big), dtype=jnp.int32)
+        front_dense = jnp.zeros((M3 + 1,), bool).at[
+            jnp.where(frontier, occ_idx, M3)].set(frontier)
+        slot_f = _lookup_slot(ids_front, jnp.minimum(sc, M3))
+        front_drop = jnp.sum(front_dense[jnp.minimum(sc, M3)] & (sc < M3)
+                             & (slot < K) & (slot_f >= K_f),
+                             dtype=jnp.int32)
+        cell_overflow = cell_overflow + big_drop + front_drop
 
-        dx = pj[:, None, :, 0] - pi[:, :, None, 0]           # [B, C, n_nb C]
-        dy = pj[:, None, :, 1] - pi[:, :, None, 1]
-        dz = pj[:, None, :, 2] - pi[:, :, None, 2]
-        r2 = dx * dx + dy * dy + dz * dz + eps2
-        inv_r = lax.rsqrt(r2)
-        not_self = idx_my[:, :, None] != idx_nb[:, None, :]
-        w = jnp.where(not_self, mj[:, None, :] * (inv_r * inv_r * inv_r), 0.0)
-        acc_b = G * jnp.stack(
-            [jnp.sum(w * dx, -1), jnp.sum(w * dy, -1), jnp.sum(w * dz, -1)],
-            axis=-1)
-        pe_b = jnp.sum(jnp.where(not_self, mj[:, None, :] * inv_r, 0.0), -1)
-        return idx_my, acc_b, pe_b
+        # width-16 table holding only small cells' bodies (small-cell rank
+        # is < 16 by definition, so it can never overflow)
+        keep_s = keep & ~body_big_sorted
+        table_s = jnp.full((K + 1, c_small), n, jnp.int32)
+        table_s = table_s.at[jnp.where(keep_s, slot, K),
+                             jnp.clip(rank, 0, c_small - 1)].set(
+            jnp.where(keep_s, order.astype(jnp.int32), n))
+    else:
+        ids_small = occ_idx
+        table_s = table
 
-    starts = jnp.arange(0, n_blocks * cell_block, cell_block)
-    idx_all, acc_all, pe_all = lax.map(block, starts)
-    idx_flat = idx_all.reshape(-1)
-    acc_near = jax.ops.segment_sum(
-        acc_all.reshape(-1, 3), idx_flat, num_segments=n + 1)[:n]
-    pe_near = jax.ops.segment_sum(
-        pe_all.reshape(-1), idx_flat, num_segments=n + 1)[:n]
+    def _packed(tbl_w):
+        """[K+1, 5 W] packed rows: px | py | pz | m | idx(as f32; exact
+        for n < 2^24 — a per-chip body-count bound far above tree HBM
+        limits)."""
+        cols = [jnp.concatenate([pos32[:, k],
+                                 jnp.full((1,), 1e30, f32)])[tbl_w]
+                for k in range(3)]
+        cols.append(m_pad[tbl_w])
+        cols.append(tbl_w.astype(f32))
+        return jnp.concatenate(cols, axis=1)
 
+    P_s = _packed(table_s)
+    if split:
+        P_full = _packed(table)
+    else:
+        P_full = P_s
+
+    def sweep(ids_list, i_cap, blk, P, width):
+        """Exact pair sweep of the listed cells (i-side width ``i_cap``
+        from packed table ``P``; j-side = one packed row per neighbor
+        cell, width ``width``)."""
+        Ki = ids_list.shape[0]
+        if blk <= 0:
+            # ~128 MB pair-tile budget: sequential lax.map iterations carry
+            # real overhead on TPU, so fewer/bigger blocks win
+            budget = (32 * 1024 * 1024) // max(1, i_cap * width * n_nb)
+            blk = max(8, min(4096, 1 << (max(3, budget).bit_length() - 1)))
+        nblk = -(-Ki // blk)
+        W = width
+
+        def block(s0):
+            slots_l = s0 + jnp.arange(blk)
+            ids = ids_list[jnp.minimum(slots_l, Ki - 1)]
+            valid = (slots_l < Ki) & (ids < M3)
+            cz = ids % M
+            cy = (ids // M) % M
+            cx = ids // (M * M)
+            nb_slots = []
+            for a, b in nb9:
+                for c in range(-ws, ws + 1):
+                    nx, ny, nz = cx + a, cy + b, cz + c
+                    ok = ((0 <= nx) & (nx < M) & (0 <= ny) & (ny < M)
+                          & (0 <= nz) & (nz < M) & valid)
+                    nid = jnp.where(ok, (nx * M + ny) * M + nz, M3)
+                    nb_slots.append(slot_of[nid])
+            nb = jnp.stack(nb_slots, axis=1)                 # [B, n_nb]
+
+            own = slot_of[jnp.where(valid, ids, M3)]
+            my = P[own]                                      # [B, 5W]
+            rows = P[nb].reshape(blk, n_nb, 5, W)
+            rows = rows.transpose(0, 2, 1, 3).reshape(blk, 5, -1)
+
+            pi = tuple(my[:, k * W:k * W + i_cap] for k in range(3))
+            idx_my = my[:, 4 * W:4 * W + i_cap]
+            pj = tuple(rows[:, k] for k in range(3))         # [B, n_nb W]
+            mj = rows[:, 3]
+            idx_nb = rows[:, 4]
+
+            dx = pj[0][:, None, :] - pi[0][:, :, None]       # [B, Ci, n_nb W]
+            dy = pj[1][:, None, :] - pi[1][:, :, None]
+            dz = pj[2][:, None, :] - pi[2][:, :, None]
+            r2 = dx * dx + dy * dy + dz * dz + eps2
+            inv_r = lax.rsqrt(r2)
+            not_self = idx_my[:, :, None] != idx_nb[:, None, :]
+            w = jnp.where(not_self,
+                          mj[:, None, :] * (inv_r * inv_r * inv_r), 0.0)
+            acc_b = G * jnp.stack(
+                [jnp.sum(w * dx, -1), jnp.sum(w * dy, -1),
+                 jnp.sum(w * dz, -1)], axis=-1)
+            pe_b = jnp.sum(jnp.where(not_self, mj[:, None, :] * inv_r, 0.0),
+                           -1)
+            return idx_my.astype(jnp.int32), acc_b, pe_b
+
+        starts = jnp.arange(0, nblk * blk, blk)
+        idx_all, acc_all, pe_all = lax.map(block, starts)
+        return (idx_all.reshape(-1), acc_all.reshape(-1, 3),
+                pe_all.reshape(-1))
+
+    i_s, a_s, p_s = sweep(ids_small, c_small, cell_block, P_s, c_small)
+    if split:
+        i_f, a_f, p_f = sweep(ids_front, c_small, cell_block,
+                              P_full, capacity)
+        i_b, a_b, p_b = sweep(ids_big, capacity, cell_block,
+                              P_full, capacity)
+        idx_flat = jnp.concatenate([i_s, i_f, i_b])
+        acc_flat = jnp.concatenate([a_s, a_f, a_b])
+        pe_flat = jnp.concatenate([p_s, p_f, p_b])
+    else:
+        idx_flat, acc_flat, pe_flat = i_s, a_s, p_s
+    acc_near = jax.ops.segment_sum(acc_flat, idx_flat,
+                                   num_segments=n + 1)[:n]
+    pe_near = jax.ops.segment_sum(pe_flat, idx_flat,
+                                  num_segments=n + 1)[:n]
+
+    if "near" in _SKIP:
+        acc_near = jnp.zeros_like(acc_near)
+        pe_near = jnp.zeros_like(pe_near)
+    if "far" in _SKIP:
+        a_far = jnp.zeros_like(a_far)
+        phi_far = jnp.zeros_like(phi_far)
     acc = (a_far + acc_near) * alive_f[:, None]
     overflow = cap_overflow + cell_overflow
 

@@ -30,43 +30,81 @@ def test_stencil_counts():
     assert len(tree_stencil(2)) == 11 ** 3 - 5 ** 3
 
 
+def _window_center_bodies(rng, n_bodies, levels, half=8.0):
+    """Bodies at EXACT finest-cell centers inside one random 4^3
+    finest-cell window of a pinned box. Within a 4-cell window every pair
+    has parent separation <= 1, so every far claim lands at the FINEST
+    level — where center-anchored expansions of center-placed bodies are
+    exact (dipole = 0). The tree must then match the dense oracle to f32
+    rounding: a double-counted or missed claim shows up as an O(1) error."""
+    M = 2 ** levels
+    h = 2.0 * half / M
+    # window-aligned so parent (level-1) cells span at most 2 = 1 parent sep
+    base = (rng.integers(0, M // 4, 3) * 4).astype(np.int64)
+    cells = rng.choice(64, size=n_bodies, replace=False)
+    local = np.stack([cells // 16, (cells // 4) % 4, cells % 4], axis=1)
+    cc = base[None, :] + local
+    pos = (-half + (cc.astype(np.float64) + 0.5) * h).astype(np.float32)
+    box = (np.zeros(3, np.float32), np.float32(half))
+    return pos, box
+
+
 def test_pair_partition_exact(rng):
-    """Two isolated bodies: every claiming cell holds one body, so the
-    monopole IS the body and the Taylor point IS its position — the tree
-    must reproduce the exact force to f32 rounding at ANY separation.
-    This is the partition-of-pairs correctness test: a double-counted or
-    missed claim shows up as an O(1) force error."""
-    for _ in range(60):
-        pos = (rng.uniform(-1, 1, (2, 3)) * rng.uniform(0.1, 10)).astype(
-            np.float32)
-        mass = rng.uniform(0.5, 1.5, 2).astype(np.float32)
+    """Finest-level claims + near field reproduce the dense oracle to f32
+    rounding for center-placed bodies (see _window_center_bodies)."""
+    for _ in range(30):
+        pos, box = _window_center_bodies(rng, 12, levels=4)
+        mass = rng.uniform(0.5, 1.5, 12).astype(np.float32)
         a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
         a, _, ov = tree_acc_potential(pos, mass, G_grav=1.0, eps2=1e-6,
-                                      levels=4, capacity=4, ws=1)
+                                      levels=4, capacity=12, ws=1, box=box)
         assert int(ov) == 0
         assert _rms(a, a_ref) < 5e-6
 
 
-def test_pair_partition_exact_sparse_levels(rng):
-    """Same two-body exactness through the DEEP-level path (levels=7 >
-    _DENSE_LEVELS): claims at sparse levels, the dense->sparse push-down
-    boundary, and the sparse per-body gather must all preserve the
-    partition."""
-    for _ in range(12):
-        pos = (rng.uniform(-1, 1, (2, 3)) * rng.uniform(0.1, 10)).astype(
-            np.float32)
-        mass = rng.uniform(0.5, 1.5, 2).astype(np.float32)
+def test_pair_partition_exact_deep_levels(rng):
+    """Same finest-level exactness when the finest level sits at the end
+    of the deep conv chain (levels=7): per-level convs, the static-delta
+    push-down, and the per-body channel gathers preserve the partition."""
+    for _ in range(6):
+        pos, box = _window_center_bodies(rng, 16, levels=7)
+        mass = rng.uniform(0.5, 1.5, 16).astype(np.float32)
         a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
         a, _, ov = tree_acc_potential(pos, mass, G_grav=1.0, eps2=1e-6,
-                                      levels=7, capacity=4, ws=1)
+                                      levels=7, capacity=16, ws=1, box=box)
         assert int(ov) == 0
         assert _rms(a, a_ref) < 5e-6
+
+
+def test_pair_partition_counts_every_pair_once(rng):
+    """Potential flood: with eps2 far above the box scale every pair's
+    potential is -G m_i m_j / sqrt(eps2) to ~4e-6 regardless of distance,
+    so U literally counts claimed pairs (mass-product weighted) across
+    ALL levels and the near field. A single missed or double-counted pair
+    among n=24 bodies shifts U by ~1/276 — two orders above the
+    tolerance. Random positions exercise every level's claim set."""
+    eps2 = 1e8
+    for levels in (3, 4, 7):
+        n = 24
+        pos = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+        mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+        mm = np.outer(mass, mass)
+        S = (mm.sum() - np.trace(mm)) / 2.0
+        U_expect = -S / np.sqrt(eps2)
+        occ, _ = tree_occupancy_probe(pos, levels=levels)
+        _, U, ov = tree_acc_potential(pos, mass, G_grav=1.0, eps2=eps2,
+                                      levels=levels, capacity=int(occ) + 4)
+        assert int(ov) == 0
+        assert abs(float(U) - U_expect) / abs(U_expect) < 1e-3
 
 
 def test_tree_deep_levels_match_shallow(gauss_blob):
-    """levels=7 (sparse far-field regime) agrees with the dense oracle as
-    well as levels=5 does — occupied-cell pruning changes cost, not
-    physics."""
+    """levels=7 stays in the same accuracy class as levels=5 on the blob.
+    Center-anchored expansions lose a little at depth (a 2048-body blob
+    has ~1 body/cell at level 7, and a lone body sits up to h/2 from its
+    cell center; the COM-anchored scheme this replaced was exact there but
+    was gather-bound — 10-20x slower, see the module docstring), so the
+    deep bound is 2x the shallow one, not equal."""
     pos, mass = gauss_blob
     a_ref, U_ref = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
     occ, nc = tree_occupancy_probe(pos, levels=7)
@@ -74,8 +112,8 @@ def test_tree_deep_levels_match_shallow(gauss_blob):
                                   levels=7, capacity=int(occ) + 8, ws=1,
                                   max_cells=int(nc) + 32)
     assert int(ov) == 0
-    assert _rms(a, a_ref) < 3e-2
-    assert float(U) == pytest.approx(float(U_ref), rel=3e-2)
+    assert _rms(a, a_ref) < 6e-2
+    assert float(U) == pytest.approx(float(U_ref), rel=6e-2)
 
 
 @pytest.mark.parametrize("ws,tol", [(1, 3e-2), (2, 8e-3)])
@@ -220,4 +258,8 @@ def test_tree_pinned_box_matches(gauss_blob):
         capacity=int(occ2) + 8, ws=1,
         box=(np.zeros(3, np.float32), half))
     assert int(ov) == 0
-    assert _rms(a_pin, a_fit) < 2e-2
+    # both grids sit in the same accuracy class vs the exact oracle
+    # (cell-assignment noise differs between alignments, so pin-vs-fit
+    # is not rounding-close — compare each to the truth instead)
+    a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
+    assert _rms(a_pin, a_ref) < 1.5 * max(_rms(a_fit, a_ref), 1e-2)
