@@ -184,6 +184,40 @@ def bench_pm(n: int, grid: int = 128, iters: int = 3) -> float:
     return n / sec
 
 
+def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3) -> float:
+    """Tree-gravity KDK step rate on a concentrated Plummer sphere (the
+    regime P3M's fixed capacity excludes; ops/tree.py conv far field)."""
+    import jax.numpy as jnp
+
+    import orbital_tpu as ot
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import resolve_force_fn
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.ops.tree import tree_occupancy_probe
+    from orbital_tpu.utils.timing import bench_chained
+
+    rng = np.random.default_rng(0)
+    u = rng.uniform(0.01, 0.99, n)
+    r = 1.0 / np.sqrt(u ** (-2.0 / 3.0) - 1.0)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pos = r[:, None] * v
+    vel = 0.05 * rng.normal(size=(n, 3))
+    mass = np.full(n, 1.0 / n)
+    state = make_state(pos, vel, mass, precision="f32")
+    cap, occ = tree_occupancy_probe(jnp.asarray(pos, jnp.float32),
+                                    levels=levels)
+    cfg = ot.SimConfig(dt=1e-4, G=1.0, eps2=1e-6, force_impl="tree",
+                       tree_levels=levels,
+                       tree_capacity=int(np.ceil((int(cap) + 8) / 16) * 16),
+                       tree_max_cells=int(np.ceil((int(occ) * 1.3) / 512) * 512),
+                       track_potential=False)
+    state = ot.init_forces(state, cfg)
+    step = make_step_fn(cfg, resolve_force_fn(cfg, n))
+    sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
+    return n / sec
+
+
 def bench_ensemble(n_ens: int = 1024) -> float:
     """Config 5: vmapped perturbed solar systems; ensemble body-steps/s."""
     import jax
@@ -299,6 +333,10 @@ def main() -> None:
         extras["pm_body_steps_per_s_1048576_grid128"] = round(bench_pm(1 << 20), 1)
     except Exception as e:  # noqa: BLE001
         extras["bench_pm_error"] = str(e)[:200]
+    try:
+        extras["tree_body_steps_per_s_65536_plummer"] = round(bench_tree(), 1)
+    except Exception as e:  # noqa: BLE001
+        extras["bench_tree_error"] = str(e)[:200]
     _checkpoint_result()
     try:
         # exact-kernel ceiling datapoint (2x the headline N)

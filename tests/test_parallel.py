@@ -285,3 +285,52 @@ def test_sharded_step_with_pallas_ring_blocks(rng):
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_ensemble_axis_is_dcn_safe(rng):
+    """Multi-slice (DCN) readiness: with the mesh's OUTER axis mapped to
+    slices (the jax.distributed multi-slice convention), every collective
+    the compiled step emits must stay WITHIN a slice — the ensemble axis
+    is pure data parallelism, only the body ring communicates. Verified
+    by parsing the compiled HLO's collective-permute source-target pairs:
+    each pair must connect devices of the same outer-axis row."""
+    import re
+    from orbital_tpu.parallel.ensemble import make_ensemble
+    from orbital_tpu.parallel.sharded import make_sharded_ensemble_step
+
+    n, n_slices, per_slice = 32, 2, 4
+    base = make_state(rng.normal(size=(n, 3)), rng.normal(size=(n, 3)) * 0.1,
+                      rng.uniform(0.5, 1.5, n) / n, precision="f32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4)
+    states = make_ensemble(base, n_slices, jax.random.key(1), pos_sigma=1e-3)
+    force = resolve_force_fn(cfg.replace(force_impl="dense"), n)
+    acc, U = jax.vmap(force)(states.pos, states.mass, states.alive)
+    states = states.replace(acc=acc, potential=U)
+
+    mesh = make_mesh(shape=(n_slices, per_slice), axis_names=("dcn", "body"))
+    step, shardings = make_sharded_ensemble_step(
+        cfg, mesh, states, ensemble_axis="dcn")
+    placed = jax.device_put(states, shardings)
+    hlo = jax.jit(step).lower(placed).compile().as_text()
+
+    pairs = []
+    for m in re.finditer(r"source_target_pairs=\{([0-9,{} ]*)\}", hlo):
+        pairs += re.findall(r"\{(\d+),(\d+)\}", m.group(1))
+    assert pairs, "expected the body ring's collective-permute in the HLO"
+    for s, t in pairs:
+        assert int(s) // per_slice == int(t) // per_slice, (
+            f"collective crosses the dcn axis: {s}->{t}")
+    # and no cross-slice all-reduce either: replica_groups of any
+    # all-reduce must sit within one slice
+    for m in re.finditer(r"replica_groups=\{(\{[0-9, ]+\}(?:,\{[0-9, ]+\})*)\}",
+                         hlo):
+        for grp in re.findall(r"\{([0-9, ]+)\}", m.group(1)):
+            devs = [int(x) for x in grp.replace(" ", "").split(",") if x]
+            assert len({d // per_slice for d in devs}) == 1, (
+                f"all-reduce group crosses slices: {devs}")
+
+    # the step still computes the right physics on this mesh
+    out = step(placed)
+    ref = jax.vmap(make_step_fn(cfg, force))(states)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=3e-5, atol=3e-6)

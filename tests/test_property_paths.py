@@ -92,7 +92,7 @@ def test_merge_conserves_mass_momentum_random(seed):
 
 
 @pytest.mark.parametrize("seed,integ", [(21, "kdk"), (22, "euler"),
-                                        (23, "rk4")])
+                                        (23, "rk4"), (24, "yoshida4")])
 def test_bounce_rollout_conserves_momentum_random(seed, integ):
     rng = np.random.default_rng(seed)
     n = 64
