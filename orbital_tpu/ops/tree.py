@@ -62,9 +62,15 @@ pair was summed exactly). Deep ``levels`` is how concentration is tamed:
 each extra level cuts the densest cell's occupancy ~8x while the conv
 far field grows only 8x in cheap MXU work.
 
-Accuracy: monopole+dipole sources with first-order target Taylor give
-O((h/R)^2) force error — ``ws=1`` measures ~1e-2 RMS on concentrated
-clusters, ``ws=2`` roughly a decade better (DESIGN.md). Softening
+Accuracy: at ``order=1`` (monopole+dipole sources, first-order target
+Taylor) the force error is O((h/R)^2) — ~1e-2 RMS on concentrated
+clusters at ws=1, ~1e-3 at ws=2. ``order=2`` adds quadrupole sources AND
+a second-order target Taylor (Hessian output channels) — BOTH sides,
+because either alone leaves a same-order term from the other — for one
+more factor of h/(2R): measured ~3x lower force error and ~10x lower
+potential error at ws=1 for ~2.5x far-field conv cost (the near field is
+untouched, which is why order=2 at ws=1 dominates order=1 at ws=2: the
+latter pays a 125-cell near field). Softening
 ``eps2`` applies in *both* ranges, so the computed force is a consistent
 (if cell-assignment-discontinuous) approximation of the softened
 Hamiltonian. The reference has no analog (exact O(N^2) Python only,
@@ -118,10 +124,17 @@ def _apply_sym(j6, v):
 # far field: octant-channel convolution
 # ---------------------------------------------------------------------------
 
-# channel layouts (octant index o = ox*4 + oy*2 + oz)
-_IN_CH = 32    # 4 moments (m, px, py, pz) x 8 source octants: i = mom*8 + o
-_OUT_CH = 80   # 10 fields (Ax,Ay,Az, Jxx,Jyy,Jzz,Jxy,Jxz,Jyz, phi) x 8
-#                target octants: o_ch = oct*10 + field
+# channel layouts (octant index o = ox*4 + oy*2 + oz).
+# order 1: moments (m, px, py, pz); fields (A 3, J 6, phi 1).
+# order 2: + quadrupole Q (6, packed xx yy zz xy xz yz) in, + Hessian H
+# (18, H[i,(jk)] i-major) out — source-quadrupole AND target-second-order
+# together lift the error O((h/R)^2) -> O((h/R)^3); either alone leaves a
+# same-order term from the other side.
+_N_MOM = {1: 4, 2: 10}
+_N_FLD = {1: 10, 2: 28}
+# symmetric 6-pack contraction weights (off-diagonals appear twice)
+_C6 = (1.0, 1.0, 1.0, 2.0, 2.0, 2.0)
+_Q6 = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
 
 
 def _conv_taps(ws: int):
@@ -144,16 +157,19 @@ def _conv_taps(ws: int):
     return groups
 
 
-def _conv_weights(ws: int, h, G: float, eps2: float):
-    """Per-x-slab conv weight tensors [OUT, IN, 2ws+1, 2ws+1] (traced —
+def _conv_weights(ws: int, h, G: float, eps2: float, order: int):
+    """Per-x-slab conv weight tensors [8*F, 8*Mo, 2ws+1, 2ws+1] (traced —
     they depend on the level's cell width ``h``). Tap weight blocks follow
-    the source-shift Taylor expansion about cell centers:
-      A   +=  m * W_A(r)      - J(r) p          (W_A = -G r / R^3)
-      J   +=  m * J(r)                          (J_ij = 3G r_i r_j/R^5
+    the source-shift Taylor expansion about cell centers with
+    r = c_target - c_source = -d*h, R^2 = |r|^2 + eps2:
+      A   +=  m W_A       - J p       + 1/2 T : Q      (W_A = -G r / R^3)
+      J   +=  m J         - T p                  (J_ij = 3G r_i r_j/R^5
                                                         - G delta_ij/R^3)
-      phi +=  m * g(r)        - G (r.p) / R^3   (g = -G / R)
-    with r = c_target - c_source = -d*h, R^2 = |r|^2 + eps2."""
+      H   +=  m T                     (T_ijk = d J_ij / d r_k, order 2)
+      phi +=  m g         + W_A . p   - 1/2 J : Q         (g = -G / R)
+    """
     p = 2 * ws + 1
+    F, Mo = _N_FLD[order], _N_MOM[order]
     groups = _conv_taps(ws)
     h = jnp.asarray(h, jnp.float32)
     slabs = {}
@@ -170,52 +186,85 @@ def _conv_weights(ws: int, h, G: float, eps2: float):
         inv = lax.rsqrt(R2)
         inv3 = inv * inv * inv
         inv5 = inv3 * inv * inv
+        inv7 = inv5 * inv * inv
         W_A = -G * r * inv3[:, None]                            # [T, 3]
-        rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
-        Jt = jnp.stack([3.0 * G * rx * rx * inv5 - G * inv3,
-                        3.0 * G * ry * ry * inv5 - G * inv3,
-                        3.0 * G * rz * rz * inv5 - G * inv3,
-                        3.0 * G * rx * ry * inv5,
-                        3.0 * G * rx * rz * inv5,
-                        3.0 * G * ry * rz * inv5], axis=1)      # [T, 6]
+        rc = [r[:, 0], r[:, 1], r[:, 2]]
+
+        def Jel(i, j):
+            base = 3.0 * G * rc[i] * rc[j] * inv5
+            return base - G * inv3 if i == j else base
+
+        Jt = jnp.stack([Jel(*q) for q in _Q6], axis=1)          # [T, 6]
         g = -G * inv                                            # [T]
 
-        # per-tap [10 out-fields, 4 in-moments] weight block
-        blk = jnp.zeros((len(taps), 10, 4), jnp.float32)
-        blk = blk.at[:, 0:3, 0].set(W_A)                 # m -> A
-        blk = blk.at[:, 3:9, 0].set(Jt)                  # m -> J
-        blk = blk.at[:, 9, 0].set(g)                     # m -> phi
-        # p -> A: -J(r) p  (symmetric 3x3 from packed 6)
+        blk = jnp.zeros((len(taps), F, Mo), jnp.float32)
+        phi_row = F - 1
+        # m -> A, J, phi
+        blk = blk.at[:, 0:3, 0].set(W_A)
+        blk = blk.at[:, 3:9, 0].set(Jt)
+        blk = blk.at[:, phi_row, 0].set(g)
+        # p -> A: -J p  (symmetric 3x3 from packed 6)
         Jm = jnp.stack([
             jnp.stack([Jt[:, 0], Jt[:, 3], Jt[:, 4]], 1),
             jnp.stack([Jt[:, 3], Jt[:, 1], Jt[:, 5]], 1),
             jnp.stack([Jt[:, 4], Jt[:, 5], Jt[:, 2]], 1)], 1)  # [T, 3, 3]
         blk = blk.at[:, 0:3, 1:4].set(-Jm)
-        # p -> phi: -G (r.p)/R^3 = W_A . p
-        blk = blk.at[:, 9, 1:4].set(W_A)
+        # p -> phi: W_A . p
+        blk = blk.at[:, phi_row, 1:4].set(W_A)
+
+        if order == 2:
+            def Tel(i, j, k):
+                t = -5.0 * G * rc[i] * rc[j] * rc[k] * inv7 * 3.0
+                if i == j:
+                    t = t + 3.0 * G * rc[k] * inv5
+                if i == k:
+                    t = t + 3.0 * G * rc[j] * inv5
+                if j == k:
+                    t = t + 3.0 * G * rc[i] * inv5
+                return t
+
+            # Tp[i][q] = T_i(jk), fully symmetric
+            Tp = [[Tel(i, q[0], q[1]) for q in _Q6] for i in range(3)]
+            # m -> H (18 rows, i-major)
+            for i in range(3):
+                for q in range(6):
+                    blk = blk.at[:, 9 + i * 6 + q, 0].set(Tp[i][q])
+            # p -> J: J_(ij) += -T_(ij)k p_k
+            for qi, (i, j) in enumerate(_Q6):
+                for k in range(3):
+                    blk = blk.at[:, 3 + qi, 1 + k].set(-Tel(i, j, k))
+            # Q -> A: A_i += 1/2 c_q T_i(q) Q_q
+            for i in range(3):
+                for q in range(6):
+                    blk = blk.at[:, i, 4 + q].set(0.5 * _C6[q] * Tp[i][q])
+            # Q -> phi: phi += -1/2 c_q J_q Q_q
+            for q in range(6):
+                blk = blk.at[:, phi_row, 4 + q].set(-0.5 * _C6[q] * Jt[:, q])
 
         # scatter tap blocks into the conv weight tensor
-        w = jnp.zeros((_OUT_CH, _IN_CH, p, p), jnp.float32)
-        oc = (o_t[:, None] * 10 + np.arange(10)[None, :])       # [T, 10]
-        ic = (np.arange(4)[None, :] * 8 + o_s[:, None])         # [T, 4]
+        w = jnp.zeros((8 * F, 8 * Mo, p, p), jnp.float32)
+        oc = (o_t[:, None] * F + np.arange(F)[None, :])         # [T, F]
+        ic = (np.arange(Mo)[None, :] * 8 + o_s[:, None])        # [T, Mo]
         w = w.at[oc[:, :, None], ic[:, None, :],
                  ky[:, None, None], kz[:, None, None]].add(blk)
         slabs[Dx] = w
     return slabs
 
 
-def _level_conv(moments, ws: int, h, G: float, eps2: float):
+def _level_conv(moments, ws: int, h, G: float, eps2: float, order: int):
     """One level's far-field sweep as batched 2-D convolutions.
 
-    ``moments``: [s, 32, s, s] octant-packed parent grid (x as batch).
-    Returns [s, 80, s, s] (A, J, phi per target octant). f32/HIGHEST —
-    bf16 tap products would sit above the method's own error floor.
+    ``moments``: [s, 8 Mo, s, s] octant-packed parent grid (x as batch).
+    Returns [s, 8 F, s, s] per target octant. f32/HIGHEST — bf16 tap
+    products would sit above the method's own error floor.
     """
     s = moments.shape[0]
-    slabs = _conv_weights(ws, h, G, eps2)
-    pad = jnp.zeros((ws, _IN_CH, s, s), jnp.float32)
-    xp = jnp.concatenate([pad, moments, pad], axis=0)   # [s+2ws, 32, s, s]
-    out = jnp.zeros((s, _OUT_CH, s, s), jnp.float32)
+    in_ch = 8 * _N_MOM[order]
+    out_ch = 8 * _N_FLD[order]
+    slabs = _conv_weights(ws, h, G, eps2, order)
+    pad = jnp.zeros((ws, in_ch, s, s), jnp.float32)
+    xp = jnp.concatenate([pad, moments, pad], axis=0)
+    out = jnp.zeros((s, out_ch, s, s), jnp.float32)
     for Dx, w in slabs.items():
         c2 = lax.conv_general_dilated(
             xp, w, window_strides=(1, 1), padding="SAME",
@@ -227,7 +276,7 @@ def _level_conv(moments, ws: int, h, G: float, eps2: float):
 
 
 def _octant_pack(flat_chans, m):
-    """4 flat [m^3] moment grids -> [s, 32, s, s] octant-packed parent
+    """Mo flat [m^3] moment grids -> [s, 8 Mo, s, s] octant-packed parent
     grid (s = m/2; in-channel = moment*8 + octant, octant = ox*4+oy*2+oz)."""
     s = m // 2
     parts = []
@@ -235,42 +284,49 @@ def _octant_pack(flat_chans, m):
         g = c.reshape(s, 2, s, 2, s, 2)
         g = g.transpose(0, 2, 4, 1, 3, 5).reshape(s, s, s, 8)
         parts.append(g)
-    g = jnp.stack(parts, axis=3)                 # [s, s, s, 4, 8]
-    g = g.reshape(s, s, s, 32)
-    return g.transpose(0, 3, 1, 2)               # [s(x), 32, s(y), s(z)]
+    g = jnp.stack(parts, axis=3)                 # [s, s, s, Mo, 8]
+    g = g.reshape(s, s, s, 8 * len(parts))
+    return g.transpose(0, 3, 1, 2)               # [s(x), 8 Mo, s(y), s(z)]
 
 
-def _unpack_fields(out):
-    """[s, 80, s, s] conv output -> 10 flat child-grid channels [m^3]
+def _unpack_fields(out, n_fields):
+    """[s, 8 F, s, s] conv output -> F flat child-grid channels [m^3]
     (m = 2s, x-major child linear ids). Channels stay SEPARATE 1-D arrays
     for the same T(8,128) lane-padding reason as the moment pyramid."""
     s = out.shape[0]
-    g = out.transpose(0, 2, 3, 1).reshape(s, s, s, 2, 2, 2, 10)
-    g = g.transpose(0, 3, 1, 4, 2, 5, 6)         # [s,2, s,2, s,2, 10]
-    return tuple(g[..., ch].reshape(-1) for ch in range(10))
+    g = out.transpose(0, 2, 3, 1).reshape(s, s, s, 2, 2, 2, n_fields)
+    g = g.transpose(0, 3, 1, 4, 2, 5, 6)         # [s,2, s,2, s,2, F]
+    return tuple(g[..., ch].reshape(-1) for ch in range(n_fields))
 
 
-def _far_field(chans, levels, ws, half, origin, G, eps2):
-    """Conv far field over all levels. Returns 10 flat finest-grid field
-    channels [M^3] (Ax,Ay,Az, Jxx,Jyy,Jzz,Jxy,Jxz,Jyz, phi) — expansions
-    about cell centers."""
+def _far_field(chans, levels, ws, half, origin, G, eps2, order):
+    """Conv far field over all levels. Returns F flat finest-grid field
+    channels [M^3] (order 1: Ax..Az, Jxx..Jyz, phi; order 2 inserts the
+    18 Hessian channels before phi) — expansions about cell centers."""
     f32 = jnp.float32
     F = None
     for lev in range(2, levels + 1):
         m = 2 ** lev
         h_lev = 2.0 * half / m
-        # dipole about centers: p = sum(m x) - m * center
         mflat = chans[lev][0]
         ids = jnp.arange(m * m * m, dtype=jnp.int32)
         ctr = [(ids // (m * m)).astype(f32), ((ids // m) % m).astype(f32),
                (ids % m).astype(f32)]
-        moms = [mflat]
-        for k in range(3):
-            c_k = origin[k] + (ctr[k] + 0.5) * h_lev
-            moms.append(chans[lev][1 + k] - mflat * c_k)
+        cc = [origin[k] + (ctr[k] + 0.5) * h_lev for k in range(3)]
+        # dipole about centers: p = sum(m x) - m c
+        pvec = [chans[lev][1 + k] - mflat * cc[k] for k in range(3)]
+        moms = [mflat] + pvec
+        if order == 2:
+            # quadrupole about centers:
+            # Q_(ij) = sum(m x_i x_j) - c_i Mx_j - c_j Mx_i + m c_i c_j
+            for q, (i, j) in enumerate(_Q6):
+                moms.append(chans[lev][4 + q]
+                            - cc[i] * chans[lev][1 + j]
+                            - cc[j] * chans[lev][1 + i]
+                            + mflat * cc[i] * cc[j])
         packed = _octant_pack(moms, m)
-        out = _level_conv(packed, ws, h_lev, G, eps2)     # [s, 80, s, s]
-        dF = _unpack_fields(out)
+        out = _level_conv(packed, ws, h_lev, G, eps2, order)
+        dF = _unpack_fields(out, _N_FLD[order])
         if F is None:
             F = dF
             continue
@@ -285,15 +341,44 @@ def _far_field(chans, levels, ws, half, origin, G, eps2):
         dz = sides.reshape(1, 1, 1, 1, 1, 2)
 
         def up(c):
-            return jnp.broadcast_to(
-                c.reshape(s, 1, s, 1, s, 1), sh)
+            return jnp.broadcast_to(c.reshape(s, 1, s, 1, s, 1), sh)
 
-        Ax, Ay, Az, Jxx, Jyy, Jzz, Jxy, Jxz, Jyz, phi = map(up, F)
+        U = [up(c) for c in F]
+        Ax, Ay, Az = U[0], U[1], U[2]
+        Jxx, Jyy, Jzz, Jxy, Jxz, Jyz = U[3], U[4], U[5], U[6], U[7], U[8]
+        phi = U[-1]
         Ax_c = Ax + Jxx * dx + Jxy * dy + Jxz * dz
         Ay_c = Ay + Jxy * dx + Jyy * dy + Jyz * dz
         Az_c = Az + Jxz * dx + Jyz * dy + Jzz * dz
         phi_c = phi - (Ax * dx + Ay * dy + Az * dz)
-        pushed = (Ax_c, Ay_c, Az_c, Jxx, Jyy, Jzz, Jxy, Jxz, Jyz, phi_c)
+        if order == 1:
+            pushed = (Ax_c, Ay_c, Az_c, Jxx, Jyy, Jzz, Jxy, Jxz, Jyz,
+                      phi_c)
+        else:
+            H = U[9:27]  # H[i*6 + q], q packed xx yy zz xy xz yz
+
+            def hquad(i):
+                b = i * 6
+                return (H[b + 0] * dx * dx + H[b + 1] * dy * dy
+                        + H[b + 2] * dz * dz
+                        + 2.0 * (H[b + 3] * dx * dy + H[b + 4] * dx * dz
+                                 + H[b + 5] * dy * dz))
+
+            Ax_c = Ax_c + 0.5 * hquad(0)
+            Ay_c = Ay_c + 0.5 * hquad(1)
+            Az_c = Az_c + 0.5 * hquad(2)
+            # J_(ij) += H_i(jk) delta_k (fully symmetric H)
+            Jxx_c = Jxx + H[0] * dx + H[3] * dy + H[4] * dz
+            Jyy_c = Jyy + H[9] * dx + H[7] * dy + H[11] * dz
+            Jzz_c = Jzz + H[16] * dx + H[17] * dy + H[14] * dz
+            Jxy_c = Jxy + H[3] * dx + H[1] * dy + H[5] * dz
+            Jxz_c = Jxz + H[4] * dx + H[5] * dy + H[2] * dz
+            Jyz_c = Jyz + H[10] * dx + H[11] * dy + H[8] * dz
+            phi_c = phi_c - 0.5 * (
+                Jxx * dx * dx + Jyy * dy * dy + Jzz * dz * dz
+                + 2.0 * (Jxy * dx * dy + Jxz * dx * dz + Jyz * dy * dz))
+            pushed = (Ax_c, Ay_c, Az_c, Jxx_c, Jyy_c, Jzz_c, Jxy_c,
+                      Jxz_c, Jyz_c) + tuple(H) + (phi_c,)
         F = tuple(p.reshape(-1) + d for p, d in zip(pushed, dF))
     return F
 
@@ -320,7 +405,8 @@ def _lookup_slot(sorted_ids, query):
 
 @partial(jax.jit,
          static_argnames=("G_grav", "eps2", "levels", "capacity", "ws",
-                          "max_cells", "cell_block", "with_potential"))
+                          "max_cells", "cell_block", "with_potential",
+                          "order"))
 def tree_acc_potential(
     pos: jax.Array,
     mass: jax.Array,
@@ -334,6 +420,7 @@ def tree_acc_potential(
     max_cells: int = 0,
     cell_block: int = 0,
     with_potential: bool = True,
+    order: int = 1,
     box=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Tree accelerations, potential, and the near-field overflow count.
@@ -365,6 +452,8 @@ def tree_acc_potential(
         raise ValueError("the tree solver requires eps2 > 0")
     if ws not in (1, 2):
         raise ValueError("ws must be 1 or 2")
+    if order not in (1, 2):
+        raise ValueError("order must be 1 (monopole+dipole) or 2 (+quad)")
     if levels < 2 or levels > 8:
         raise ValueError("levels must be in [2, 8]")
     n = pos.shape[0]
@@ -397,10 +486,13 @@ def tree_acc_potential(
     # a TPU gather/scatter gets relaid out to T(8,128) tiles — C=4 lanes
     # pad to 128 and the level-8 grid inflates 32x to ~8.6 GB (measured
     # OOM). 1-D channels keep the natural layout at every level.
+    raw = [m_eff, m_eff * pos32[:, 0], m_eff * pos32[:, 1],
+           m_eff * pos32[:, 2]]
+    if order == 2:
+        raw += [m_eff * pos32[:, i] * pos32[:, j] for i, j in _Q6]
     chans = {levels: tuple(
         jax.ops.segment_sum(c, cell_id, num_segments=M3 + 1)[:M3]
-        for c in (m_eff, m_eff * pos32[:, 0], m_eff * pos32[:, 1],
-                  m_eff * pos32[:, 2]))}
+        for c in raw)}
     for lev in range(levels - 1, 1, -1):
         mm = 2 ** lev
         chans[lev] = tuple(
@@ -411,8 +503,8 @@ def tree_acc_potential(
 
     # sorted-body machinery (near field): occupied-cell lists come from
     # the N sorted bodies, never from grid-sized scans
-    order = jnp.argsort(cell_id)
-    sc = cell_id[order]
+    sort_idx = jnp.argsort(cell_id)
+    sc = cell_id[sort_idx]
     first = jnp.searchsorted(sc, sc, side="left")
     last = jnp.searchsorted(sc, sc, side="right")
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
@@ -427,17 +519,34 @@ def tree_acc_potential(
         jnp.where(occ_idx < M3, jnp.arange(K, dtype=jnp.int32), K))
 
     # ---- far field: per-level octant convolutions + body Taylor step ------
-    F_ch = _far_field(chans, levels, ws, half, origin, G, eps2)
+    F_ch = _far_field(chans, levels, ws, half, origin, G, eps2, order)
     idx_b = jnp.minimum(cell_id, M3)
     zpad = jnp.zeros((1,), f32)
-    Fb = [jnp.concatenate([c, zpad])[idx_b] for c in F_ch]  # 10 x [N]
+    Fb = [jnp.concatenate([c, zpad])[idx_b] for c in F_ch]  # F x [N]
     A_b = jnp.stack(Fb[0:3], axis=-1)
     J_b = jnp.stack(Fb[3:9], axis=-1)
-    phi_b = Fb[9]
+    phi_b = Fb[-1]
     centers_b = origin + (cc.astype(f32) + 0.5) * h
     dx = pos32 - centers_b
     a_far = A_b + _apply_sym(J_b, dx)
     phi_far = phi_b - jnp.sum(A_b * dx, axis=-1)
+    if order == 2:
+        H = Fb[9:27]
+        dxc = [dx[:, 0], dx[:, 1], dx[:, 2]]
+
+        def hquad_b(i):
+            b = i * 6
+            acc = jnp.zeros_like(H[0])
+            for q, (j, k) in enumerate(_Q6):
+                acc = acc + _C6[q] * H[b + q] * dxc[j] * dxc[k]
+            return acc
+
+        a_far = a_far + 0.5 * jnp.stack(
+            [hquad_b(0), hquad_b(1), hquad_b(2)], axis=-1)
+        jq = jnp.zeros_like(phi_b)
+        for q, (j, k) in enumerate(_Q6):
+            jq = jq + _C6[q] * Fb[3 + q] * dxc[j] * dxc[k]
+        phi_far = phi_far - 0.5 * jq
 
     # ---- near field: exact sweeps over OCCUPIED finest cells only ---------
     slot = slot_of[jnp.minimum(sc, M3)]
@@ -449,7 +558,7 @@ def tree_acc_potential(
     table = jnp.full((K + 1, capacity), n, jnp.int32)
     table = table.at[jnp.where(keep, slot, K),
                      jnp.clip(rank, 0, capacity - 1)].set(
-        jnp.where(keep, order.astype(jnp.int32), n))
+        jnp.where(keep, sort_idx.astype(jnp.int32), n))
 
     m_pad = jnp.concatenate([m_eff, jnp.zeros((1,), f32)])
 
@@ -525,7 +634,7 @@ def tree_acc_potential(
         table_s = jnp.full((K + 1, c_small), n, jnp.int32)
         table_s = table_s.at[jnp.where(keep_s, slot, K),
                              jnp.clip(rank, 0, c_small - 1)].set(
-            jnp.where(keep_s, order.astype(jnp.int32), n))
+            jnp.where(keep_s, sort_idx.astype(jnp.int32), n))
     else:
         ids_small = occ_idx
         table_s = table

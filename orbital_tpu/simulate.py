@@ -64,6 +64,7 @@ def simulate(
     tree_levels: int = 6,
     tree_capacity: Union[int, str] = "auto",
     tree_ws: int = 1,
+    tree_order: int = 1,
     unit_profile: UnitProfile = STANDARD,
     rescale: Optional[Rescale] = None,
 ) -> SimResult:
@@ -113,6 +114,7 @@ def simulate(
         p3m_capacity=64 if p3m_capacity == "auto" else int(p3m_capacity),
         pm_box=pm_box,
         tree_levels=tree_levels,
+        tree_order=tree_order,
         tree_capacity=48 if tree_capacity == "auto" else int(tree_capacity),
         tree_ws=tree_ws,
     )

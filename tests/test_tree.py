@@ -263,3 +263,66 @@ def test_tree_pinned_box_matches(gauss_blob):
     # is not rounding-close — compare each to the truth instead)
     a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
     assert _rms(a_pin, a_ref) < 1.5 * max(_rms(a_fit, a_ref), 1e-2)
+
+
+def test_tree_order2_improves_accuracy(gauss_blob):
+    """order=2 (quadrupole sources + second-order target Taylor) cuts the
+    force error by ~the well-separation ratio (~3x at ws=1) and the
+    potential error ~10x, with momentum still conserved to rounding."""
+    pos, mass = gauss_blob
+    a_ref, U_ref = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
+    occ, nc = tree_occupancy_probe(pos, levels=5)
+    errs, uerrs = {}, {}
+    for order in (1, 2):
+        a, U, ov = tree_acc_potential(pos, mass, G_grav=1.0, eps2=1e-6,
+                                      levels=5, capacity=int(occ) + 8,
+                                      max_cells=int(nc) + 32, order=order)
+        assert int(ov) == 0
+        errs[order] = _rms(a, a_ref)
+        uerrs[order] = abs(float(U) - float(U_ref)) / abs(float(U_ref))
+        mom = np.abs((np.asarray(mass)[:, None] * np.asarray(a)).sum(0))
+        assert mom.max() < 1e-6
+    assert errs[2] < errs[1] / 2.0
+    assert uerrs[2] < uerrs[1] / 3.0
+
+
+def test_tree_order2_partition_and_exactness(rng):
+    """The order-2 tap set claims exactly the same pairs (eps2-flood
+    count) and center-placed window bodies stay exact (all higher moments
+    vanish at centers)."""
+    eps2 = 1e8
+    n = 24
+    pos = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    mm = np.outer(mass, mass)
+    S = (mm.sum() - np.trace(mm)) / 2.0
+    occ, _ = tree_occupancy_probe(pos, levels=4)
+    _, U, ov = tree_acc_potential(pos, mass, G_grav=1.0, eps2=eps2,
+                                  levels=4, capacity=int(occ) + 4, order=2)
+    assert int(ov) == 0
+    assert abs(float(U) + S / np.sqrt(eps2)) / (S / np.sqrt(eps2)) < 1e-3
+
+    pos, box = _window_center_bodies(rng, 12, levels=4)
+    mass = rng.uniform(0.5, 1.5, 12).astype(np.float32)
+    a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
+    a, _, ov = tree_acc_potential(pos, mass, G_grav=1.0, eps2=1e-6,
+                                  levels=4, capacity=12, ws=1, box=box,
+                                  order=2)
+    assert int(ov) == 0
+    assert _rms(a, a_ref) < 5e-6
+
+
+def test_simulate_tree_order2(gauss_blob):
+    from orbital_tpu.models.scene import SceneArrays
+
+    pos, mass = gauss_blob
+    n = len(mass)
+    arrays = SceneArrays(
+        pos=np.asarray(pos, np.float64), vel=np.zeros((n, 3)),
+        mass=np.asarray(mass, np.float64), radius=np.zeros(n),
+        names=[f"b{i}" for i in range(n)], uuids=[f"u{i}" for i in range(n)])
+    res = ot.simulate(arrays, steps=10, dt=1e-3, softening=1e-2,
+                      force_impl="tree", tree_levels=4, tree_order=2,
+                      precision="f32", rescale=None, record_every=5)
+    assert np.isfinite(res.pos).all()
+    assert res.config.tree_order == 2
