@@ -16,6 +16,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops import collisions as coll
 from ..utils.config import SimConfig
@@ -296,6 +297,123 @@ def make_step_fn(
         )
         return _apply_collisions(cfg, state, contacts)
 
+    def hermite_block(state: NBodyState) -> NBodyState:
+        """Block-timestep Hermite (Makino-Aarseth individual timesteps,
+        reshaped for static shapes): each macro step classifies bodies by
+        the Aarseth criterion; the F fastest (dt_i < dt, F =
+        cfg.hermite_fast_cap) substep at dt/m against source predictions,
+        then ONE full-system Hermite step closes the macro step with the
+        fast bodies' final positions as sources. Cost per macro step:
+        N^2 + m F N instead of the m N^2 a globally-shrunk dt would pay —
+        one close binary no longer stalls the whole system.
+
+        Accuracy notes (standard for block schemes): fast<->slow pair
+        forces are evaluated against *predicted* source trajectories, so
+        exact momentum antisymmetry holds only to prediction accuracy;
+        bodies beyond the cap run at the macro dt (degrades accuracy,
+        never correctness — size the cap generously). Under ds32, fast
+        rows lose their compensation term each macro step (their motion
+        is substep-dominated; slow rows keep full compensation).
+        """
+        from ..ops.forces import accel_jerk_subset
+
+        n = state.n_bodies
+        F = min(cfg.hermite_fast_cap, n)
+        sub_chunk = (cfg.chunk if n > 4096 and n % cfg.chunk == 0 else 0)
+        r0 = state.pos_full()
+        v0 = state.vel_full()
+        a0 = state.acc
+        j0 = state.jerk
+        eta = cfg.adaptive_eta
+
+        a_mag = jnp.linalg.norm(a0, axis=-1)
+        j_mag = jnp.linalg.norm(j0, axis=-1) + 1e-30
+        dt_i = jnp.where(state.alive, eta * jnp.sqrt(a_mag / j_mag),
+                         jnp.inf)
+        idx_f = jnp.argsort(dt_i)[:F]
+        fast_sel = dt_i[idx_f] < dt                       # [F]
+        any_fast = jnp.any(fast_sel)
+        dt_f_min = jnp.min(jnp.where(fast_sel, dt_i[idx_f], jnp.inf))
+        m = jnp.where(
+            any_fast,
+            jnp.ceil(dt / jnp.clip(dt_f_min, cfg.dt_min, dt)),
+            1.0).astype(jnp.int32)
+        m = jnp.clip(m, 1, cfg.hermite_max_substeps)
+        h = dt / m.astype(r0.dtype)
+
+        rf0, vf0 = r0[idx_f], v0[idx_f]
+        af0, jf0 = a0[idx_f].astype(r0.dtype), j0[idx_f].astype(r0.dtype)
+        upd = fast_sel[:, None]
+
+        def substep(k, carry):
+            rf, vf, af, jf = carry
+            tau1 = (k + 1).astype(r0.dtype) * h
+            # predict fast by h, all sources by their macro polynomials
+            rp = rf + h * vf + (0.5 * h * h) * af + (h * h * h / 6.0) * jf
+            vp = vf + h * af + (0.5 * h * h) * jf
+            rs = r0 + tau1 * v0 + (0.5 * tau1 * tau1) * a0 \
+                 + (tau1 * tau1 * tau1 / 6.0) * j0
+            vs = v0 + tau1 * a0 + (0.5 * tau1 * tau1) * j0
+            # fast rows ride their own substepped trajectory (exact
+            # fast-fast pairs); slow-selected padding rows keep the
+            # macro prediction
+            rs = rs.at[idx_f].set(jnp.where(upd, rp, rs[idx_f]))
+            vs = vs.at[idx_f].set(jnp.where(upd, vp, vs[idx_f]))
+            a1, j1 = accel_jerk_subset(idx_f, rs, vs, state.mass,
+                                       state.alive, G=cfg.G, eps2=cfg.eps2,
+                                       chunk=sub_chunk)
+            a1 = a1.astype(r0.dtype)
+            j1 = j1.astype(r0.dtype)
+            dv = (0.5 * h) * (af + a1) + (h * h / 12.0) * (jf - j1)
+            v1 = vf + dv
+            dr = (0.5 * h) * (vf + v1) + (h * h / 12.0) * (af - a1)
+            return (jnp.where(upd, rf + dr, rf),
+                    jnp.where(upd, v1, vf),
+                    jnp.where(upd, a1, af),
+                    jnp.where(upd, j1, jf))
+
+        rf, vf, af, jf = lax.cond(
+            any_fast,
+            lambda c: lax.fori_loop(0, m, substep, c),
+            lambda c: c,
+            (rf0, vf0, af0, jf0))
+
+        # macro step: one full-system evaluation at t+dt with the fast
+        # bodies' FINAL positions as sources
+        rp = r0 + dt * v0 + (0.5 * dt * dt) * a0 + (dt ** 3 / 6.0) * j0
+        vp = v0 + dt * a0 + (0.5 * dt * dt) * j0
+        rp = rp.at[idx_f].set(jnp.where(upd, rf, rp[idx_f]))
+        vp = vp.at[idx_f].set(jnp.where(upd, vf, vp[idx_f]))
+        contacts = None
+        if accel_jerk_detect_fn is not None and cfg.collisions != "none":
+            a1, j1, potential, contacts = accel_jerk_detect_fn(
+                rp, vp, state.mass, state.radius, state.alive)
+        else:
+            a1, j1, potential = accel_jerk_fn(rp, vp, state.mass,
+                                              state.alive)
+        dv = (0.5 * dt) * (a0 + a1) + (dt * dt / 12.0) * (j0 - j1)
+        vel, vel_lo = _accumulate(state.vel, state.vel_lo, dv)
+        v1 = vel if vel_lo is None else vel + vel_lo
+        dr = (0.5 * dt) * (v0 + v1) + (dt * dt / 12.0) * (a0 - a1)
+        pos, pos_lo = _accumulate(state.pos, state.pos_lo, dr)
+
+        # overwrite fast rows with their substepped endpoints
+        pos = pos.at[idx_f].set(jnp.where(upd, rf.astype(pos.dtype),
+                                          pos[idx_f]))
+        vel = vel.at[idx_f].set(jnp.where(upd, vf.astype(vel.dtype),
+                                          vel[idx_f]))
+        if pos_lo is not None:
+            z = jnp.zeros_like(pos_lo[idx_f])
+            pos_lo = pos_lo.at[idx_f].set(jnp.where(upd, z, pos_lo[idx_f]))
+            vel_lo = vel_lo.at[idx_f].set(jnp.where(upd, z, vel_lo[idx_f]))
+
+        state = state.replace(
+            pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo,
+            acc=a1, jerk=j1, potential=potential,
+            time=state.time + dt, step=state.step + 1,
+        )
+        return _apply_collisions(cfg, state, contacts)
+
     def euler(state: NBodyState) -> NBodyState:
         # v(t+dt) = v(t) + a(t) dt; r(t+dt) = r(t) + v(t+dt) dt
         # (reference Object.update, core/physics.py:315-332), then refresh
@@ -318,5 +436,7 @@ def make_step_fn(
         )
         return _apply_collisions(cfg, state, contacts)
 
+    if cfg.integrator == "hermite" and cfg.hermite_fast_cap > 0:
+        return hermite_block
     return {"kdk": kdk, "euler": euler, "rk4": rk4, "hermite": hermite,
             "yoshida4": yoshida4}[cfg.integrator]

@@ -231,3 +231,44 @@ def accel_jerk_chunked(
         acc = acc * keep
         jerk = jerk * keep
     return acc, jerk, U
+
+
+@partial(jax.jit, static_argnames=("G", "eps2", "chunk"))
+def accel_jerk_subset(
+    idx_i: jax.Array,
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    G: float,
+    eps2: float,
+    chunk: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Acc + jerk ON the ``idx_i`` rows from ALL bodies (the block-timestep
+    Hermite inner evaluation: F fast targets x N sources). Self-pairs are
+    excluded by global index. ``chunk > 0`` streams sources in column
+    blocks (live memory O(F * chunk)); N must then divide by ``chunk``.
+    Returns (acc [F, 3], jerk [F, 3])."""
+    n = pos.shape[0]
+    mass_eff = mass if alive is None else mass * alive.astype(mass.dtype)
+    pos_i = pos[idx_i]
+    vel_i = vel[idx_i]
+    if chunk <= 0:
+        mask = idx_i[:, None] != jnp.arange(n)[None, :]
+        acc, jerk, _ = _block_accel_jerk(pos_i, vel_i, pos, vel, mass_eff,
+                                         mask, eps2, G)
+        return acc, jerk
+    if n % chunk != 0:
+        raise ValueError(f"N={n} must be a multiple of chunk={chunk}")
+
+    def col_block(start):
+        pj = lax.dynamic_slice_in_dim(pos, start, chunk, axis=0)
+        vj = lax.dynamic_slice_in_dim(vel, start, chunk, axis=0)
+        mj = lax.dynamic_slice_in_dim(mass_eff, start, chunk, axis=0)
+        mask = idx_i[:, None] != (start + jnp.arange(chunk))[None, :]
+        a, j, _ = _block_accel_jerk(pos_i, vel_i, pj, vj, mj, mask, eps2, G)
+        return a, j
+
+    accs, jerks = lax.map(col_block, jnp.arange(0, n, chunk))
+    return accs.sum(0), jerks.sum(0)

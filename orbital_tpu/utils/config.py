@@ -80,6 +80,16 @@ class SimConfig:
             ops.tree.tree_occupancy_probe (simulate(force_impl="tree")
             auto-sizes). Overflowing bodies lose near-field pairs and are
             counted by the solver's overflow output.
+        hermite_fast_cap: block-timestep Hermite — when > 0, each macro
+            step classifies bodies by the Aarseth criterion
+            dt_i = adaptive_eta sqrt(|a|/|jerk|); up to this many bodies
+            with dt_i < dt substep at dt/m (m <= hermite_max_substeps,
+            chosen per macro step) against predicted sources, so ONE
+            close encounter no longer stalls the whole system's step.
+            0 disables (global adaptive dt as before). Bodies past the
+            cap are stepped at the macro dt (accuracy, never
+            correctness, degrades — size the cap generously).
+        hermite_max_substeps: ceiling on substeps per macro step.
         tree_order: multipole expansion order — 1 (monopole+dipole,
             fast) | 2 (+quadrupole sources and second-order target
             Taylor; ~3x lower force error per well-separation ratio at
@@ -112,6 +122,8 @@ class SimConfig:
     tree_ws: int = 1
     tree_max_cells: int = 0
     tree_order: int = 1
+    hermite_fast_cap: int = 0
+    hermite_max_substeps: int = 64
 
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
@@ -126,6 +138,16 @@ class SimConfig:
         if self.tree_order not in (1, 2):
             raise ValueError(
                 f"tree_order must be 1 or 2, got {self.tree_order}")
+        if self.hermite_fast_cap > 0:
+            if self.integrator != "hermite":
+                raise ValueError("hermite_fast_cap requires "
+                                 "integrator='hermite'")
+            if self.adaptive_eta is None:
+                raise ValueError(
+                    "hermite_fast_cap needs adaptive_eta (the Aarseth "
+                    "criterion classifies fast bodies)")
+        if self.hermite_max_substeps < 1:
+            raise ValueError("hermite_max_substeps must be >= 1")
         if not (2 <= self.tree_levels <= 8):
             raise ValueError(f"tree_levels must be in [2, 8], got {self.tree_levels}")
         if self.ring_block_impl not in ("auto", "pallas", "dense"):
