@@ -65,6 +65,10 @@ def simulate(
     tree_capacity: Union[int, str] = "auto",
     tree_ws: int = 1,
     tree_order: int = 1,
+    adaptive_eta: Optional[float] = None,
+    dt_min: float = 0.0,
+    hermite_fast_cap: int = 0,
+    hermite_max_substeps: int = 64,
     unit_profile: UnitProfile = STANDARD,
     rescale: Optional[Rescale] = None,
 ) -> SimResult:
@@ -117,6 +121,10 @@ def simulate(
         tree_order=tree_order,
         tree_capacity=48 if tree_capacity == "auto" else int(tree_capacity),
         tree_ws=tree_ws,
+        adaptive_eta=adaptive_eta,
+        dt_min=dt_min / rescale.time if dt_min else 0.0,
+        hermite_fast_cap=hermite_fast_cap,
+        hermite_max_substeps=hermite_max_substeps,
     )
     state = make_state(arrays.pos, arrays.vel, arrays.mass, arrays.radius,
                        precision=precision, rescale=rescale)

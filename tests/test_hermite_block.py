@@ -119,3 +119,30 @@ def test_block_hermite_config_validation():
                      hermite_fast_cap=4)
     with pytest.raises(ValueError, match="max_substeps"):
         ot.SimConfig(dt=1.0, G=1.0, eps2=1.0, hermite_max_substeps=0)
+
+
+def test_simulate_block_hermite_passthrough():
+    """simulate() exposes the adaptive/block knobs; a tight binary at
+    macro dt = T_b/4 survives through the scene-level API."""
+    import dataclasses
+    import math
+
+    from orbital_tpu.models.scene import SceneArrays
+
+    prof = dataclasses.replace(ot.STANDARD, G=1.0)
+    s_b, m_b = 0.02, 0.5
+    v_b = math.sqrt(1.0 * (2 * m_b) / s_b) / 2
+    arrays = SceneArrays(
+        pos=np.array([[-s_b / 2, 0, 0], [s_b / 2, 0, 0], [4, 0, 0]]),
+        vel=np.array([[0, -v_b, 0], [0, v_b, 0], [0, 0.5, 0]]),
+        mass=np.array([m_b, m_b, 1e-5]), radius=np.zeros(3),
+        names=["a", "b", "c"], uuids=["a", "b", "c"])
+    T_b = 2 * math.pi * math.sqrt(s_b ** 3 / (1.0 * 2 * m_b))
+    res = ot.simulate(arrays, steps=16, dt=T_b / 4, softening=1e-5,
+                      integrator="hermite", adaptive_eta=0.02,
+                      dt_min=T_b / 4096, hermite_fast_cap=2,
+                      hermite_max_substeps=256, unit_profile=prof,
+                      record_every=4)
+    sep = np.linalg.norm(res.pos[-1, 0] - res.pos[-1, 1])
+    assert abs(sep - s_b) / s_b < 0.05
+    assert res.config.hermite_fast_cap == 2
