@@ -314,6 +314,11 @@ def make_step_fn(
         never correctness — size the cap generously). Under ds32, fast
         rows lose their compensation term each macro step (their motion
         is substep-dominated; slow rows keep full compensation).
+        Collision detection runs at MACRO boundaries only (the closing
+        full-system sweep): a contact that forms and resolves entirely
+        inside one macro step's substep window is missed — keep dt below
+        the shortest contact timescale when pairing block timesteps with
+        collisions.
         """
         from ..ops.forces import accel_jerk_subset
 
