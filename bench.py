@@ -285,14 +285,26 @@ def main() -> None:
     def _checkpoint_result():
         """Persist progressively: if the alarm fires mid-extras (~12 TPU
         compiles make total wall time vary), the emitted 'cached' result is
-        still THIS run's fresh headline + whatever extras completed."""
+        still THIS run's fresh headline + whatever extras completed.
+        Extras MERGE over the previous snapshot — a run interrupted
+        mid-extras must not erase previously-measured datapoints (a
+        mid-run worker outage did exactly that once: hermite/pm/131k
+        vanished from the snapshot)."""
+        merged = {}
+        try:
+            with open(_LAST_GOOD) as f:
+                merged = json.load(f).get("extras", {})
+        except Exception:
+            pass
+        merged.pop("note", None)
+        merged.update(extras)
         snap = {
             "metric": ("body-steps/s/chip @ N=65536 (KDK leapfrog, "
                        "softened O(N^2) Pallas gravity, ds32)"),
             "value": round(rate_65k, 1),
             "unit": "body-steps/s",
             "vs_baseline": round(rate_65k / BASELINE_65K, 1),
-            "extras": dict(extras),
+            "extras": merged,
         }
         try:
             with open(_LAST_GOOD, "w") as f:
