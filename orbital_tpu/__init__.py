@@ -48,7 +48,7 @@ __all__ = [
     "Trajectory", "init_forces", "rollout", "rollout_jit", "SimConfig",
     "simulate", "SimResult", "SimulationEngine", "run_simulation",
     "pm_acc_potential", "p3m_acc_potential", "tree_acc_potential",
-    "fit_initial_conditions", "FitResult",
+    "fit_initial_conditions", "fit_orbital_elements", "FitResult",
 ]
 
 
@@ -71,9 +71,9 @@ def __getattr__(name):
         from .ops.tree import tree_acc_potential
 
         return tree_acc_potential
-    if name in ("fit_initial_conditions", "FitResult"):
-        from .fitting import FitResult, fit_initial_conditions
+    if name in ("fit_initial_conditions", "fit_orbital_elements",
+                "FitResult"):
+        from . import fitting
 
-        return {"fit_initial_conditions": fit_initial_conditions,
-                "FitResult": FitResult}[name]
+        return getattr(fitting, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -39,7 +39,7 @@ from .engine.rollout import init_forces, resolve_force_fn, rollout
 from .engine.state import make_state
 from .utils.config import SimConfig
 
-__all__ = ["FitResult", "fit_initial_conditions"]
+__all__ = ["FitResult", "fit_initial_conditions", "fit_orbital_elements"]
 
 
 @dataclass
@@ -194,3 +194,148 @@ def fit_initial_conditions(
                         if "mass_raw" in params else mass0)
     return FitResult(pos=pos_f, vel=vel_f, mass=mass_f,
                      loss_history=history, iterations=iterations)
+
+
+_ELEMENT_NAMES = ("a", "e", "inc", "long_node", "arg_peri", "mean_anom")
+
+
+def fit_orbital_elements(
+    observations,
+    record_every: int,
+    cfg: SimConfig,
+    *,
+    central_mass: float,
+    sat_masses,
+    elements0: dict,
+    free: Sequence[str] = ("a", "e", "mean_anom"),
+    obs_mask=None,
+    iterations: int = 300,
+    learning_rate: float = 2e-2,
+    optimizer=None,
+    precision: str = "f64",
+):
+    """Fit Keplerian orbital elements to observed satellite positions.
+
+    The astronomer-facing orbit-determination loop: satellites are
+    parameterized by osculating elements about a central body at the
+    origin; the differentiable chain is
+
+        elements -> (fixed-iteration Kepler solve, ops/kepler.py)
+                 -> state vectors -> N-body rollout -> masked MSE.
+
+    Because the element -> state conversion is itself on-device and
+    differentiable, gradients account for the FULL N-body dynamics
+    (satellite-satellite perturbations included), not just two-body
+    motion — fitting resonant or strongly-interacting systems works.
+
+    Args:
+        observations: [R, S, 3] observed central-relative satellite
+            positions (S satellites; the central body is not observed).
+        record_every / cfg / obs_mask / iterations / learning_rate /
+            optimizer / precision: as in :func:`fit_initial_conditions`
+            (the learning rate is dimensionless; elements are optimized
+            in natural units — a in units of its initial guess, e via a
+            logit, angles raw radians).
+        central_mass: mass of the central body (pinned at the origin
+            with the system's momentum-zeroing velocity).
+        sat_masses: [S] satellite masses.
+        elements0: dict with "a", "e", "inc", "long_node", "arg_peri",
+            "mean_anom" arrays [S] (radians; semi-major axis in the same
+            length units as the observations).
+        free: subset of element names to optimize.
+
+    Returns (elements dict, FitResult) — the FitResult's pos/vel are the
+    fitted initial state vectors.
+    """
+    import optax
+
+    from .ops.kepler import elements_to_state
+
+    if cfg.collisions != "none":
+        raise ValueError("fitting requires cfg.collisions='none'")
+    bad = set(free) - set(_ELEMENT_NAMES)
+    if bad:
+        raise ValueError(f"free must be element names, got {bad}")
+    missing = set(_ELEMENT_NAMES) - set(elements0)
+    if missing:
+        raise ValueError(f"elements0 missing {missing}")
+    obs = jnp.asarray(observations)
+    n_rec, n_sat = obs.shape[0], obs.shape[1]
+    steps = n_rec * record_every
+    weights = (jnp.ones(obs.shape[:2])
+               if obs_mask is None else jnp.broadcast_to(
+                   jnp.asarray(obs_mask), obs.shape[:2]))
+    w3 = weights[..., None]
+
+    fdt = jnp.float64 if precision == "f64" else jnp.float32
+    el0 = {k: jnp.asarray(elements0[k], fdt) for k in _ELEMENT_NAMES}
+    m_sat = jnp.asarray(sat_masses, fdt)
+    mu = cfg.G * (central_mass + np.asarray(sat_masses))
+    a_scale = jnp.maximum(jnp.abs(el0["a"]), 1e-30)
+
+    def enc(name):
+        v = el0[name]
+        if name == "a":
+            return v / a_scale
+        if name == "e":
+            v = jnp.clip(v, 1e-9, 1.0 - 1e-9)
+            return jnp.log(v / (1.0 - v))        # logit: e stays in (0,1)
+        return v                                  # angles: raw radians
+
+    def dec(name, v):
+        if name == "a":
+            return v * a_scale
+        if name == "e":
+            return jax.nn.sigmoid(v)
+        return v
+
+    params = {k: enc(k) for k in free}
+
+    n = n_sat + 1
+    force_fn = resolve_force_fn(cfg, n)
+    mass_all = np.concatenate([[central_mass], np.asarray(sat_masses)])
+    template = make_state(np.zeros((n, 3)), np.zeros((n, 3)), mass_all,
+                          precision=precision)
+
+    def build_state(p):
+        el = {k: dec(k, p[k]) if k in p else el0[k] for k in _ELEMENT_NAMES}
+        ps, vs = elements_to_state(el["a"], el["e"], el["inc"],
+                                   el["long_node"], el["arg_peri"],
+                                   el["mean_anom"], jnp.asarray(mu, fdt))
+        # central body takes the momentum-zeroing counter-velocity
+        v_c = -(m_sat[:, None] * vs).sum(0) / central_mass
+        pos = jnp.concatenate([jnp.zeros((1, 3), fdt), ps.astype(fdt)])
+        vel = jnp.concatenate([v_c[None].astype(fdt), vs.astype(fdt)])
+        return template.replace(pos=pos, vel=vel)
+
+    def loss_fn(p):
+        st = init_forces(build_state(p), cfg, force_fn)
+        _, traj = rollout(st, cfg, steps, record_every=record_every,
+                          force_fn=force_fn, fused="never")
+        # observations are central-relative
+        rel = traj.pos[:, 1:] - traj.pos[:, :1]
+        resid = (rel - obs) * w3
+        return jnp.sum(resid * resid) / jnp.maximum(jnp.sum(weights), 1.0)
+
+    opt = (optimizer if optimizer is not None else optax.adam(
+        optax.cosine_decay_schedule(learning_rate, max(iterations, 1))))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def fit_step(p, s):
+        val, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, val
+
+    history = np.empty(iterations, np.float64)
+    for it in range(iterations):
+        params, opt_state, val = fit_step(params, opt_state)
+        history[it] = float(val)
+
+    el_fit = {k: np.asarray(dec(k, params[k]) if k in params else el0[k])
+              for k in _ELEMENT_NAMES}
+    final = build_state({k: jnp.asarray(v) for k, v in params.items()})
+    res = FitResult(pos=np.asarray(final.pos), vel=np.asarray(final.vel),
+                    mass=mass_all, loss_history=history,
+                    iterations=iterations)
+    return el_fit, res
