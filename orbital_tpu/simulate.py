@@ -61,7 +61,7 @@ def simulate(
     pm_grid: int = 64,
     p3m_capacity: Union[int, str] = "auto",
     pm_box: Optional[tuple] = None,
-    tree_levels: int = 6,
+    tree_levels: Union[int, str] = 6,
     tree_capacity: Union[int, str] = "auto",
     tree_ws: int = 1,
     tree_order: int = 1,
@@ -117,7 +117,7 @@ def simulate(
         pm_grid=pm_grid,
         p3m_capacity=64 if p3m_capacity == "auto" else int(p3m_capacity),
         pm_box=pm_box,
-        tree_levels=tree_levels,
+        tree_levels=6 if tree_levels == "auto" else int(tree_levels),
         tree_order=tree_order,
         tree_capacity=48 if tree_capacity == "auto" else int(tree_capacity),
         tree_ws=tree_ws,
@@ -151,6 +151,15 @@ def simulate(
         # contracts (the hot path drops the overflow counter)
         from .ops.tree import tree_occupancy_probe
 
+        if tree_levels == "auto":
+            # smallest pyramid whose densest cell stays near-field-cheap
+            for tree_levels in (5, 6, 7, 8):
+                occ, _ = tree_occupancy_probe(state.pos, state.alive,
+                                              levels=tree_levels,
+                                              box=cfg.pm_box_arrays())
+                if int(occ) <= 64 or tree_levels == 8:
+                    break
+            cfg = cfg.replace(tree_levels=tree_levels)
         occ, ncells = tree_occupancy_probe(state.pos, state.alive,
                                            levels=tree_levels,
                                            box=cfg.pm_box_arrays())

@@ -326,3 +326,26 @@ def test_simulate_tree_order2(gauss_blob):
                       precision="f32", rescale=None, record_every=5)
     assert np.isfinite(res.pos).all()
     assert res.config.tree_order == 2
+
+
+def test_simulate_tree_auto_levels(gauss_blob):
+    """tree_levels='auto' picks the smallest pyramid whose densest cell
+    is near-field-cheap (<= 64 bodies)."""
+    from orbital_tpu.models.scene import SceneArrays
+
+    pos, mass = gauss_blob
+    n = len(mass)
+    arrays = SceneArrays(
+        pos=np.asarray(pos, np.float64), vel=np.zeros((n, 3)),
+        mass=np.asarray(mass, np.float64), radius=np.zeros(n),
+        names=[f"b{i}" for i in range(n)], uuids=[f"u{i}" for i in range(n)])
+    res = ot.simulate(arrays, steps=4, dt=1e-3, softening=1e-2,
+                      force_impl="tree", tree_levels="auto",
+                      precision="f32", rescale=None, record_every=2)
+    assert np.isfinite(res.pos).all()
+    assert 5 <= res.config.tree_levels <= 8
+    # the chosen depth really is near-field-cheap for this blob
+    from orbital_tpu.ops.tree import tree_occupancy_probe
+    occ, _ = tree_occupancy_probe(np.asarray(pos, np.float32),
+                                  levels=res.config.tree_levels)
+    assert int(occ) <= 64 or res.config.tree_levels == 8

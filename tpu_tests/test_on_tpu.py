@@ -194,3 +194,53 @@ def test_tree_level8_fits_hbm_on_tpu():
                                   levels=8, capacity=32)
     assert np.isfinite(np.asarray(a)).all()
     assert int(ov) == 0
+
+
+def test_yoshida4_on_tpu(cluster):
+    """The composed symplectic stepper compiles and conserves through the
+    Pallas force path at hardware precision (ds32 state)."""
+    from orbital_tpu.engine.rollout import init_forces, rollout_jit
+    from orbital_tpu.ops import diagnostics as diag
+
+    pos, vel, mass, radius = cluster
+    st = make_state(pos, 0.1 * vel, mass, radius, precision="ds32")
+    cfg = ot.SimConfig(dt=1e-4, G=1.0, eps2=1e-2, integrator="yoshida4")
+    st = init_forces(st, cfg)
+    e0 = float(diag.total_energy(st.vel_full(), st.mass, st.potential))
+    fin, _ = rollout_jit(st, cfg, 200)
+    e1 = float(diag.total_energy(fin.vel_full(), fin.mass, fin.potential))
+    assert np.isfinite(np.asarray(fin.pos)).all()
+    assert abs((e1 - e0) / e0) < 1e-4
+
+
+def test_block_hermite_on_tpu():
+    """Fast/slow Hermite: the cond-skipped substep loop, the F x N subset
+    evaluation, and the scatter-merge compile and run on hardware."""
+    from orbital_tpu.engine.rollout import init_forces, rollout_jit
+
+    s_b, m_b = 0.02, 0.5
+    v_b = np.sqrt(1.0 * (2 * m_b) / s_b) / 2.0
+    rng = np.random.default_rng(4)
+    n_out = 126
+    ang = rng.uniform(0, 2 * np.pi, n_out)
+    R = rng.uniform(2.0, 6.0, n_out)
+    pos = np.concatenate([
+        [[-s_b / 2, 0, 0], [s_b / 2, 0, 0]],
+        np.stack([R * np.cos(ang), R * np.sin(ang),
+                  0.1 * rng.standard_normal(n_out)], 1)]).astype(np.float32)
+    vel = np.concatenate([
+        [[0, -v_b, 0], [0, v_b, 0]],
+        np.stack([-np.sin(ang) / np.sqrt(R), np.cos(ang) / np.sqrt(R),
+                  np.zeros(n_out)], 1)]).astype(np.float32)
+    mass = np.concatenate([[m_b, m_b], np.full(n_out, 1e-6)]).astype(
+        np.float32)
+    T_b = 2 * np.pi * np.sqrt(s_b ** 3 / (1.0 * 2 * m_b))
+    st = make_state(pos, vel, mass, precision="f32")
+    cfg = ot.SimConfig(dt=T_b / 4, G=1.0, eps2=1e-10, integrator="hermite",
+                       adaptive_eta=0.02, dt_min=T_b / 4096,
+                       hermite_fast_cap=4, hermite_max_substeps=256)
+    st = init_forces(st, cfg)
+    fin, _ = rollout_jit(st, cfg, 16)  # 4 binary orbits
+    sep = float(np.linalg.norm(np.asarray(fin.pos)[0]
+                               - np.asarray(fin.pos)[1]))
+    assert abs(sep - s_b) / s_b < 0.1  # binary survives at macro dt
