@@ -143,9 +143,15 @@ def main():
                              "pallas_sym", "mxu", "pallas_mxu", "pm"])
     ap.add_argument("--pm-grid", type=int, default=64)
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force a jax backend (cpu keeps tiny configs off "
+                         "the TPU tunnel and immune to worker outages)")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     if args.profile:
         jax.profiler.start_trace(args.profile)

@@ -17,7 +17,8 @@ def _run(args, timeout=600):
 
 def test_benchmarks_cli_lagrange3():
     out = _run(["-m", "benchmarks.run", "--config", "lagrange3",
-                "--steps", "50", "--iters", "5", "--precision", "f32"])
+                "--steps", "50", "--iters", "5", "--precision", "f32",
+                "--platform", "cpu"])
     assert out.returncode == 0, out.stderr[-1500:]
     data = json.loads(out.stdout.strip().splitlines()[-1])
     assert data["config"] == "lagrange3" and data["n"] == 3
@@ -27,7 +28,7 @@ def test_benchmarks_cli_lagrange3():
 def test_benchmarks_cli_rk4_integrator():
     out = _run(["-m", "benchmarks.run", "--config", "lagrange3",
                 "--steps", "20", "--iters", "4", "--integrator", "rk4",
-                "--precision", "f32"])
+                "--precision", "f32", "--platform", "cpu"])
     assert out.returncode == 0, out.stderr[-1500:]
     data = json.loads(out.stdout.strip().splitlines()[-1])
     assert data["integrator"] == "rk4"
