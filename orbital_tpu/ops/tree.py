@@ -94,7 +94,8 @@ from .pm import _bounding_cube
 import os as _os
 _SKIP = _os.environ.get("TREE_SKIP", "")
 
-__all__ = ["tree_acc_potential", "tree_occupancy_probe", "tree_stencil"]
+__all__ = ["tree_acc_potential", "tree_acc_potential_staged",
+           "tree_occupancy_probe", "tree_stencil"]
 
 
 def tree_stencil(ws: int) -> list[tuple[int, int, int]]:
@@ -406,7 +407,7 @@ def _lookup_slot(sorted_ids, query):
 @partial(jax.jit,
          static_argnames=("G_grav", "eps2", "levels", "capacity", "ws",
                           "max_cells", "cell_block", "with_potential",
-                          "order"))
+                          "order", "_phase"))
 def tree_acc_potential(
     pos: jax.Array,
     mass: jax.Array,
@@ -422,6 +423,7 @@ def tree_acc_potential(
     with_potential: bool = True,
     order: int = 1,
     box=None,
+    _phase: str = "both",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Tree accelerations, potential, and the near-field overflow count.
 
@@ -519,7 +521,10 @@ def tree_acc_potential(
         jnp.where(occ_idx < M3, jnp.arange(K, dtype=jnp.int32), K))
 
     # ---- far field: per-level octant convolutions + body Taylor step ------
-    F_ch = _far_field(chans, levels, ws, half, origin, G, eps2, order)
+    if _phase == "near":
+        F_ch = tuple(jnp.zeros((M3,), f32) for _ in range(_N_FLD[order]))
+    else:
+        F_ch = _far_field(chans, levels, ws, half, origin, G, eps2, order)
     idx_b = jnp.minimum(cell_id, M3)
     zpad = jnp.zeros((1,), f32)
     Fb = [jnp.concatenate([c, zpad])[idx_b] for c in F_ch]  # F x [N]
@@ -530,6 +535,32 @@ def tree_acc_potential(
     dx = pos32 - centers_b
     a_far = A_b + _apply_sym(J_b, dx)
     phi_far = phi_b - jnp.sum(A_b * dx, axis=-1)
+
+    def far_potential_cellwise():
+        """sum_b m_b phi(x_b) aggregated PER CELL from the deposited
+        moments: sum_cells [m phi_c - A.p (- J:Q/2 at order 2)] — exactly
+        the per-body Taylor sum, but with no per-body gathers. (Besides
+        being cheaper, this sidesteps a platform compile-helper crash
+        triggered at N >= 512k by emitting the per-body [N,3] far field
+        together with a scalar reduced from the same gather chain.)"""
+        m = 2 ** levels
+        h_l = 2.0 * half / m
+        ids = jnp.arange(M3, dtype=jnp.int32)
+        ctr = [(ids // (m * m)).astype(f32), ((ids // m) % m).astype(f32),
+               (ids % m).astype(f32)]
+        ccell = [origin[k] + (ctr[k] + 0.5) * h_l for k in range(3)]
+        mflat = chans[levels][0]
+        p = [chans[levels][1 + k] - mflat * ccell[k] for k in range(3)]
+        tot = mflat * F_ch[-1]
+        for k in range(3):
+            tot = tot - F_ch[k] * p[k]
+        if order == 2:
+            for q, (i, j) in enumerate(_Q6):
+                Qq = (chans[levels][4 + q] - ccell[i] * chans[levels][1 + j]
+                      - ccell[j] * chans[levels][1 + i]
+                      + mflat * ccell[i] * ccell[j])
+                tot = tot - 0.5 * _C6[q] * F_ch[3 + q] * Qq
+        return 0.5 * jnp.sum(tot)
     if order == 2:
         H = Fb[9:27]
         dxc = [dx[:, 0], dx[:, 1], dx[:, 2]]
@@ -547,6 +578,15 @@ def tree_acc_potential(
         for q, (j, k) in enumerate(_Q6):
             jq = jq + _C6[q] * Fb[3 + q] * dxc[j] * dxc[k]
         phi_far = phi_far - 0.5 * jq
+
+    if _phase == "far":
+        # staged evaluation (see tree_acc_potential_staged): everything
+        # near-field dead-codes away, including the overflow counters
+        acc = a_far * alive_f[:, None]
+        U = (far_potential_cellwise() if with_potential
+             else jnp.zeros((), f32))
+        return (acc.astype(pos.dtype), U.astype(pos.dtype),
+                jnp.zeros((), jnp.int32))
 
     # ---- near field: exact sweeps over OCCUPIED finest cells only ---------
     slot = slot_of[jnp.minimum(sc, M3)]
@@ -743,10 +783,32 @@ def tree_acc_potential(
     overflow = cap_overflow + cell_overflow
 
     if with_potential:
-        U = jnp.sum(m_eff * (0.5 * phi_far - 0.5 * G * pe_near))
+        U = far_potential_cellwise() - 0.5 * G * jnp.sum(m_eff * pe_near)
     else:
         U = jnp.zeros((), f32)
     return acc.astype(pos.dtype), U.astype(pos.dtype), overflow
+
+
+def tree_acc_potential_staged(
+    pos, mass, alive=None, **kwargs,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Two-call tree evaluation: the conv far field and the near-field
+    sweep compile and run as SEPARATE XLA programs.
+
+    Same arguments and return contract as :func:`tree_acc_potential`.
+    Exists because the single-program evaluation reproducibly crashes
+    this platform's remote compile helper at N >= 512k with levels=8
+    (shape-dependent; the lowered HLO is structurally identical to the
+    working 262k program — see ROADMAP), while each phase alone compiles
+    and runs fine. Host-driven use only: the two dispatches cannot live
+    inside an enclosing jit/scan, so pair it with a host step loop
+    (engine facade style), not ``rollout``. The ~30 ms extra dispatch is
+    noise against the seconds-per-eval regime this N range lives in."""
+    a_f, U_f, _ = tree_acc_potential(pos, mass, alive, _phase="far",
+                                     **kwargs)
+    a_n, U_n, overflow = tree_acc_potential(pos, mass, alive,
+                                            _phase="near", **kwargs)
+    return a_f + a_n, U_f + U_n, overflow
 
 
 @partial(jax.jit, static_argnames=("levels",))

@@ -349,3 +349,20 @@ def test_simulate_tree_auto_levels(gauss_blob):
     occ, _ = tree_occupancy_probe(np.asarray(pos, np.float32),
                                   levels=res.config.tree_levels)
     assert int(occ) <= 64 or res.config.tree_levels == 8
+
+
+def test_tree_staged_matches_single_call(gauss_blob):
+    """The two-phase evaluation (the N>=512k compile-helper workaround)
+    is numerically identical to the single program."""
+    from orbital_tpu.ops.tree import tree_acc_potential_staged
+
+    pos, mass = gauss_blob
+    occ, nc = tree_occupancy_probe(pos, levels=5)
+    kw = dict(G_grav=1.0, eps2=1e-6, levels=5, capacity=int(occ) + 8,
+              max_cells=int(nc) + 32)
+    a1, U1, ov1 = tree_acc_potential(pos, mass, **kw)
+    a2, U2, ov2 = tree_acc_potential_staged(pos, mass, **kw)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                               rtol=1e-6, atol=1e-7)
+    assert float(U2) == pytest.approx(float(U1), rel=1e-6)
+    assert int(ov2) == int(ov1)
