@@ -27,6 +27,23 @@ _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 BASELINE_65K = 2.7     # body-steps/s, reference extrapolation at N=65536
 BASELINE_4K = 44.0     # body-steps/s, reference extrapolation at N=4096
 
+# Success/error key groups per benchmark, for group-atomic snapshot merging
+# (see _checkpoint_result): a run that re-measured a benchmark replaces the
+# WHOLE group, so stale paired keys can't survive alongside fresh ones.
+_EXTRA_GROUPS = [
+    ("body_steps_per_s_4096", "vs_baseline_4096", "ms_per_step_4096",
+     "energy_drift_4096_10000steps", "bench_4096_error"),
+    ("ensemble_1024x26solar_body_steps_per_s", "bench_ensemble_error"),
+    ("body_steps_per_s_65536_with_collision_sweep",
+     "vs_baseline_65536_with_collision_sweep", "bench_collisions_error"),
+    ("hermite_body_steps_per_s_65536", "bench_hermite_error"),
+    ("pm_body_steps_per_s_1048576_grid128", "bench_pm_error"),
+    ("tree_body_steps_per_s_65536_plummer", "ms_per_eval_tree_65536",
+     "bench_tree_error"),
+    ("body_steps_per_s_131072", "ms_per_step_131072", "bench_131072_error"),
+    ("body_steps_per_s_65536_no_potential", "bench_no_potential_error"),
+]
+
 
 def device_potential(pos32, mass32, eps2: float) -> float:
     """Softened pairwise potential via the device kernel (f32 sums)."""
@@ -289,7 +306,11 @@ def main() -> None:
         Extras MERGE over the previous snapshot — a run interrupted
         mid-extras must not erase previously-measured datapoints (a
         mid-run worker outage did exactly that once: hermite/pm/131k
-        vanished from the snapshot)."""
+        vanished from the snapshot). Merging is GROUP-ATOMIC: once this
+        run produced any key of a benchmark's group (success value or
+        error), the previous snapshot's entire group is dropped first —
+        otherwise a stale bench_*_error would persist next to a fresh
+        success (or a stale success would mask a current regression)."""
         merged = {}
         try:
             with open(_LAST_GOOD) as f:
@@ -297,6 +318,10 @@ def main() -> None:
         except Exception:
             pass
         merged.pop("note", None)
+        for group in _EXTRA_GROUPS:
+            if any(k in extras for k in group):
+                for k in group:
+                    merged.pop(k, None)
         merged.update(extras)
         snap = {
             "metric": ("body-steps/s/chip @ N=65536 (KDK leapfrog, "

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import warnings
 from pathlib import Path
 from typing import Optional, Union
 
@@ -241,7 +242,20 @@ class SimulationEngine:
             return 0
         if self.history_every == "auto":
             total = steps * self.state.n_bodies * 3
-            return max(1, math.ceil(total / self._HISTORY_FLOAT_BUDGET))
+            stride = max(1, math.ceil(total / self._HISTORY_FLOAT_BUDGET))
+            if stride > 1 and not getattr(self, "_warned_auto_stride", False):
+                # parity-surface behavior change (reference records every
+                # step, core/engine.py:88) gated on N*steps — make it
+                # visible at runtime, once, not only in the docstring
+                self._warned_auto_stride = True
+                warnings.warn(
+                    f"history_every='auto': run({steps}) at N="
+                    f"{self.state.n_bodies} records every {stride}-th step "
+                    "to bound history memory (the reference records every "
+                    "step). Pass history_every=1 to force reference parity, "
+                    "or an explicit stride to silence this.",
+                    RuntimeWarning, stacklevel=3)
+            return stride
         return max(1, int(self.history_every))
 
     def _roll_unrecorded(self, steps: int) -> None:

@@ -339,11 +339,16 @@ def make_step_fn(
         fast_sel = dt_i[idx_f] < dt                       # [F]
         any_fast = jnp.any(fast_sel)
         dt_f_min = jnp.min(jnp.where(fast_sel, dt_i[idx_f], jnp.inf))
-        m = jnp.where(
+        # clip in FLOAT before the int32 cast: a tiny dt_min "no floor"
+        # sentinel can push ceil(dt/dt_min) past 2^31, and float->int32
+        # overflow is XLA-undefined (could wrap negative -> m=1, silently
+        # disabling substepping for the encounter)
+        m_f = jnp.where(
             any_fast,
             jnp.ceil(dt / jnp.clip(dt_f_min, cfg.dt_min, dt)),
-            1.0).astype(jnp.int32)
-        m = jnp.clip(m, 1, cfg.hermite_max_substeps)
+            1.0)
+        m = jnp.clip(m_f, 1.0,
+                     float(cfg.hermite_max_substeps)).astype(jnp.int32)
         h = dt / m.astype(r0.dtype)
 
         rf0, vf0 = r0[idx_f], v0[idx_f]

@@ -66,6 +66,20 @@ def _softplus_inv(y):
     return y + jnp.log(-jnp.expm1(-y))
 
 
+def _check_x64(precision: str) -> None:
+    """precision='f64' with x64 disabled silently downcasts to f32 — warn
+    so the fit doesn't quietly run below its documented precision."""
+    if precision == "f64" and not jax.config.read("jax_enable_x64"):
+        import warnings
+
+        warnings.warn(
+            "precision='f64' requested but jax_enable_x64 is OFF — JAX will "
+            "silently downcast and the fit will run in float32. Enable x64 "
+            "(jax.config.update('jax_enable_x64', True)) before calling, or "
+            "pass precision='f32' to acknowledge the lower precision.",
+            RuntimeWarning, stacklevel=3)
+
+
 def fit_initial_conditions(
     observations,
     record_every: int,
@@ -128,6 +142,7 @@ def fit_initial_conditions(
                    jnp.asarray(obs_mask), obs.shape[:2]))
     w3 = weights[..., None]
 
+    _check_x64(precision)
     pos0 = jnp.asarray(pos0, jnp.float64 if precision == "f64" else jnp.float32)
     vel0 = jnp.asarray(vel0, pos0.dtype)
     mass0 = jnp.asarray(mass, pos0.dtype)
@@ -267,6 +282,7 @@ def fit_orbital_elements(
                    jnp.asarray(obs_mask), obs.shape[:2]))
     w3 = weights[..., None]
 
+    _check_x64(precision)
     fdt = jnp.float64 if precision == "f64" else jnp.float32
     el0 = {k: jnp.asarray(elements0[k], fdt) for k in _ELEMENT_NAMES}
     m_sat = jnp.asarray(sat_masses, fdt)

@@ -90,9 +90,18 @@ from jax import lax
 
 from .pm import _bounding_cube
 
-# debug-only phase isolation for performance attribution (unset in prod)
+# debug-only phase isolation for performance attribution (unset in prod).
+# Loudly non-silent: zeroing a field phase produces WRONG PHYSICS, so any
+# process that imports this module with TREE_SKIP set gets a warning.
 import os as _os
+import warnings as _warnings
 _SKIP = _os.environ.get("TREE_SKIP", "")
+if _SKIP:
+    _warnings.warn(
+        f"TREE_SKIP={_SKIP!r} is set: the tree force will OMIT its "
+        f"'{_SKIP}'-field contribution. This is a perf-attribution debug "
+        "mode; results are not physical.",
+        RuntimeWarning, stacklevel=2)
 
 __all__ = ["tree_acc_potential", "tree_acc_potential_staged",
            "tree_occupancy_probe", "tree_stencil"]

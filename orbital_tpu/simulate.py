@@ -77,6 +77,17 @@ def simulate(
     ``scene`` may be a Keplerian :class:`System`, an ``ObjectCollection`` /
     list of ``Object``, or prebuilt :class:`SceneArrays`. ``record_every``
     defaults to ~100 evenly spaced records.
+
+    Approximate-force budgets (``force_impl="tree"`` / ``"p3m"``): static
+    capacities are sized from the INITIAL distribution (1.5x headroom) and
+    the compiled hot loop drops the per-eval overflow counter. A system
+    that contracts mid-run can exceed them and silently lose near-field
+    pairs; :func:`simulate` therefore re-probes the occupancy of the FINAL
+    state and warns if the budgets were outgrown. For long production
+    rollouts, split the run into segments (~the timescale on which the
+    density profile changes) and let each ``simulate`` call re-size, or
+    drive :func:`orbital_tpu.ops.tree.tree_acc_potential` directly and
+    check its overflow return.
     """
     if isinstance(scene, System):
         arrays = compile_system(scene)
@@ -177,6 +188,27 @@ def simulate(
     state = init_forces(state, cfg)
     final, traj = rollout_jit(state, cfg, steps, record_every)
     assert isinstance(traj, Trajectory)
+
+    if force_impl == "tree":
+        # the hot loop drops the overflow counter (rollout.py); one cheap
+        # end-of-run probe catches a system that contracted past the
+        # budgets sized from the initial distribution
+        from .ops.tree import tree_occupancy_probe
+
+        occ_f, ncells_f = tree_occupancy_probe(
+            final.pos, final.alive, levels=cfg.tree_levels,
+            box=cfg.pm_box_arrays())
+        if int(occ_f) > cfg.tree_capacity or int(ncells_f) > cfg.tree_max_cells:
+            import warnings
+
+            warnings.warn(
+                f"tree budgets outgrown during the run: final densest cell "
+                f"{int(occ_f)} bodies (capacity {cfg.tree_capacity}), "
+                f"{int(ncells_f)} occupied cells (max_cells "
+                f"{cfg.tree_max_cells}); near-field pairs were dropped near "
+                "the end of the rollout. Re-run in shorter segments so the "
+                "budgets re-size, or pass explicit tree_capacity/levels.",
+                RuntimeWarning, stacklevel=2)
 
     return SimResult(
         pos=np.asarray(traj.pos, np.float64) * rescale.length,
