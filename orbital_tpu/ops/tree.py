@@ -104,7 +104,7 @@ if _SKIP:
         RuntimeWarning, stacklevel=2)
 
 __all__ = ["tree_acc_potential", "tree_acc_potential_staged",
-           "tree_occupancy_probe", "tree_stencil"]
+           "tree_sharded_force", "tree_occupancy_probe", "tree_stencil"]
 
 
 def tree_stencil(ws: int) -> list[tuple[int, int, int]]:
@@ -416,7 +416,7 @@ def _lookup_slot(sorted_ids, query):
 @partial(jax.jit,
          static_argnames=("G_grav", "eps2", "levels", "capacity", "ws",
                           "max_cells", "cell_block", "with_potential",
-                          "order", "_phase"))
+                          "order", "_phase", "_n_parts", "_psum_axis"))
 def tree_acc_potential(
     pos: jax.Array,
     mass: jax.Array,
@@ -433,6 +433,9 @@ def tree_acc_potential(
     order: int = 1,
     box=None,
     _phase: str = "both",
+    _n_parts: int = 1,
+    _part_index=None,
+    _psum_axis: Optional[str] = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Tree accelerations, potential, and the near-field overflow count.
 
@@ -708,20 +711,28 @@ def tree_acc_potential(
     def sweep(ids_list, i_cap, blk, P, width):
         """Exact pair sweep of the listed cells (i-side width ``i_cap``
         from packed table ``P``; j-side = one packed row per neighbor
-        cell, width ``width``)."""
+        cell, width ``width``). Under sharding (``_n_parts > 1``) each
+        device sweeps a contiguous 1/``_n_parts`` slice of the list; the
+        caller psums the per-body results."""
         Ki = ids_list.shape[0]
         if blk <= 0:
             # ~128 MB pair-tile budget: sequential lax.map iterations carry
             # real overhead on TPU, so fewer/bigger blocks win
             budget = (32 * 1024 * 1024) // max(1, i_cap * width * n_nb)
             blk = max(8, min(4096, 1 << (max(3, budget).bit_length() - 1)))
-        nblk = -(-Ki // blk)
+        Ki_part = -(-Ki // max(1, _n_parts))
+        nblk = -(-Ki_part // blk)
         W = width
+        base = (jnp.int32(0) if _part_index is None
+                else _part_index * Ki_part)
+        # each partition sweeps [base, end) ONLY — a block overrunning the
+        # partition boundary would double-count the next device's cells
+        end = jnp.minimum(Ki, base + Ki_part)
 
         def block(s0):
             slots_l = s0 + jnp.arange(blk)
             ids = ids_list[jnp.minimum(slots_l, Ki - 1)]
-            valid = (slots_l < Ki) & (ids < M3)
+            valid = (slots_l < end) & (ids < M3)
             cz = ids % M
             cy = (ids // M) % M
             cx = ids // (M * M)
@@ -761,7 +772,7 @@ def tree_acc_potential(
                            -1)
             return idx_my.astype(jnp.int32), acc_b, pe_b
 
-        starts = jnp.arange(0, nblk * blk, blk)
+        starts = base + jnp.arange(0, nblk * blk, blk)
         idx_all, acc_all, pe_all = lax.map(block, starts)
         return (idx_all.reshape(-1), acc_all.reshape(-1, 3),
                 pe_all.reshape(-1))
@@ -781,6 +792,11 @@ def tree_acc_potential(
                                    num_segments=n + 1)[:n]
     pe_near = jax.ops.segment_sum(pe_flat, idx_flat,
                                   num_segments=n + 1)[:n]
+    if _psum_axis is not None:
+        # sharded sweep: each device covered a disjoint slice of the
+        # occupied-cell lists; combine the per-body partials mesh-wide
+        acc_near = lax.psum(acc_near, _psum_axis)
+        pe_near = lax.psum(pe_near, _psum_axis)
 
     if "near" in _SKIP:
         acc_near = jnp.zeros_like(acc_near)
@@ -796,6 +812,59 @@ def tree_acc_potential(
     else:
         U = jnp.zeros((), f32)
     return acc.astype(pos.dtype), U.astype(pos.dtype), overflow
+
+
+def tree_sharded_force(
+    pos, mass, alive, *,
+    axis_name: str,
+    n_shards: int,
+    G_grav: float,
+    eps2: float,
+    levels: int = 6,
+    capacity: int = 48,
+    ws: int = 1,
+    max_cells: int = 0,
+    order: int = 1,
+    with_potential: bool = True,
+    box=None,
+) -> tuple[jax.Array, jax.Array]:
+    """Tree force for use INSIDE ``shard_map`` over a body-sharded mesh:
+    local (pos, mass, alive) shards in, local acc shard + replicated total
+    potential out (the ForceFn contract of ``parallel.sharded``).
+
+    Scaling contract: the body arrays are all_gathered over ``axis_name``
+    (ICI; a few MB/array at tree-regime N), so the deposit/pyramid/far-
+    field conv run replicated — the far field is the cheap MXU phase and
+    needs no halo machinery (VERDICT r1 #4: the moment grids are globally
+    identical by construction here, the all_gather playing the role of the
+    per-level psum). The NEAR FIELD — the dominant, gather-bound cost — is
+    split: each device sweeps a disjoint 1/``n_shards`` slice of every
+    occupied-cell list and one psum combines the per-body partials. Net:
+    near-field compute scales ~1/D, far-field compute and table memory are
+    replicated. Overflow counters are computed from replicated machinery
+    (identical on every device) and dropped here, matching the hot-path
+    contract of ``rollout.resolve_force_fn``; probe budgets with
+    :func:`tree_occupancy_probe` before building the step."""
+    block = pos.shape[0]
+
+    def g(x):
+        return lax.all_gather(x, axis_name, tiled=True)
+
+    pos_g, mass_g = g(pos), g(mass)
+    alive_g = g(alive) if alive is not None else None
+    part = lax.axis_index(axis_name)
+    acc, U, _ = tree_acc_potential(
+        pos_g, mass_g, alive_g, G_grav=G_grav, eps2=eps2, levels=levels,
+        capacity=capacity, ws=ws, max_cells=max_cells, order=order,
+        with_potential=with_potential, box=box,
+        _n_parts=n_shards, _part_index=part, _psum_axis=axis_name)
+    # U is numerically identical on every device (replicated far phase +
+    # psum'd near phase) but built from all_gathered values, so shard_map's
+    # varying-manual-axes checker can't see the replication — one scalar
+    # mean-psum states it explicitly
+    U = lax.psum(U, axis_name) / float(n_shards)
+    off = part * block
+    return lax.dynamic_slice_in_dim(acc, off, block, axis=0), U
 
 
 def tree_acc_potential_staged(

@@ -33,7 +33,8 @@ from ..engine.state import NBodyState
 from ..utils.config import SimConfig
 
 __all__ = ["ring_force_fn", "ring_bounce_fn", "make_sharded_step",
-           "make_sharded_ensemble_step", "state_sharding", "shard_state"]
+           "make_sharded_rollout", "make_sharded_ensemble_step",
+           "state_sharding", "shard_state"]
 
 
 def _check_vma(cfg: SimConfig) -> bool:
@@ -154,6 +155,18 @@ def _mesh_force_fn(cfg: SimConfig, axis: str, n_shards: int):
     cell-list correction (see ops.p3m.p3m_ring_force for the scaling
     contract)."""
     pm_box = cfg.pm_box_arrays()
+
+    if cfg.force_impl == "tree":
+        from ..ops.tree import tree_sharded_force
+
+        def force(pos, mass, alive):
+            return tree_sharded_force(
+                pos, mass, alive, axis_name=axis, n_shards=n_shards,
+                G_grav=cfg.G, eps2=cfg.eps2, levels=cfg.tree_levels,
+                capacity=cfg.tree_capacity, ws=cfg.tree_ws,
+                max_cells=cfg.tree_max_cells, order=cfg.tree_order,
+                with_potential=cfg.track_potential, box=pm_box)
+        return force
 
     if cfg.force_impl == "p3m":
         from ..ops.p3m import p3m_ring_force
@@ -303,36 +316,24 @@ def _state_specs(state: NBodyState, axis: str) -> NBodyState:
     )
 
 
-def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
-                      axis: Optional[str] = None):
-    """Compiled full simulation step over a body-sharded mesh.
-
-    Returns a jitted ``step(state) -> state`` where every body array of
-    ``state`` is sharded along ``axis`` of ``mesh``. The KDK update runs
-    elementwise on local shards. Force collectives by path: the exact
-    force is the ppermute ring plus one psum for the potential;
-    ``force_impl="pm"`` instead runs NO ring — pmin/pmax agree the mesh
-    box (skipped with a static ``cfg.pm_box``) and one psum of the G^3
-    mass grid globalizes the density; ``force_impl="p3m"`` adds a
-    ppermute ring for its short-range cell-list correction (memory
-    scales, short-range compute is ring-replicated — see
-    ops.p3m.p3m_ring_force). Collision modes add their own (bounce:
-    impulse ring; merge: contact-count ring + gated all_gather).
-    """
-    axis = axis or cfg.shard_axis or "body"
-    use_mesh_solver = cfg.force_impl in ("pm", "p3m")
+def _normalize_sharded_cfg(cfg: SimConfig, axis: str) -> tuple[SimConfig, bool]:
+    """Resolve the force routing for a body-sharded axis: mesh solvers
+    (pm/p3m/tree) keep their impl, everything else becomes the ring."""
+    use_mesh_solver = cfg.force_impl in ("pm", "p3m", "tree")
     cfg = cfg.replace(shard_axis=axis,
                       force_impl=cfg.force_impl if use_mesh_solver else "ring")
-    n_shards = mesh.shape[axis]
-    n_bodies = state_example.n_bodies
-    if n_bodies % n_shards != 0:
-        raise ValueError(f"N={n_bodies} must divide across {n_shards} shards "
-                         f"(pad via make_state(pad_to=...))")
+    return cfg, use_mesh_solver
 
+
+def _build_local_step(cfg: SimConfig, n_shards: int, n_bodies: int,
+                      use_mesh_solver: bool):
+    """The per-device step closure shared by :func:`make_sharded_step` and
+    :func:`make_sharded_rollout` — runs INSIDE shard_map on local shards."""
+    axis = cfg.shard_axis
     if use_mesh_solver:
         # mesh solvers across the mesh: local deposit + one psum of the
-        # grid (PM), plus a ringed short-range correction (P3M); the
-        # O(N^2) ring never runs (see ops.pm / ops.p3m docstrings)
+        # grid (PM), plus a ringed short-range correction (P3M) or a
+        # sharded near-field sweep (tree); the O(N^2) ring never runs
         force = _mesh_force_fn(cfg, axis, n_shards)
     else:
         force = ring_force_fn(cfg, n_shards)
@@ -389,10 +390,109 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
             return lax.cond(cnt > 0, do_merge, lambda s: s, state)
     else:
         local_step = kdk
+    return local_step
+
+
+def make_sharded_step(cfg: SimConfig, mesh: Mesh, state_example: NBodyState,
+                      axis: Optional[str] = None):
+    """Compiled full simulation step over a body-sharded mesh.
+
+    Returns a jitted ``step(state) -> state`` where every body array of
+    ``state`` is sharded along ``axis`` of ``mesh``. The KDK update runs
+    elementwise on local shards. Force collectives by path: the exact
+    force is the ppermute ring plus one psum for the potential;
+    ``force_impl="pm"`` instead runs NO ring — pmin/pmax agree the mesh
+    box (skipped with a static ``cfg.pm_box``) and one psum of the G^3
+    mass grid globalizes the density; ``force_impl="p3m"`` adds a
+    ppermute ring for its short-range cell-list correction (memory
+    scales, short-range compute is ring-replicated — see
+    ops.p3m.p3m_ring_force); ``force_impl="tree"`` psums the deposited
+    moment grids (far field) and splits the near-field sweep across
+    shards (see ops.tree.tree_sharded_force). Collision modes add their
+    own (bounce: impulse ring; merge: contact-count ring + gated
+    all_gather).
+    """
+    axis = axis or cfg.shard_axis or "body"
+    cfg, use_mesh_solver = _normalize_sharded_cfg(cfg, axis)
+    n_shards = mesh.shape[axis]
+    n_bodies = state_example.n_bodies
+    if n_bodies % n_shards != 0:
+        raise ValueError(f"N={n_bodies} must divide across {n_shards} shards "
+                         f"(pad via make_state(pad_to=...))")
+    local_step = _build_local_step(cfg, n_shards, n_bodies, use_mesh_solver)
 
     spec = _state_specs(state_example, axis)
     sharded = jax.shard_map(local_step, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=_check_vma(cfg))
+    return jax.jit(sharded)
+
+
+def make_sharded_rollout(cfg: SimConfig, mesh: Mesh,
+                         state_example: NBodyState, steps: int,
+                         record_every: int = 0,
+                         axis: Optional[str] = None):
+    """Compiled multi-step sharded rollout: ``lax.scan`` of the sharded
+    step INSIDE ``shard_map``, with strided on-device recording.
+
+    The single-device analog is :func:`orbital_tpu.engine.rollout.rollout`;
+    here the whole rollout — every step's ring/psum collectives included —
+    is one XLA program per call, so multi-chip runs pay one dispatch per
+    rollout instead of one per step. Returns a jitted
+    ``roll(state) -> (final_state, Trajectory | None)`` where the body
+    arrays of both the input state and the recorded ``Trajectory`` are
+    sharded along ``axis`` (records assemble to global [R, N, ...] arrays
+    across the mesh); energy / angular momentum records are global (psum)
+    and replicated. With ``record_every=0`` no trajectory is recorded and
+    the second return is None.
+    """
+    axis = axis or cfg.shard_axis or "body"
+    cfg, use_mesh_solver = _normalize_sharded_cfg(cfg, axis)
+    n_shards = mesh.shape[axis]
+    n_bodies = state_example.n_bodies
+    if n_bodies % n_shards != 0:
+        raise ValueError(f"N={n_bodies} must divide across {n_shards} shards "
+                         f"(pad via make_state(pad_to=...))")
+    if record_every > 0 and steps % record_every != 0:
+        raise ValueError(
+            f"steps={steps} not divisible by record_every={record_every}")
+    local_step = _build_local_step(cfg, n_shards, n_bodies, use_mesh_solver)
+
+    from ..engine.rollout import Trajectory
+    from ..ops import diagnostics as diag
+
+    def snapshot(s: NBodyState) -> dict:
+        vel = s.vel_full()
+        pos = s.pos_full()
+        # kinetic/angular sums span the mesh; potential is already
+        # replicated (every force path psums it)
+        K = lax.psum(diag.kinetic_energy(vel, s.mass), axis)
+        L = lax.psum(diag.angular_momentum(pos, vel, s.mass), axis)
+        return dict(pos=pos, vel=vel, time=s.time,
+                    energy=K + s.potential, ang_mom=L, alive=s.alive)
+
+    def local_roll(state: NBodyState):
+        if record_every <= 0:
+            return lax.fori_loop(0, steps, lambda _, s: local_step(s),
+                                 state), None
+
+        def block(s: NBodyState, _):
+            s = lax.fori_loop(0, record_every, lambda _, x: local_step(x), s)
+            return s, snapshot(s)
+
+        final, ys = lax.scan(block, state, None,
+                             length=steps // record_every)
+        return final, Trajectory(**ys)
+
+    spec = _state_specs(state_example, axis)
+    if record_every > 0:
+        traj_spec = Trajectory(
+            pos=P(None, axis, None), vel=P(None, axis, None), time=P(),
+            energy=P(), ang_mom=P(), alive=P(None, axis))
+    else:
+        traj_spec = None
+    sharded = jax.shard_map(local_roll, mesh=mesh, in_specs=(spec,),
+                            out_specs=(spec, traj_spec),
+                            check_vma=_check_vma(cfg))
     return jax.jit(sharded)
 
 
@@ -408,9 +508,7 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
     returns ``(step, shardings)`` where ``shardings`` places a batched
     state onto the mesh.
     """
-    use_mesh_solver = cfg.force_impl in ("pm", "p3m")
-    cfg = cfg.replace(shard_axis=body_axis,
-                      force_impl=cfg.force_impl if use_mesh_solver else "ring")
+    cfg, use_mesh_solver = _normalize_sharded_cfg(cfg, body_axis)
     if cfg.collisions == "merge":
         raise NotImplementedError(
             "merge under the vmapped ensemble turns the contact-gated "

@@ -334,3 +334,124 @@ def test_ensemble_axis_is_dcn_safe(rng):
     ref = jax.vmap(make_step_fn(cfg, force))(states)
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
                                rtol=3e-5, atol=3e-6)
+
+
+def _plummer_state(rng, n=128):
+    """Concentrated cluster (the tree's regime) in natural units."""
+    u = rng.uniform(0.01, 0.99, n)
+    r = 1.0 / np.sqrt(u ** (-2.0 / 3.0) - 1.0)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pos = r[:, None] * v
+    vel = 0.05 * rng.normal(size=(n, 3))
+    mass = np.full(n, 1.0 / n)
+    return make_state(pos, vel, mass, precision="f32")
+
+
+def _tree_cfg(st, levels=3):
+    from orbital_tpu.ops.tree import tree_occupancy_probe
+
+    occ, ncells = tree_occupancy_probe(st.pos, st.alive, levels=levels)
+    return ot.SimConfig(
+        dt=1e-3, G=1.0, eps2=1e-3, force_impl="tree", tree_levels=levels,
+        tree_capacity=max(16, -(-int(occ) // 8) * 8),
+        tree_max_cells=-(-int(ncells) // 64) * 64)
+
+
+def test_sharded_tree_force_matches_single_device(rng):
+    """tree_sharded_force (all_gather + partitioned near-field sweeps +
+    psum) must reproduce the single-device tree exactly: each body's near
+    field is computed by exactly one device, so the psum adds zeros."""
+    from jax.sharding import PartitionSpec as P
+    from orbital_tpu.ops.tree import tree_acc_potential, tree_sharded_force
+
+    st = _plummer_state(rng)
+    cfg = _tree_cfg(st)
+    a_ref, U_ref, ovf = tree_acc_potential(
+        st.pos, st.mass, st.alive, G_grav=cfg.G, eps2=cfg.eps2,
+        levels=cfg.tree_levels, capacity=cfg.tree_capacity, ws=cfg.tree_ws,
+        max_cells=cfg.tree_max_cells, order=cfg.tree_order)
+    assert int(ovf) == 0
+
+    mesh = make_mesh()
+    f = jax.jit(jax.shard_map(
+        lambda p, m, a: tree_sharded_force(
+            p, m, a, axis_name="body", n_shards=8, G_grav=cfg.G,
+            eps2=cfg.eps2, levels=cfg.tree_levels,
+            capacity=cfg.tree_capacity, ws=cfg.tree_ws,
+            max_cells=cfg.tree_max_cells, order=cfg.tree_order),
+        mesh=mesh, in_specs=(P("body", None), P("body"), P("body")),
+        out_specs=(P("body", None), P()),
+    ))
+    a, U = f(st.pos, st.mass, st.alive)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=1e-6, atol=1e-7)
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-6)
+
+
+def test_sharded_tree_step_matches_unsharded(rng):
+    """A full sharded KDK step with force_impl='tree' equals the
+    single-device tree step (VERDICT r1 next-round #4)."""
+    st = _plummer_state(rng)
+    cfg = _tree_cfg(st)
+    st = ot.init_forces(st, cfg)
+    mesh = make_mesh()
+
+    ref_step = make_step_fn(cfg, resolve_force_fn(cfg, st.n_bodies))
+    ref = ref_step(ref_step(st))
+
+    sharded = make_sharded_step(cfg, mesh, st, axis="body")
+    out = sharded(sharded(shard_state(mesh, st)))
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_rollout_matches_unsharded(cluster_state):
+    """Multi-step sharded rollout (scan of the sharded step inside
+    shard_map, strided recording) vs the single-device rollout over 100
+    steps (VERDICT r1 next-round #5)."""
+    from orbital_tpu.engine.rollout import rollout
+    from orbital_tpu.parallel.sharded import make_sharded_rollout
+
+    mesh = make_mesh()
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4)
+    st = ot.init_forces(cluster_state, cfg)
+
+    ref_final, ref_traj = rollout(
+        st, cfg.replace(force_impl="dense"), 100, record_every=25)
+
+    roll = make_sharded_rollout(cfg, mesh, st, steps=100, record_every=25,
+                                axis="body")
+    out, traj = roll(shard_state(mesh, st))
+
+    assert traj.pos.shape == (4, st.n_bodies, 3)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref_final.pos),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(traj.pos), np.asarray(ref_traj.pos),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(traj.energy),
+                               np.asarray(ref_traj.energy),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(traj.ang_mom),
+                               np.asarray(ref_traj.ang_mom),
+                               rtol=1e-4, atol=1e-6)
+    assert int(out.step) == 100
+    assert float(traj.time[-1]) == pytest.approx(float(out.time))
+
+
+def test_sharded_rollout_unrecorded(cluster_state):
+    from orbital_tpu.engine.rollout import rollout
+    from orbital_tpu.parallel.sharded import make_sharded_rollout
+
+    mesh = make_mesh()
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4)
+    st = ot.init_forces(cluster_state, cfg)
+    ref_final, _ = rollout(st, cfg.replace(force_impl="dense"), 30)
+
+    roll = make_sharded_rollout(cfg, mesh, st, steps=30, axis="body")
+    out, traj = roll(shard_state(mesh, st))
+    assert traj is None
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref_final.pos),
+                               rtol=2e-4, atol=1e-5)
