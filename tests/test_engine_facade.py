@@ -250,6 +250,7 @@ def test_simulate_from_objects():
     assert result.energy_drift < 1e-9
 
 
+@pytest.mark.slow
 def test_resume_from_cache_post_merge(tmp_path):
     """A cache written after merges holds fewer bodies; resuming must
     re-resolve the compiled force/step fns for the new N and keep stepping."""

@@ -41,6 +41,7 @@ def test_p3m_overflow_counter(uniform_box):
     assert int(ov) > 0
 
 
+@pytest.mark.slow
 def test_p3m_dead_bodies_inert(uniform_box):
     from orbital_tpu.engine.state import far_positions
 
@@ -61,6 +62,7 @@ def test_p3m_dead_bodies_inert(uniform_box):
                                rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_p3m_in_rollout(uniform_box):
     """force_impl='p3m' drives the KDK stepper with good energy behavior
     at eps far below the mesh scale."""
@@ -79,6 +81,7 @@ def test_p3m_in_rollout(uniform_box):
     assert abs((E[-1] - E[0]) / E[0]) < 2e-3
 
 
+@pytest.mark.slow
 def test_p3m_sharded_matches_unsharded(uniform_box, rng):
     """Body-sharded P3M (psum'd mesh + ppermute ring for the short-range
     cell lists, global-id self-pair exclusion) agrees with the
@@ -116,6 +119,7 @@ def test_p3m_requires_softening(uniform_box):
         p3m_acc_potential(pos, mass, G_grav=1.0, eps2=0.0)
 
 
+@pytest.mark.slow
 def test_simulate_p3m_auto_capacity(uniform_box):
     """simulate(force_impl='p3m') sizes the per-cell capacity from the
     actual density and completes with finite results."""

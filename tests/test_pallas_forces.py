@@ -107,6 +107,7 @@ def test_pallas_bounce_matches_dense(rng):
     np.testing.assert_array_equal(np.asarray(dv2)[~alive], 0.0)
 
 
+@pytest.mark.slow
 def test_large_n_bounce_path_in_stepper(rng):
     # > _DENSE_BOUNCE_MAX_N routes through the pallas sweep inside the step
     import orbital_tpu as ot
@@ -223,6 +224,7 @@ def test_hermite_routes_to_scalable_jerk(rng):
     assert _relerr(j, j_ref) < 1e-6
 
 
+@pytest.mark.slow
 def test_hermite_rollout_large_n_smoke(rng):
     """Hermite end-to-end above the dense-memory regime (chunked on CPU)."""
     import orbital_tpu as ot
@@ -338,6 +340,7 @@ def test_fused_detect_ignores_far_parked_dead(rng):
 
 
 @pytest.mark.parametrize("integrator", ["kdk", "euler", "rk4"])
+@pytest.mark.slow
 def test_cond_gated_bounce_matches_unconditional(rng, integrator):
     """Stepping with the fused-detect cond gate must be bit-identical to the
     always-sweep stepper, through both contact-free and colliding steps,

@@ -358,6 +358,7 @@ def _tree_cfg(st, levels=3):
         tree_max_cells=-(-int(ncells) // 64) * 64)
 
 
+@pytest.mark.slow
 def test_sharded_tree_force_matches_single_device(rng):
     """tree_sharded_force (all_gather + partitioned near-field sweeps +
     psum) must reproduce the single-device tree exactly: each body's near
@@ -389,6 +390,7 @@ def test_sharded_tree_force_matches_single_device(rng):
     assert float(U) == pytest.approx(float(U_ref), rel=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_tree_step_matches_unsharded(rng):
     """A full sharded KDK step with force_impl='tree' equals the
     single-device tree step (VERDICT r1 next-round #4)."""
@@ -408,6 +410,7 @@ def test_sharded_tree_step_matches_unsharded(rng):
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sharded_rollout_matches_unsharded(cluster_state):
     """Multi-step sharded rollout (scan of the sharded step inside
     shard_map, strided recording) vs the single-device rollout over 100

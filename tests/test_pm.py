@@ -16,6 +16,7 @@ def smooth_cluster(rng):
     return pos, mass, eps2
 
 
+@pytest.mark.slow
 def test_pm_matches_dense_in_smooth_regime(smooth_cluster):
     pos, mass, eps2 = smooth_cluster
     a_ref, U_ref = pairwise_acc_dense(pos, mass, G=1.0, eps2=eps2)

@@ -49,6 +49,7 @@ def _window_center_bodies(rng, n_bodies, levels, half=8.0):
     return pos, box
 
 
+@pytest.mark.slow
 def test_pair_partition_exact(rng):
     """Finest-level claims + near field reproduce the dense oracle to f32
     rounding for center-placed bodies (see _window_center_bodies)."""
@@ -62,6 +63,7 @@ def test_pair_partition_exact(rng):
         assert _rms(a, a_ref) < 5e-6
 
 
+@pytest.mark.slow
 def test_pair_partition_exact_deep_levels(rng):
     """Same finest-level exactness when the finest level sits at the end
     of the deep conv chain (levels=7): per-level convs, the static-delta
@@ -76,6 +78,7 @@ def test_pair_partition_exact_deep_levels(rng):
         assert _rms(a, a_ref) < 5e-6
 
 
+@pytest.mark.slow
 def test_pair_partition_counts_every_pair_once(rng):
     """Potential flood: with eps2 far above the box scale every pair's
     potential is -G m_i m_j / sqrt(eps2) to ~4e-6 regardless of distance,
@@ -98,6 +101,7 @@ def test_pair_partition_counts_every_pair_once(rng):
         assert abs(float(U) - U_expect) / abs(U_expect) < 1e-3
 
 
+@pytest.mark.slow
 def test_tree_deep_levels_match_shallow(gauss_blob):
     """levels=7 stays in the same accuracy class as levels=5 on the blob.
     Center-anchored expansions lose a little at depth (a 2048-body blob
@@ -117,6 +121,7 @@ def test_tree_deep_levels_match_shallow(gauss_blob):
 
 
 @pytest.mark.parametrize("ws,tol", [(1, 3e-2), (2, 8e-3)])
+@pytest.mark.slow
 def test_tree_accuracy(gauss_blob, ws, tol):
     pos, mass = gauss_blob
     a_ref, U_ref = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
@@ -129,6 +134,7 @@ def test_tree_accuracy(gauss_blob, ws, tol):
     assert float(U) == pytest.approx(float(U_ref), rel=tol)
 
 
+@pytest.mark.slow
 def test_tree_momentum_conserved(gauss_blob):
     """COM-COM monopole pairs are antisymmetric and the Taylor corrections
     are mass-weighted about each COM, so total force is zero to rounding
@@ -146,6 +152,7 @@ def test_tree_momentum_conserved(gauss_blob):
     assert f_tot < 1e-5 * max(f_rms, 1e-30)
 
 
+@pytest.mark.slow
 def test_tree_capacity_overflow_counted(gauss_blob):
     pos, mass = gauss_blob
     _, _, ov = tree_acc_potential(pos, mass, G_grav=1.0, eps2=1e-6,
@@ -153,6 +160,7 @@ def test_tree_capacity_overflow_counted(gauss_blob):
     assert int(ov) > 0
 
 
+@pytest.mark.slow
 def test_tree_max_cells_overflow_counted(gauss_blob):
     pos, mass = gauss_blob
     occ, nc = tree_occupancy_probe(pos, levels=5)
@@ -163,6 +171,7 @@ def test_tree_max_cells_overflow_counted(gauss_blob):
     assert int(ov) > 0
 
 
+@pytest.mark.slow
 def test_tree_dead_bodies_inert(gauss_blob):
     from orbital_tpu.engine.state import far_positions
 
@@ -187,6 +196,7 @@ def test_tree_dead_bodies_inert(gauss_blob):
     assert _rms(a_mask[alive], a_live) < 2e-2
 
 
+@pytest.mark.slow
 def test_tree_in_rollout(gauss_blob):
     """force_impl='tree' drives the KDK stepper with bounded energy noise."""
     from orbital_tpu.engine.state import make_state
@@ -221,6 +231,7 @@ def test_tree_rejects_hermite(gauss_blob):
         resolve_accel_jerk_fn(cfg, 64)
 
 
+@pytest.mark.slow
 def test_simulate_tree_auto_capacity(gauss_blob):
     """simulate(force_impl='tree') sizes capacity and the occupied-cell
     budget from the actual distribution and completes with finite output."""
@@ -244,6 +255,7 @@ def test_simulate_tree_auto_capacity(gauss_blob):
     assert res.config.tree_max_cells > 0
 
 
+@pytest.mark.slow
 def test_tree_pinned_box_matches(gauss_blob):
     """A pinned box covering the live extent agrees with the refit path."""
     pos, mass = gauss_blob
@@ -265,6 +277,7 @@ def test_tree_pinned_box_matches(gauss_blob):
     assert _rms(a_pin, a_ref) < 1.5 * max(_rms(a_fit, a_ref), 1e-2)
 
 
+@pytest.mark.slow
 def test_tree_order2_improves_accuracy(gauss_blob):
     """order=2 (quadrupole sources + second-order target Taylor) cuts the
     force error by ~the well-separation ratio (~3x at ws=1) and the
@@ -286,6 +299,7 @@ def test_tree_order2_improves_accuracy(gauss_blob):
     assert uerrs[2] < uerrs[1] / 3.0
 
 
+@pytest.mark.slow
 def test_tree_order2_partition_and_exactness(rng):
     """The order-2 tap set claims exactly the same pairs (eps2-flood
     count) and center-placed window bodies stay exact (all higher moments
@@ -312,6 +326,7 @@ def test_tree_order2_partition_and_exactness(rng):
     assert _rms(a, a_ref) < 5e-6
 
 
+@pytest.mark.slow
 def test_simulate_tree_order2(gauss_blob):
     from orbital_tpu.models.scene import SceneArrays
 
@@ -328,6 +343,7 @@ def test_simulate_tree_order2(gauss_blob):
     assert res.config.tree_order == 2
 
 
+@pytest.mark.slow
 def test_simulate_tree_auto_levels(gauss_blob):
     """tree_levels='auto' picks the smallest pyramid whose densest cell
     is near-field-cheap (<= 64 bodies)."""
@@ -351,6 +367,7 @@ def test_simulate_tree_auto_levels(gauss_blob):
     assert int(occ) <= 64 or res.config.tree_levels == 8
 
 
+@pytest.mark.slow
 def test_tree_staged_matches_single_call(gauss_blob):
     """The two-phase evaluation (the N>=512k compile-helper workaround)
     is numerically identical to the single program."""
