@@ -201,19 +201,9 @@ def bench_pm(n: int, grid: int = 128, iters: int = 3) -> float:
     return n / sec
 
 
-def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3) -> float:
-    """Tree-gravity KDK step rate on a concentrated Plummer sphere (the
-    regime P3M's fixed capacity excludes; ops/tree.py conv far field)."""
-    import jax.numpy as jnp
-
-    import orbital_tpu as ot
-    from orbital_tpu.engine.integrators import make_step_fn
-    from orbital_tpu.engine.rollout import resolve_force_fn
-    from orbital_tpu.engine.state import make_state
-    from orbital_tpu.ops.tree import tree_occupancy_probe
-    from orbital_tpu.utils.timing import bench_chained
-
-    rng = np.random.default_rng(0)
+def make_plummer(n: int, seed: int = 0):
+    """Concentrated Plummer sphere positions/velocities (tree regime)."""
+    rng = np.random.default_rng(seed)
     u = rng.uniform(0.01, 0.99, n)
     r = 1.0 / np.sqrt(u ** (-2.0 / 3.0) - 1.0)
     v = rng.normal(size=(n, 3))
@@ -221,14 +211,46 @@ def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3) -> float:
     pos = r[:, None] * v
     vel = 0.05 * rng.normal(size=(n, 3))
     mass = np.full(n, 1.0 / n)
+    return pos, vel, mass
+
+
+def tree_cfg_probed(pos, levels: int, **kw):
+    """Probe-size ALL the tree's static budgets from the distribution
+    (capacity, occupied cells, and the big/frontier class lists — the
+    K//8 / K//4 heuristics are heavily sentinel-padded on concentrated
+    systems; VERDICT r1 #2)."""
+    import jax.numpy as jnp
+
+    import orbital_tpu as ot
+    from orbital_tpu.ops.tree import tree_class_probe
+
+    ws = kw.pop("tree_ws", 1)
+    cap, occ, nbig, nfront = tree_class_probe(
+        jnp.asarray(pos, jnp.float32), levels=levels, ws=ws)
+    kcells = int(np.ceil((int(occ) * 1.3) / 512) * 512)
+    return ot.SimConfig(
+        force_impl="tree", tree_levels=levels, tree_ws=ws,
+        tree_capacity=int(np.ceil((int(cap) + 8) / 16) * 16),
+        tree_max_cells=kcells,
+        tree_max_big=min(kcells, max(256, int(np.ceil(int(nbig) * 1.3 / 256) * 256))),
+        tree_max_frontier=min(kcells, max(256, int(np.ceil(int(nfront) * 1.3 / 256) * 256))),
+        **kw)
+
+
+def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3) -> float:
+    """Tree-gravity KDK step rate on a concentrated Plummer sphere (the
+    regime P3M's fixed capacity excludes; ops/tree.py conv far field).
+    Budgets probe-sized via tree_class_probe."""
+    import orbital_tpu as ot
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import resolve_force_fn
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.utils.timing import bench_chained
+
+    pos, vel, mass = make_plummer(n)
     state = make_state(pos, vel, mass, precision="f32")
-    cap, occ = tree_occupancy_probe(jnp.asarray(pos, jnp.float32),
-                                    levels=levels)
-    cfg = ot.SimConfig(dt=1e-4, G=1.0, eps2=1e-6, force_impl="tree",
-                       tree_levels=levels,
-                       tree_capacity=int(np.ceil((int(cap) + 8) / 16) * 16),
-                       tree_max_cells=int(np.ceil((int(occ) * 1.3) / 512) * 512),
-                       track_potential=False)
+    cfg = tree_cfg_probed(pos, levels, dt=1e-4, G=1.0, eps2=1e-6,
+                          track_potential=False)
     state = ot.init_forces(state, cfg)
     step = make_step_fn(cfg, resolve_force_fn(cfg, n))
     sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)

@@ -104,7 +104,8 @@ if _SKIP:
         RuntimeWarning, stacklevel=2)
 
 __all__ = ["tree_acc_potential", "tree_acc_potential_staged",
-           "tree_sharded_force", "tree_occupancy_probe", "tree_stencil"]
+           "tree_sharded_force", "tree_occupancy_probe", "tree_class_probe",
+           "tree_stencil"]
 
 
 def tree_stencil(ws: int) -> list[tuple[int, int, int]]:
@@ -416,7 +417,8 @@ def _lookup_slot(sorted_ids, query):
 @partial(jax.jit,
          static_argnames=("G_grav", "eps2", "levels", "capacity", "ws",
                           "max_cells", "cell_block", "with_potential",
-                          "order", "_phase", "_n_parts", "_psum_axis"))
+                          "order", "max_big", "max_frontier",
+                          "_phase", "_n_parts", "_psum_axis"))
 def tree_acc_potential(
     pos: jax.Array,
     mass: jax.Array,
@@ -431,6 +433,8 @@ def tree_acc_potential(
     cell_block: int = 0,
     with_potential: bool = True,
     order: int = 1,
+    max_big: int = 0,
+    max_frontier: int = 0,
     box=None,
     _phase: str = "both",
     _n_parts: int = 1,
@@ -642,8 +646,14 @@ def tree_acc_potential(
         right = jnp.searchsorted(sc, occ_idx, side="right")
         occ_counts = jnp.where(occ_valid, (right - left).astype(jnp.int32), 0)
         big = occ_valid & (occ_counts > c_small)
-        K_big = min(K, max(256, K // 8))
-        K_f = min(K, max(512, K // 4))
+        # static list budgets: default heuristic (K//8 big, K//4 frontier)
+        # is heavily sentinel-padded on concentrated systems — probe the
+        # real class sizes with tree_class_probe and pass max_big /
+        # max_frontier to cut the padded sweep work (VERDICT r1 #2)
+        K_big = min(K, max(256, K // 8)) if max_big <= 0 \
+            else min(K, int(max_big))
+        K_f = min(K, max(512, K // 4)) if max_frontier <= 0 \
+            else min(K, int(max_frontier))
         ids_big = _compact_sorted(big, occ_idx, K_big, M3)
         big_flag = jnp.zeros((M3 + 1,), bool).at[
             jnp.minimum(ids_big, M3)].set(ids_big < M3)
@@ -825,6 +835,8 @@ def tree_sharded_force(
     ws: int = 1,
     max_cells: int = 0,
     order: int = 1,
+    max_big: int = 0,
+    max_frontier: int = 0,
     with_potential: bool = True,
     box=None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -856,6 +868,7 @@ def tree_sharded_force(
     acc, U, _ = tree_acc_potential(
         pos_g, mass_g, alive_g, G_grav=G_grav, eps2=eps2, levels=levels,
         capacity=capacity, ws=ws, max_cells=max_cells, order=order,
+        max_big=max_big, max_frontier=max_frontier,
         with_potential=with_potential, box=box,
         _n_parts=n_shards, _part_index=part, _psum_axis=axis_name)
     # U is numerically identical on every device (replicated far phase +
@@ -887,6 +900,60 @@ def tree_acc_potential_staged(
     a_n, U_n, overflow = tree_acc_potential(pos, mass, alive,
                                             _phase="near", **kwargs)
     return a_f + a_n, U_f + U_n, overflow
+
+
+@partial(jax.jit, static_argnames=("levels", "ws", "c_small"))
+def tree_class_probe(
+    pos: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    levels: int = 6,
+    ws: int = 1,
+    c_small: int = 16,
+    box=None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Occupancy-class census for sizing ALL of the tree's static budgets:
+    returns (max bodies per finest cell, occupied cells, BIG cells
+    [> c_small bodies], FRONTIER cells [small with a big (2ws+1)^3
+    neighbor]) — the sizers for ``capacity`` / ``max_cells`` /
+    ``max_big`` / ``max_frontier``, binned exactly like
+    :func:`tree_acc_potential` (same box fit, dead-body handling, and
+    class definitions). One segment-sum plus (2ws+1)^3 dense boolean
+    shifts of the finest grid — no gathers."""
+    n = pos.shape[0]
+    M = 2 ** levels
+    M3 = M * M * M
+    pos32 = pos.astype(jnp.float32)
+    alive_b = (jnp.ones((n,), bool) if alive is None else alive.astype(bool))
+    if box is None:
+        center, half = _bounding_cube(pos32, alive_b.astype(jnp.float32),
+                                      M, None)
+    else:
+        center = jnp.asarray(box[0], jnp.float32)
+        half = jnp.asarray(box[1], jnp.float32)
+    h = 2.0 * half / M
+    cc = jnp.clip(jnp.floor((pos32 - (center - half)) / h).astype(jnp.int32),
+                  0, M - 1)
+    cell_id = (cc[:, 0] * M + cc[:, 1]) * M + cc[:, 2]
+    cell_id = jnp.where(alive_b, cell_id, M3)
+    counts = jax.ops.segment_sum(alive_b.astype(jnp.int32), cell_id,
+                                 num_segments=M3 + 1)[:M3]
+    occupied = counts > 0
+    big3 = (counts > c_small).reshape(M, M, M)
+    # any-big within the (2ws+1)^3 neighborhood: padded shifts, no gathers
+    p = jnp.pad(big3, ws)
+    any_big = jnp.zeros_like(big3)
+    for a in range(2 * ws + 1):
+        for b in range(2 * ws + 1):
+            for c in range(2 * ws + 1):
+                any_big = any_big | lax.dynamic_slice(p, (a, b, c),
+                                                      (M, M, M))
+    any_big = any_big.reshape(-1)
+    big = counts > c_small
+    frontier = occupied & ~big & any_big
+    i32 = jnp.int32
+    return (jnp.max(counts), jnp.sum(occupied.astype(i32)),
+            jnp.sum(big.astype(i32)), jnp.sum(frontier.astype(i32)))
 
 
 @partial(jax.jit, static_argnames=("levels",))

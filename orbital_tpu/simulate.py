@@ -160,7 +160,7 @@ def simulate(
         # the actual initial distribution in one cheap pass; re-probe
         # mid-run with ops.tree.tree_occupancy_probe if the system
         # contracts (the hot path drops the overflow counter)
-        from .ops.tree import tree_occupancy_probe
+        from .ops.tree import tree_class_probe, tree_occupancy_probe
 
         if tree_levels == "auto":
             # smallest pyramid whose densest cell stays near-field-cheap
@@ -171,12 +171,19 @@ def simulate(
                 if int(occ) <= 64 or tree_levels == 8:
                     break
             cfg = cfg.replace(tree_levels=tree_levels)
-        occ, ncells = tree_occupancy_probe(state.pos, state.alive,
-                                           levels=tree_levels,
-                                           box=cfg.pm_box_arrays())
+        occ, ncells, nbig, nfront = tree_class_probe(
+            state.pos, state.alive, levels=tree_levels, ws=tree_ws,
+            box=cfg.pm_box_arrays())
         kcells = min(state.n_bodies, 8 ** tree_levels,
                      -(-int(int(ncells) * 1.5) // 1024) * 1024)
-        cfg = cfg.replace(tree_max_cells=kcells)
+        # probe-sized class-list budgets (1.5x headroom, /256-aligned):
+        # the K//8 / K//4 heuristics are heavily sentinel-padded on
+        # concentrated systems and the padded rows dominate sweep cost
+        kbig = min(kcells, max(256, -(-int(int(nbig) * 1.5) // 256) * 256))
+        kfront = min(kcells,
+                     max(256, -(-int(int(nfront) * 1.5) // 256) * 256))
+        cfg = cfg.replace(tree_max_cells=kcells, tree_max_big=kbig,
+                          tree_max_frontier=kfront)
         if tree_capacity == "auto":
             cap = max(16, -(-int(int(occ) * 1.5) // 8) * 8)
             if cap > 4096:

@@ -99,6 +99,12 @@ class SimConfig:
         tree_max_cells: static occupied-cell budget for the tree's
             near-field sweep (0 = min(N, 8^levels), always safe; smaller
             compiles a smaller sweep).
+        tree_max_big: static budget for BIG cells (> 16 bodies) in the
+            near-field occupancy split (0 = max_cells//8 heuristic; size
+            from ops.tree.tree_class_probe to cut sentinel padding).
+        tree_max_frontier: static budget for FRONTIER cells (small cells
+            adjacent to a big one) in the split (0 = max_cells//4
+            heuristic; size from ops.tree.tree_class_probe).
     """
 
     dt: float
@@ -122,6 +128,8 @@ class SimConfig:
     tree_ws: int = 1
     tree_max_cells: int = 0
     tree_order: int = 1
+    tree_max_big: int = 0
+    tree_max_frontier: int = 0
     hermite_fast_cap: int = 0
     hermite_max_substeps: int = 64
 
