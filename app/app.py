@@ -22,6 +22,15 @@ Differences (deliberate):
 Env config (same names/defaults as the reference, app/app.py:69-76):
 SIM_INTERVAL, SIM_INITIAL_STEPS, SIM_MAX_HISTORY, USE_CACHE, CACHE_FP,
 CACHE_EVERY_N; plus SIM_FPS, SIM_MOONS, RESUME_FROM_CACHE.
+
+TPU-scale demo mode (``SIM_SCENE=cluster``): instead of the 26-body solar
+system, serve a live ``SIM_N``-body (default 65536) virialized cluster
+advanced by the compiled rollout pipeline — the engine's actual regime.
+Each wall tick runs ``SIM_STEPS_PER_TICK`` compiled KDK steps on device;
+the browser receives a DECIMATED sample of ``SIM_VIEW_MAX`` bodies (the
+full state never crosses to the host per tick beyond one sampled fetch)
+through the same snapshot-swap machinery and unchanged viewer/API
+payloads.
 """
 from __future__ import annotations
 
@@ -92,24 +101,63 @@ CACHE_EVERY_N = int(os.getenv("CACHE_EVERY_N", "600"))
 SIM_FPS = float(os.getenv("SIM_FPS", "10.0"))
 SIM_MOONS = os.getenv("SIM_MOONS", "true").lower() == "true"
 RESUME_FROM_CACHE = os.getenv("RESUME_FROM_CACHE", "false").lower() == "true"
+SIM_SCENE = os.getenv("SIM_SCENE", "sol")  # "sol" | "cluster"
+SIM_N = int(os.getenv("SIM_N", "65536"))
+SIM_VIEW_MAX = int(os.getenv("SIM_VIEW_MAX", "1500"))
+SIM_STEPS_PER_TICK = int(os.getenv("SIM_STEPS_PER_TICK", "10"))
 
-engine = generate_solar_system(
-    dt=INTERVAL, max_hist=MAX_HISTORY, use_cache=USE_CACHE,
-    cache_fp=CACHE_FP, cache_every_n=CACHE_EVERY_N, moons=SIM_MOONS,
-)
-epoch_ts = (J2000_JD - 2440587.5) * JULIAN_DAY  # seconds since Unix epoch
-engine.sim_epoch = datetime.fromtimestamp(epoch_ts, tz=timezone.utc)
-engine.sim_epoch_jd = float(J2000_JD)
+engine = None
+_cl = None  # cluster-mode runtime (dict), None in solar mode
 
-resumed = False
-if RESUME_FROM_CACHE and CACHE_FP and Path(CACHE_FP).exists():
-    resumed = engine.resume_from_cache(CACHE_FP)
-    print(f"Resumed from cache: {resumed} (t={engine.time_elapsed:.0f}s)")
+if SIM_SCENE == "cluster":
+    import numpy as np
 
-if not resumed and INITIAL_STEPS > 0:
-    print("Warming up simulation...")
-    run_simulation(engine, steps=INITIAL_STEPS, print_every=max(1, INITIAL_STEPS // 10))
-    print("Done.")
+    import orbital_tpu as ot
+    from orbital_tpu.engine.rollout import rollout
+
+    _rng = np.random.default_rng(0)
+    _pos = _rng.normal(size=(SIM_N, 3))
+    _vel = _rng.normal(size=(SIM_N, 3)) * 0.6
+    _mass = np.full(SIM_N, 1.0 / SIM_N)
+    _cl_cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4)
+    _cl_state = ot.init_forces(
+        ot.make_state(_pos, _vel, _mass, np.full(SIM_N, 1e-4),
+                      precision="ds32"), _cl_cfg)
+    _view_idx = np.linspace(0, SIM_N - 1, min(SIM_VIEW_MAX, SIM_N),
+                            dtype=np.int64)
+    _cl = {
+        "state": _cl_state, "cfg": _cl_cfg, "view": _view_idx,
+        "hist": {f"b{int(i):06d}": [] for i in _view_idx},
+        "chunk": max(64, (1 << 27) // SIM_N),
+    }
+    if INITIAL_STEPS > 0:
+        print(f"Warming up {SIM_N}-body cluster...")
+        done = 0
+        while done < INITIAL_STEPS:
+            k = min(_cl["chunk"], INITIAL_STEPS - done)
+            _cl["state"], _ = rollout(_cl["state"], _cl_cfg, k)
+            done += k
+        float(_cl["state"].time)
+        print("Done.")
+else:
+    engine = generate_solar_system(
+        dt=INTERVAL, max_hist=MAX_HISTORY, use_cache=USE_CACHE,
+        cache_fp=CACHE_FP, cache_every_n=CACHE_EVERY_N, moons=SIM_MOONS,
+    )
+    epoch_ts = (J2000_JD - 2440587.5) * JULIAN_DAY  # seconds since Unix epoch
+    engine.sim_epoch = datetime.fromtimestamp(epoch_ts, tz=timezone.utc)
+    engine.sim_epoch_jd = float(J2000_JD)
+
+    resumed = False
+    if RESUME_FROM_CACHE and CACHE_FP and Path(CACHE_FP).exists():
+        resumed = engine.resume_from_cache(CACHE_FP)
+        print(f"Resumed from cache: {resumed} (t={engine.time_elapsed:.0f}s)")
+
+    if not resumed and INITIAL_STEPS > 0:
+        print("Warming up simulation...")
+        run_simulation(engine, steps=INITIAL_STEPS,
+                       print_every=max(1, INITIAL_STEPS // 10))
+        print("Done.")
 
 app = Flask(__name__)
 
@@ -124,9 +172,58 @@ def _unwrap_unit(val):
         return None
 
 
+def build_cluster_snapshot() -> dict:
+    """Decimated TPU-scale snapshot: one sampled device->host fetch of the
+    view subset, same payload field names as the solar snapshot so the
+    viewer and /api/state consumers are unchanged."""
+    import numpy as np
+
+    state = _cl["state"]
+    view = _cl["view"]
+    pos = np.asarray(state.pos, np.float64)[view]
+    if state.pos_lo is not None:
+        pos = pos + np.asarray(state.pos_lo, np.float64)[view]
+    t = float(state.time)
+    mass = float(1.0 / SIM_N)
+    bodies = []
+    for k, i in enumerate(view):
+        name = f"b{int(i):06d}"
+        bodies.append({
+            "id": name,
+            "name": name,
+            "mass_kg": mass,
+            "radius_km": 1.0,
+            "T_seconds": None,
+            "fg_ms2": None,
+            "position": {"x": float(pos[k, 0]), "y": float(pos[k, 1]),
+                         "z": float(pos[k, 2])},
+        })
+        h = _cl["hist"][name]
+        h.append([float(pos[k, 0]), float(pos[k, 1]), float(pos[k, 2])])
+        if len(h) > 300:
+            del h[: len(h) - 300]
+    return {
+        "bodies": bodies,
+        "mass_min": mass,
+        "mass_max": mass,
+        "radius_min": 1.0,
+        "radius_max": 1.0,
+        "time_elapsed": t,
+        "sim_time_jd": float(J2000_JD) + t / JULIAN_DAY,
+        "sim_time_iso": datetime.fromtimestamp(
+            (J2000_JD - 2440587.5) * JULIAN_DAY,
+            tz=timezone.utc).isoformat(),
+        "scene": {"kind": "cluster", "n_total": SIM_N,
+                  "n_view": int(len(view)),
+                  "steps_per_tick": SIM_STEPS_PER_TICK},
+    }
+
+
 def build_snapshot() -> dict:
     """JSON state payload (same field names as the reference,
     app/app.py:117-168). Called only by the owner of the engine lock."""
+    if _cl is not None:
+        return build_cluster_snapshot()
     bodies, masses, radii_km = [], [], []
     body_map = getattr(engine, "body_map", {})
     for obj in engine.objects:
@@ -172,7 +269,13 @@ def engine_loop() -> None:
     while not STOP_SIMULATION:
         t0 = time.time()
         with engine_lock:
-            engine.step()
+            if _cl is not None:
+                from orbital_tpu.engine.rollout import rollout
+
+                _cl["state"], _ = rollout(_cl["state"], _cl["cfg"],
+                                          SIM_STEPS_PER_TICK)
+            else:
+                engine.step()
             _snapshot = build_snapshot()
         time.sleep(max(0.0, t_target - (time.time() - t0)))
 
@@ -185,19 +288,22 @@ if os.getenv("SIM_DISABLE_THREAD", "false").lower() != "true":
 @app.route("/")
 def index():
     with engine_lock:
-        raw_hist = engine.named_history(limit=5000)
-        world_hist = {
-            name: [[p[0] * WORLD_SCALE, p[1] * WORLD_SCALE, p[2] * WORLD_SCALE]
-                   for p in pts]
-            for name, pts in raw_hist.items()
-        }
+        if _cl is not None:
+            world_hist = {n: list(h) for n, h in _cl["hist"].items()}
+        else:
+            raw_hist = engine.named_history(limit=5000)
+            world_hist = {
+                name: [[p[0] * WORLD_SCALE, p[1] * WORLD_SCALE,
+                        p[2] * WORLD_SCALE] for p in pts]
+                for name, pts in raw_hist.items()
+            }
         snapshot = _snapshot
     return render_template(
         "index.html",
         initial_state=world_hist,
         bodies=snapshot,
         version=CONFIG["version"],
-        system="sol",
+        system=SIM_SCENE,
     )
 
 
@@ -219,5 +325,11 @@ def checkpoint():
     """Write a full-fidelity device-state checkpoint (new capability)."""
     path = os.getenv("CHECKPOINT_FP", "engine_checkpoint.npz")
     with engine_lock:
-        engine.checkpoint(path)
+        if _cl is not None:
+            from orbital_tpu.engine.checkpoint import save_state
+
+            save_state(_cl["state"], path,
+                       meta={"scene": "cluster", "n": SIM_N})
+        else:
+            engine.checkpoint(path)
     return jsonify(status="ok", path=path), 200

@@ -84,20 +84,21 @@ def sun_earth_moon(
 
     # 1) Sun-Earth circular about the barycenter (total momentum zero)
     set_circular_orbit(sun, earth, unit_profile=profile)
-    v_cm = earth.velocity.copy()
+    em_bary_vel = earth.velocity.copy()
 
     # 2) EM circular velocity relative to Earth, split by mass so the EM
-    #    barycenter keeps moving with v_cm
-    r_em_vec = moon.position() - earth.position()
-    R = np.linalg.norm(r_em_vec)
-    r_hat = r_em_vec / R
-    t_hat = np.cross(np.array([0.0, 0.0, 1.0]), r_hat)
-    if np.linalg.norm(t_hat) < 1e-12:
-        t_hat = np.array([0.0, 1.0, 0.0])
-    t_hat = t_hat / np.linalg.norm(t_hat)
-    v_rel = np.sqrt(profile.G * (M_earth + M_moon) / R) * t_hat
-    earth.velocity = v_cm - (M_moon / (M_earth + M_moon)) * v_rel
-    moon.velocity = v_cm + (M_earth / (M_earth + M_moon)) * v_rel
+    #    barycenter keeps moving with the solar-orbital velocity
+    earth_to_moon = moon.position() - earth.position()
+    sep = np.linalg.norm(earth_to_moon)
+    radial = earth_to_moon / sep
+    tangential = np.cross(np.array([0.0, 0.0, 1.0]), radial)
+    if np.linalg.norm(tangential) < 1e-12:
+        tangential = np.array([0.0, 1.0, 0.0])
+    tangential = tangential / np.linalg.norm(tangential)
+    em_circ_vel = np.sqrt(profile.G * (M_earth + M_moon) / sep) * tangential
+    m_tot = M_earth + M_moon
+    earth.velocity = em_bary_vel - (M_moon / m_tot) * em_circ_vel
+    moon.velocity = em_bary_vel + (M_earth / m_tot) * em_circ_vel
 
     collection = ObjectCollection([sun, earth, moon])
     engine = SimulationEngine(collection, dt=dt, softening=softening,
