@@ -225,8 +225,13 @@ def tree_cfg_probed(pos, levels: int, **kw):
     from orbital_tpu.ops.tree import tree_class_probe
 
     ws = kw.pop("tree_ws", 1)
+    pbox = kw.get("pm_box")
+    if pbox is not None:
+        # probe with the SAME pinned cube the config will bin with
+        pbox = (jnp.asarray(np.asarray(pbox[:3], np.float32)),
+                jnp.float32(pbox[3]))
     cap, occ, nbig, nfront = tree_class_probe(
-        jnp.asarray(pos, jnp.float32), levels=levels, ws=ws)
+        jnp.asarray(pos, jnp.float32), levels=levels, ws=ws, box=pbox)
     kcells = int(np.ceil((int(occ) * 1.3) / 512) * 512)
     return ot.SimConfig(
         force_impl="tree", tree_levels=levels, tree_ws=ws,

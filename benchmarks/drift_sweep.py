@@ -84,14 +84,22 @@ def main() -> None:
     ap.add_argument("--e-every", type=int, default=2000)
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated config-name filter")
+    ap.add_argument("--n", type=int, default=65536,
+                    help="body count (reduce for CPU smoke tests)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke testing)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import orbital_tpu as ot
     from orbital_tpu.engine.state import make_state
 
-    n = 65536
+    n = args.n
     pos, vel, mass, eps2 = make_cluster(n)
     # pinned box: generous enough that ~no live body leaves it over the
     # run (cluster is virialized at sigma ~ 1; escapers clip into boundary
@@ -109,18 +117,33 @@ def main() -> None:
     configs.append(("pm_grid128_box", ot.SimConfig(
         **base, force_impl="pm", pm_grid=128, pm_box=box), "f32", None))
 
+    # P3M on the concentrated headline cluster is MEASURED-STRUCTURALLY
+    # EXCLUDED: the densest r_cut cell holds 15991 bodies at the default
+    # grid 64 (capacity ~24k — compiling those tables is what crashed the
+    # TPU worker in the first sweep attempt), and even grid 256
+    # (capacity 480) implies more short-range pair work than the exact
+    # O(N^2) kernel. P3M's drift is therefore measured in ITS OWN regime —
+    # a uniform box at the same N — clearly labeled as such.
     from orbital_tpu.ops.p3m import p3m_acc_potential, p3m_max_occupancy
 
+    rng_u = np.random.default_rng(11)
+    pos_u = rng_u.uniform(-4.0, 4.0, size=(n, 3))
+    vel_u = 0.1 * rng_u.normal(size=(n, 3))
+    ubox = (0.0, 0.0, 0.0, 6.0)
+    ubox_j = (jnp.zeros(3, jnp.float32), jnp.float32(6.0))
     for grid, sig, cut, tag in [
-        (64, 1.5, 4.5, "p3m_grid64_default"),
-        (128, 1.5, 4.5, "p3m_grid128"),
-        (128, 2.0, 6.0, "p3m_grid128_s2c6"),
+        (64, 1.5, 4.5, "p3m_uniform_grid64"),
+        (128, 1.5, 4.5, "p3m_uniform_grid128"),
+        (128, 2.0, 6.0, "p3m_uniform_grid128_s2c6"),
+        (128, 3.0, 6.0, "p3m_uniform_grid128_s3c6"),
     ]:
-        occ = int(p3m_max_occupancy(jnp.asarray(pos, jnp.float32),
-                                    grid=grid, box=box_j))
+        occ = int(p3m_max_occupancy(jnp.asarray(pos_u, jnp.float32),
+                                    grid=grid, box=ubox_j))
         cap = max(32, -(-int(occ * 1.5) // 8) * 8)
+        if cap > 4096:
+            continue
         cfg = ot.SimConfig(**base, force_impl="p3m", pm_grid=grid,
-                           p3m_capacity=cap, pm_box=box)
+                           p3m_capacity=cap, pm_box=ubox)
 
         def p3m_fn(pos_, mass_, alive_, cfg=cfg, sig=sig, cut=cut):
             acc, U, _ = p3m_acc_potential(
@@ -131,29 +154,42 @@ def main() -> None:
                 box=cfg.pm_box_arrays())
             return acc, U
 
-        configs.append((tag, cfg, "f32", p3m_fn))
+        configs.append((tag, cfg, "f32", p3m_fn, (pos_u, vel_u)))
+    configs.append(("pm_uniform_grid128", ot.SimConfig(
+        **base, force_impl="pm", pm_grid=128, pm_box=ubox), "f32", None,
+        (pos_u, vel_u)))
+    configs.append(("exact_uniform", ot.SimConfig(**base), "ds32", None,
+                    (pos_u, vel_u)))
 
-    from orbital_tpu.ops.tree import tree_occupancy_probe
+    import bench as _bench
 
     for levels, order, ws, tag in [(7, 1, 1, "tree_l7_o1_ws1"),
                                    (7, 2, 1, "tree_l7_o2_ws1"),
                                    (7, 2, 2, "tree_l7_o2_ws2")]:
-        cap_t, occ_t = tree_occupancy_probe(
-            jnp.asarray(pos, jnp.float32), levels=levels, box=box_j)
-        cfg = ot.SimConfig(
-            **base, force_impl="tree", tree_levels=levels,
-            tree_capacity=int(np.ceil((int(cap_t) + 8) / 16) * 16),
-            tree_max_cells=int(np.ceil((int(occ_t) * 1.3) / 512) * 512),
-            tree_ws=ws, tree_order=order, pm_box=box)
+        cfg = _bench.tree_cfg_probed(
+            pos, levels, tree_ws=ws, tree_order=order, pm_box=box, **base)
         configs.append((tag, cfg, "f32", None))
 
     only = {s for s in args.only.split(",") if s}
-    for name, cfg, precision, force_fn in configs:
+    for item in configs:
+        name, cfg, precision, force_fn = item[:4]
+        alt_ic = item[4] if len(item) > 4 else None
         if only and name not in only:
             continue
+        if alt_ic is not None:
+            st0 = make_state(alt_ic[0], alt_ic[1], mass, precision=precision)
+        else:
+            st0 = fresh(precision)
+        # approximate-force drift is fluctuation-dominated (it plateaus
+        # within the first checkpoints — see the PM curve), so the slow
+        # tree configs get a shorter, clearly-marked horizon
+        steps_c = min(args.steps, 2000) if name.startswith("tree") \
+            else args.steps
+        e_every_c = min(args.e_every, 500) if name.startswith("tree") \
+            else args.e_every
         try:
-            run_config(name, cfg, fresh(precision), args.steps,
-                       args.e_every, n, eps2, force_fn=force_fn)
+            run_config(name, cfg, st0, steps_c,
+                       e_every_c, n, eps2, force_fn=force_fn)
         except Exception as e:  # noqa: BLE001
             rec = {"name": name, "error": str(e)[:300]}
             print(json.dumps(rec))
