@@ -42,6 +42,12 @@ _EXTRA_GROUPS = [
      "bench_tree_error"),
     ("body_steps_per_s_131072", "ms_per_step_131072", "bench_131072_error"),
     ("body_steps_per_s_65536_no_potential", "bench_no_potential_error"),
+    ("tree_body_steps_per_s_524288_plummer", "tree_s_per_eval_524288",
+     "tree_body_steps_per_s_1048576_plummer", "tree_s_per_eval_1048576",
+     "bench_tree_large_error"),
+    ("pm_drift_65536_10000steps", "bench_pm_drift_error"),
+    ("tree_drift_65536_1000steps", "bench_tree_drift_error"),
+    ("p3m_uniform_drift_65536_10000steps", "bench_p3m_drift_error"),
 ]
 
 
@@ -297,8 +303,9 @@ def _emit_last_good_and_exit(signum=None, frame=None):
         with open(_LAST_GOOD) as f:
             cached = json.load(f)
         cached["extras"]["note"] = (
-            "TPU worker unavailable at bench time; values are this round's "
-            "most recent successful measurement (see git history)"
+            "bench stopped at its wall-time budget (or the TPU worker was "
+            "unavailable); values are the most recent completed "
+            "measurements — the headline is fresh if this run got that far"
         )
         print(json.dumps(cached))
         sys.stdout.flush()
@@ -429,6 +436,86 @@ def main() -> None:
         extras["body_steps_per_s_65536_no_potential"] = round(65536 / sec, 1)
     except Exception as e:  # noqa: BLE001
         extras["bench_no_potential_error"] = str(e)[:200]
+
+    # ---- round-4 extras: large-N tree datapoints + per-family drift -----
+    import jax.numpy as jnp
+
+    import orbital_tpu as ot
+    from orbital_tpu.engine.state import make_state
+
+    def _drift(cfg, state, steps, eps2_):
+        E0 = energy_hybrid(state, eps2_)
+        final = state
+        done = 0
+        while done < steps:
+            final, _ = ot.rollout_jit(final, cfg, min(500, steps - done))
+            float(final.time)
+            done = int(final.step) - int(state.step)
+        return abs((energy_hybrid(final, eps2_) - E0) / E0)
+
+    pos, vel, mass, eps2 = make_cluster(65536)
+    box = (0.0, 0.0, 0.0, 8.0)
+
+    try:
+        # the tree's own regime: concentrated large N (VERDICT r1 #3;
+        # P3M is measured-hopeless here — 163k-body densest cell at 1M)
+        rate_512k = bench_tree(524288, levels=8, iters=1)
+        extras["tree_body_steps_per_s_524288_plummer"] = round(rate_512k, 1)
+        extras["tree_s_per_eval_524288"] = round(524288 / rate_512k, 3)
+        _checkpoint_result()
+        rate_1m = bench_tree(1048576, levels=8, iters=1)
+        extras["tree_body_steps_per_s_1048576_plummer"] = round(rate_1m, 1)
+        extras["tree_s_per_eval_1048576"] = round(1048576 / rate_1m, 3)
+        _checkpoint_result()
+    except Exception as e:  # noqa: BLE001
+        extras["bench_tree_large_error"] = str(e)[:200]
+
+    # conservation extras (VERDICT r1 #7): drift for each approximate
+    # family, measured fresh each bench run. PM on the headline cluster
+    # (10k steps); tree on the headline cluster at a shorter, key-labeled
+    # horizon (approximate-force drift is fluctuation-dominated and
+    # plateaus early — DESIGN.md); P3M on a uniform box (its regime: the
+    # concentrated IC is measured-structurally excluded, see ROADMAP).
+    try:
+        cfg_pm = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="pm",
+                              pm_grid=128, pm_box=box)
+        st = ot.init_forces(make_state(pos, vel, mass, precision="f32"),
+                            cfg_pm)
+        extras["pm_drift_65536_10000steps"] = _drift(cfg_pm, st, 10000, eps2)
+        _checkpoint_result()
+    except Exception as e:  # noqa: BLE001
+        extras["bench_pm_drift_error"] = str(e)[:200]
+    try:
+        cfg_tr = tree_cfg_probed(pos, 7, dt=1e-3, G=1.0, eps2=eps2,
+                                 pm_box=box)
+        st = ot.init_forces(make_state(pos, vel, mass, precision="f32"),
+                            cfg_tr)
+        extras["tree_drift_65536_1000steps"] = _drift(cfg_tr, st, 1000, eps2)
+        _checkpoint_result()
+    except Exception as e:  # noqa: BLE001
+        extras["bench_tree_drift_error"] = str(e)[:200]
+    try:
+        from orbital_tpu.ops.p3m import p3m_max_occupancy
+
+        rng_u = np.random.default_rng(11)
+        pos_u = rng_u.uniform(-4.0, 4.0, size=(65536, 3))
+        vel_u = 0.1 * rng_u.normal(size=(65536, 3))
+        ubox = (0.0, 0.0, 0.0, 6.0)
+        occ = int(p3m_max_occupancy(
+            jnp.asarray(pos_u, jnp.float32), grid=64,
+            box=(jnp.zeros(3, jnp.float32), jnp.float32(6.0))))
+        cap = max(32, -(-int(occ * 1.5) // 8) * 8)
+        if cap > 4096:
+            raise RuntimeError(f"p3m capacity {cap} unsafe to compile")
+        cfg_p3 = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="p3m",
+                              pm_grid=64, p3m_capacity=cap, pm_box=ubox)
+        st = ot.init_forces(
+            make_state(pos_u, vel_u, mass, precision="f32"), cfg_p3)
+        extras["p3m_uniform_drift_65536_10000steps"] = _drift(
+            cfg_p3, st, 10000, eps2)
+        _checkpoint_result()
+    except Exception as e:  # noqa: BLE001
+        extras["bench_p3m_drift_error"] = str(e)[:200]
 
     result = {
         "metric": "body-steps/s/chip @ N=65536 (KDK leapfrog, softened O(N^2) Pallas gravity, ds32)",

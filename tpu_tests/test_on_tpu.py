@@ -244,3 +244,31 @@ def test_block_hermite_on_tpu():
     sep = float(np.linalg.norm(np.asarray(fin.pos)[0]
                                - np.asarray(fin.pos)[1]))
     assert abs(sep - s_b) / s_b < 0.1  # binary survives at macro dt
+
+
+def test_tree_probed_budgets_on_tpu():
+    """Probe-sized class budgets (tree_class_probe -> max_big /
+    max_frontier) reproduce the heuristic-budget result bit-for-bit with
+    zero overflow on hardware (round-4: VERDICT r1 #2)."""
+    from orbital_tpu.ops.tree import tree_acc_potential, tree_class_probe
+
+    rng = np.random.default_rng(7)
+    n = 8192
+    u = rng.uniform(0.01, 0.99, n)
+    r = 1.0 / np.sqrt(u ** (-2.0 / 3.0) - 1.0)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pos = (r[:, None] * v).astype(np.float32)
+    mass = np.full(n, 1.0 / n, np.float32)
+    cap, occ, nbig, nfront = tree_class_probe(pos, levels=6, ws=1)
+    kw = dict(G_grav=1.0, eps2=1e-6, levels=6,
+              capacity=int(np.ceil((int(cap) + 8) / 16) * 16),
+              max_cells=int(np.ceil((int(occ) * 1.3) / 512) * 512))
+    a_ref, U_ref, ov_ref = tree_acc_potential(pos, mass, **kw)
+    a, U, ov = tree_acc_potential(
+        pos, mass, **kw,
+        max_big=max(256, int(nbig) + 32),
+        max_frontier=max(256, int(nfront) + 32))
+    assert int(ov_ref) == 0 and int(ov) == 0
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a_ref))
+    assert float(U) == float(U_ref)
