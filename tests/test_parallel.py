@@ -458,3 +458,31 @@ def test_sharded_rollout_unrecorded(cluster_state):
     assert traj is None
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref_final.pos),
                                rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_ensemble_tree_step(rng):
+    """force_impl='tree' composes with the 2D (ensemble x body) mesh:
+    each vmapped member runs the sharded tree (all_gather + partitioned
+    near field + psum) and matches the single-device tree step."""
+    from orbital_tpu.parallel.sharded import make_sharded_ensemble_step
+
+    st = _plummer_state(rng, n=64)
+    cfg = _tree_cfg(st)
+    st = ot.init_forces(st, cfg)
+    E = 2
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (E,) + x.shape)
+        if x is not None else None, st)
+
+    mesh = make_mesh(shape=(2, 4), axis_names=("ensemble", "body"))
+    step, shardings = make_sharded_ensemble_step(cfg, mesh, batched)
+    placed = jax.device_put(batched, shardings)
+    out = step(placed)
+
+    ref_step = make_step_fn(cfg, resolve_force_fn(cfg, st.n_bodies))
+    ref = ref_step(st)
+    for e in range(E):
+        np.testing.assert_allclose(np.asarray(out.pos)[e],
+                                   np.asarray(ref.pos),
+                                   rtol=1e-6, atol=1e-7)
