@@ -29,6 +29,10 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 CHUNK = 500  # worker-watchdog bound per XLA program at N=65k
 
 
+MAX_CONFIG_S = 900  # wall budget per config; steps are cut (not skipped)
+MAX_CHUNK_S = 25    # keep every XLA program far below the worker watchdog
+
+
 def run_config(name: str, cfg, state, steps: int, e_every: int,
                n: int, eps2: float, force_fn=None, iters: int = 4) -> dict:
     import jax
@@ -44,16 +48,38 @@ def run_config(name: str, cfg, state, steps: int, e_every: int,
     step = make_step_fn(cfg, fn)
     sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
 
+    # time-adaptive chunking: the 500-step default chunk was sized for the
+    # ~25 ms exact kernel; a slower family (P3M at padded capacity) would
+    # put minutes into ONE XLA program and trip the worker watchdog —
+    # which presents as a worker crash (first sweep attempt, ROADMAP)
+    chunk = CHUNK
+    for c in (500, 250, 100, 50, 25, 10, 5, 2, 1):
+        if e_every % c == 0 and sec * c <= MAX_CHUNK_S:
+            chunk = c
+            break
+    if sec * e_every > MAX_CONFIG_S:
+        rec = {"name": name, "n": n, "ms_per_step": round(sec * 1e3, 3),
+               "error": f"config too slow for a drift run "
+                        f"({sec * 1e3:.0f} ms/step)"}
+        print(json.dumps(rec))
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
+    if sec * steps > MAX_CONFIG_S:
+        steps = max(e_every, int(MAX_CONFIG_S / sec) // e_every * e_every)
+        print(f"[{name}] {sec * 1e3:.0f} ms/step: horizon cut to {steps} "
+              f"steps to fit the {MAX_CONFIG_S}s budget", file=sys.stderr)
+
     chunk_fn = jax.jit(
-        lambda s: lax.fori_loop(0, CHUNK, lambda _, x: step(x), s))
+        lambda s: lax.fori_loop(0, chunk, lambda _, x: step(x), s))
 
     energies = [energy_hybrid(state, eps2)]
     marks = [0]
     final = state
     done = 0
-    assert e_every % CHUNK == 0 and steps % e_every == 0
+    assert e_every % chunk == 0 and steps % e_every == 0
     while done < steps:
-        for _ in range(e_every // CHUNK):
+        for _ in range(e_every // chunk):
             final = chunk_fn(final)
             float(final.time)  # host sync per program
         done += e_every
@@ -95,6 +121,16 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    # wait out worker outages (observed 15 min - 3 h) before probing
+    for attempt in range(180):
+        try:
+            float(jnp.ones(()) + 1.0)
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"[wait] device not ready ({str(e)[:80]}); retry in 60s",
+                  file=sys.stderr)
+            time.sleep(60)
 
     import orbital_tpu as ot
     from orbital_tpu.engine.state import make_state
@@ -176,10 +212,6 @@ def main() -> None:
         alt_ic = item[4] if len(item) > 4 else None
         if only and name not in only:
             continue
-        if alt_ic is not None:
-            st0 = make_state(alt_ic[0], alt_ic[1], mass, precision=precision)
-        else:
-            st0 = fresh(precision)
         # approximate-force drift is fluctuation-dominated (it plateaus
         # within the first checkpoints — see the PM curve), so the slow
         # tree configs get a shorter, clearly-marked horizon
@@ -188,6 +220,14 @@ def main() -> None:
         e_every_c = min(args.e_every, 500) if name.startswith("tree") \
             else args.e_every
         try:
+            # state creation inside the try: after a worker crash every
+            # device_put fails until the worker returns, and one config's
+            # failure must not kill the rest of the sweep
+            if alt_ic is not None:
+                st0 = make_state(alt_ic[0], alt_ic[1], mass,
+                                 precision=precision)
+            else:
+                st0 = fresh(precision)
             run_config(name, cfg, st0, steps_c,
                        e_every_c, n, eps2, force_fn=force_fn)
         except Exception as e:  # noqa: BLE001
@@ -195,6 +235,17 @@ def main() -> None:
             print(json.dumps(rec))
             with open(OUT, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+            if "UNAVAILABLE" in str(e):
+                # worker outage: wait for recovery before the next config
+                for _ in range(20):
+                    time.sleep(60)
+                    try:
+                        import jax.numpy as _jnp
+
+                        float(_jnp.ones(()) + 1.0)
+                        break
+                    except Exception:  # noqa: BLE001
+                        continue
         t = time.strftime("%H:%M:%S")
         print(f"[{t}] {name} done", file=sys.stderr)
 
