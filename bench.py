@@ -222,25 +222,28 @@ def make_plummer(n: int, seed: int = 0):
 
 def tree_cfg_probed(pos, levels: int, **kw):
     """Probe-size ALL the tree's static budgets from the distribution
-    (capacity, occupied cells, and the big/frontier class lists — the
-    K//8 / K//4 heuristics are heavily sentinel-padded on concentrated
-    systems; VERDICT r1 #2)."""
+    (capacity, occupied cells/columns, and the big/frontier class lists —
+    the K//8 / K//4 heuristics are heavily sentinel-padded on concentrated
+    systems; VERDICT r1 #2). ``tree_near="columns"`` probes at column
+    granularity via tree_column_probe."""
     import jax.numpy as jnp
 
     import orbital_tpu as ot
-    from orbital_tpu.ops.tree import tree_class_probe
+    from orbital_tpu.ops.tree import tree_class_probe, tree_column_probe
 
     ws = kw.pop("tree_ws", 1)
+    near = kw.pop("tree_near", "cells")
     pbox = kw.get("pm_box")
     if pbox is not None:
         # probe with the SAME pinned cube the config will bin with
         pbox = (jnp.asarray(np.asarray(pbox[:3], np.float32)),
                 jnp.float32(pbox[3]))
-    cap, occ, nbig, nfront = tree_class_probe(
+    probe = tree_column_probe if near == "columns" else tree_class_probe
+    cap, occ, nbig, nfront = probe(
         jnp.asarray(pos, jnp.float32), levels=levels, ws=ws, box=pbox)
     kcells = int(np.ceil((int(occ) * 1.3) / 512) * 512)
     return ot.SimConfig(
-        force_impl="tree", tree_levels=levels, tree_ws=ws,
+        force_impl="tree", tree_levels=levels, tree_ws=ws, tree_near=near,
         tree_capacity=int(np.ceil((int(cap) + 8) / 16) * 16),
         tree_max_cells=kcells,
         tree_max_big=min(kcells, max(256, int(np.ceil(int(nbig) * 1.3 / 256) * 256))),

@@ -105,7 +105,7 @@ if _SKIP:
 
 __all__ = ["tree_acc_potential", "tree_acc_potential_staged",
            "tree_sharded_force", "tree_occupancy_probe", "tree_class_probe",
-           "tree_stencil"]
+           "tree_column_probe", "tree_stencil"]
 
 
 def tree_stencil(ws: int) -> list[tuple[int, int, int]]:
@@ -417,7 +417,7 @@ def _lookup_slot(sorted_ids, query):
 @partial(jax.jit,
          static_argnames=("G_grav", "eps2", "levels", "capacity", "ws",
                           "max_cells", "cell_block", "with_potential",
-                          "order", "max_big", "max_frontier",
+                          "order", "max_big", "max_frontier", "near",
                           "_phase", "_n_parts", "_psum_axis"))
 def tree_acc_potential(
     pos: jax.Array,
@@ -435,6 +435,7 @@ def tree_acc_potential(
     order: int = 1,
     max_big: int = 0,
     max_frontier: int = 0,
+    near: str = "cells",
     box=None,
     _phase: str = "both",
     _n_parts: int = 1,
@@ -455,6 +456,20 @@ def tree_acc_potential(
         max_cells: static occupied-cell budget for the near-field sweep
             (0 = ``min(N, 8^levels)``, always safe). Occupied cells
             beyond it are *dropped and counted* in the overflow.
+        near: near-field sweep granularity. ``"cells"`` sweeps each
+            occupied finest cell against its (2ws+1)^3 neighbor cells
+            (27 row-gathers per cell at ws=1). ``"columns"`` sweeps each
+            occupied (x, y) COLUMN against its (2ws+1)^2 neighbor
+            columns with an in-kernel |dz| <= ws cell-band mask — the
+            sorted body order is already column-grouped, so this costs
+            ~9 row-gathers per COLUMN instead of 27 per cell (~25x
+            fewer of the ~50 ns/row gathers that dominate the near
+            field, for a modest amount of extra masked pair
+            arithmetic, which is ~1000x cheaper per unit). Under
+            ``"columns"`` the ``capacity`` / ``max_cells`` / ``max_big``
+            / ``max_frontier`` budgets are PER-COLUMN (size them with
+            :func:`tree_column_probe`); the occupancy-class split uses
+            c_small=32.
         box: optional (center [3], half) pinning the grid (recommended for
             long rollouts, same rationale as ``SimConfig.pm_box``); default
             refits the live bounding cube every call. Bodies outside a
@@ -472,6 +487,8 @@ def tree_acc_potential(
         raise ValueError("ws must be 1 or 2")
     if order not in (1, 2):
         raise ValueError("order must be 1 (monopole+dipole) or 2 (+quad)")
+    if near not in ("cells", "columns"):
+        raise ValueError("near must be 'cells' or 'columns'")
     if levels < 2 or levels > 8:
         raise ValueError("levels must be in [2, 8]")
     n = pos.shape[0]
@@ -604,7 +621,63 @@ def tree_acc_potential(
         return (acc.astype(pos.dtype), U.astype(pos.dtype),
                 jnp.zeros((), jnp.int32))
 
-    # ---- near field: exact sweeps over OCCUPIED finest cells only ---------
+    m_pad = jnp.concatenate([m_eff, jnp.zeros((1,), f32)])
+
+    def _packed(tbl_w):
+        """[K+1, 5 W] packed rows: px | py | pz | m | idx(as f32; exact
+        for n < 2^24 — a per-chip body-count bound far above tree HBM
+        limits)."""
+        cols = [jnp.concatenate([pos32[:, k],
+                                 jnp.full((1,), 1e30, f32)])[tbl_w]
+                for k in range(3)]
+        cols.append(m_pad[tbl_w])
+        cols.append(tbl_w.astype(f32))
+        return jnp.concatenate(cols, axis=1)
+
+    if near == "columns":
+        idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow = \
+            _near_columns(
+                pos32, sc, sort_idx, _packed, n, M, ws, eps2, G,
+                origin, h, capacity, max_cells, max_big, max_frontier,
+                cell_block, _n_parts, _part_index)
+    else:
+        (idx_flat, acc_flat, pe_flat, cap_overflow,
+         cell_overflow) = _near_cells_body(
+            sc, sort_idx, rank, cell_count, occ_idx, slot_of, _packed,
+            n, M, M3, K, ws, eps2, G, capacity, max_big, max_frontier,
+            cell_block, _n_parts, _part_index)
+    acc_near = jax.ops.segment_sum(acc_flat, idx_flat,
+                                   num_segments=n + 1)[:n]
+    pe_near = jax.ops.segment_sum(pe_flat, idx_flat,
+                                  num_segments=n + 1)[:n]
+    if _psum_axis is not None:
+        # sharded sweep: each device covered a disjoint slice of the
+        # occupied-cell lists; combine the per-body partials mesh-wide
+        acc_near = lax.psum(acc_near, _psum_axis)
+        pe_near = lax.psum(pe_near, _psum_axis)
+
+    if "near" in _SKIP:
+        acc_near = jnp.zeros_like(acc_near)
+        pe_near = jnp.zeros_like(pe_near)
+    if "far" in _SKIP:
+        a_far = jnp.zeros_like(a_far)
+        phi_far = jnp.zeros_like(phi_far)
+    acc = (a_far + acc_near) * alive_f[:, None]
+    overflow = cap_overflow + cell_overflow
+
+    if with_potential:
+        U = far_potential_cellwise() - 0.5 * G * jnp.sum(m_eff * pe_near)
+    else:
+        U = jnp.zeros((), f32)
+    return acc.astype(pos.dtype), U.astype(pos.dtype), overflow
+
+
+def _near_cells_body(sc, sort_idx, rank, cell_count, occ_idx, slot_of,
+                     _packed, n, M, M3, K, ws, eps2, G, capacity,
+                     max_big, max_frontier, cell_block,
+                     _n_parts, _part_index):
+    """Near field at CELL granularity: each occupied finest cell sweeps
+    its (2ws+1)^3 neighbor cells (one packed-row gather each)."""
     slot = slot_of[jnp.minimum(sc, M3)]
     keep = (rank < capacity) & (sc < M3) & (slot < K)
     cap_overflow = jnp.sum((rank >= capacity) & (sc < M3) & (slot < K),
@@ -615,8 +688,6 @@ def tree_acc_potential(
     table = table.at[jnp.where(keep, slot, K),
                      jnp.clip(rank, 0, capacity - 1)].set(
         jnp.where(keep, sort_idx.astype(jnp.int32), n))
-
-    m_pad = jnp.concatenate([m_eff, jnp.zeros((1,), f32)])
 
     # Occupancy classes, three-list design. Concentrated systems put ~all
     # mass skew in a few cells: at 65k Plummer the densest cell holds ~100
@@ -700,17 +771,6 @@ def tree_acc_potential(
     else:
         ids_small = occ_idx
         table_s = table
-
-    def _packed(tbl_w):
-        """[K+1, 5 W] packed rows: px | py | pz | m | idx(as f32; exact
-        for n < 2^24 — a per-chip body-count bound far above tree HBM
-        limits)."""
-        cols = [jnp.concatenate([pos32[:, k],
-                                 jnp.full((1,), 1e30, f32)])[tbl_w]
-                for k in range(3)]
-        cols.append(m_pad[tbl_w])
-        cols.append(tbl_w.astype(f32))
-        return jnp.concatenate(cols, axis=1)
 
     P_s = _packed(table_s)
     if split:
@@ -798,30 +858,193 @@ def tree_acc_potential(
         pe_flat = jnp.concatenate([p_s, p_f, p_b])
     else:
         idx_flat, acc_flat, pe_flat = i_s, a_s, p_s
-    acc_near = jax.ops.segment_sum(acc_flat, idx_flat,
-                                   num_segments=n + 1)[:n]
-    pe_near = jax.ops.segment_sum(pe_flat, idx_flat,
-                                  num_segments=n + 1)[:n]
-    if _psum_axis is not None:
-        # sharded sweep: each device covered a disjoint slice of the
-        # occupied-cell lists; combine the per-body partials mesh-wide
-        acc_near = lax.psum(acc_near, _psum_axis)
-        pe_near = lax.psum(pe_near, _psum_axis)
+    return idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow
 
-    if "near" in _SKIP:
-        acc_near = jnp.zeros_like(acc_near)
-        pe_near = jnp.zeros_like(pe_near)
-    if "far" in _SKIP:
-        a_far = jnp.zeros_like(a_far)
-        phi_far = jnp.zeros_like(phi_far)
-    acc = (a_far + acc_near) * alive_f[:, None]
-    overflow = cap_overflow + cell_overflow
 
-    if with_potential:
-        U = far_potential_cellwise() - 0.5 * G * jnp.sum(m_eff * pe_near)
+def _near_columns(pos32, sc, sort_idx, _packed, n, M, ws, eps2, G,
+                  origin, h, capacity, max_cells, max_big, max_frontier,
+                  cell_block, _n_parts, _part_index):
+    """Near field at COLUMN granularity: each occupied (x, y) column
+    sweeps its (2ws+1)^2 neighbor COLUMNS, with the |dz| <= ws cell-band
+    claim enforced in-kernel from the packed z coordinates.
+
+    Why: the cell sweep is bound by its ~50 ns/row neighbor gathers
+    (DESIGN.md access table) — (2ws+1)^3 rows per occupied CELL. Bodies
+    sorted by cell id are already grouped by column (column id =
+    cell_id // M), so the same argsort yields per-column tables, and the
+    row count drops to (2ws+1)^2 per occupied COLUMN — ~25x fewer rows
+    on concentrated systems (occupied columns are ~10x fewer than
+    occupied cells, 9 rows vs 27). The price is masked pair arithmetic
+    against whole neighbor columns, and pair arithmetic is ~1000x
+    cheaper per unit than random access. ``capacity`` / ``max_cells`` /
+    ``max_big`` / ``max_frontier`` are per-column budgets here
+    (c_small = 32); size them with :func:`tree_column_probe`."""
+    M2 = M * M
+    col_s = jnp.minimum(sc // M, M2)  # sorted ascending; dead -> M2
+    first_c = jnp.searchsorted(col_s, col_s, side="left")
+    last_c = jnp.searchsorted(col_s, col_s, side="right")
+    rank_c = jnp.arange(n, dtype=jnp.int32) - first_c.astype(jnp.int32)
+    col_count = (last_c - first_c).astype(jnp.int32)  # per sorted body
+    is_first_c = (rank_c == 0) & (col_s < M2)
+    Kc = min(n, M2) if max_cells <= 0 else int(max_cells)
+    occ_c = _compact_sorted(is_first_c, col_s, Kc, M2)
+    occ_c_valid = occ_c < M2
+    slot_c = jnp.full((M2 + 1,), Kc, jnp.int32).at[
+        jnp.minimum(occ_c, M2)].set(
+        jnp.where(occ_c_valid, jnp.arange(Kc, dtype=jnp.int32), Kc))
+
+    slot_b = slot_c[col_s]  # per sorted body
+    keep = (rank_c < capacity) & (col_s < M2) & (slot_b < Kc)
+    cap_overflow = jnp.sum(
+        (rank_c >= capacity) & (col_s < M2) & (slot_b < Kc),
+        dtype=jnp.int32)
+    cell_overflow = jnp.sum((slot_b >= Kc) & (col_s < M2), dtype=jnp.int32)
+
+    table = jnp.full((Kc + 1, capacity), n, jnp.int32)
+    table = table.at[jnp.where(keep, slot_b, Kc),
+                     jnp.clip(rank_c, 0, capacity - 1)].set(
+        jnp.where(keep, sort_idx.astype(jnp.int32), n))
+
+    # same three-class split as the cell sweep, at column granularity
+    c_small = 32 if capacity > 32 else capacity
+    split = capacity > c_small
+    if split:
+        left = jnp.searchsorted(col_s, occ_c, side="left")
+        right = jnp.searchsorted(col_s, occ_c, side="right")
+        occ_counts = jnp.where(occ_c_valid,
+                               (right - left).astype(jnp.int32), 0)
+        big = occ_c_valid & (occ_counts > c_small)
+        K_big = min(Kc, max(256, Kc // 8)) if max_big <= 0 \
+            else min(Kc, int(max_big))
+        K_f = min(Kc, max(512, Kc // 4)) if max_frontier <= 0 \
+            else min(Kc, int(max_frontier))
+        ids_big = _compact_sorted(big, occ_c, K_big, M2)
+        big_flag = jnp.zeros((M2 + 1,), bool).at[
+            jnp.minimum(ids_big, M2)].set(ids_big < M2)
+        ocy = jnp.where(occ_c_valid, occ_c, 0) % M
+        ocx = jnp.where(occ_c_valid, occ_c, 0) // M
+        any_big = jnp.zeros((Kc,), bool)
+        for a in range(-ws, ws + 1):
+            for b in range(-ws, ws + 1):
+                nx, ny = ocx + a, ocy + b
+                okn = (0 <= nx) & (nx < M) & (0 <= ny) & (ny < M)
+                nid = jnp.where(okn, nx * M + ny, M2)
+                any_big = any_big | big_flag[nid]
+        small = occ_c_valid & ~big
+        frontier = small & any_big
+        ids_small = _compact_sorted(small & ~any_big, occ_c, Kc, M2)
+        ids_front = _compact_sorted(frontier, occ_c, K_f, M2)
+
+        body_big_sorted = col_count > c_small
+        slot_big = _lookup_slot(ids_big, col_s)
+        big_drop = jnp.sum(body_big_sorted & (col_s < M2) & (slot_b < Kc)
+                           & (slot_big >= K_big), dtype=jnp.int32)
+        front_dense = jnp.zeros((M2 + 1,), bool).at[
+            jnp.where(frontier, occ_c, M2)].set(frontier)
+        slot_f = _lookup_slot(ids_front, col_s)
+        front_drop = jnp.sum(front_dense[col_s] & (col_s < M2)
+                             & (slot_b < Kc) & (slot_f >= K_f),
+                             dtype=jnp.int32)
+        cell_overflow = cell_overflow + big_drop + front_drop
+
+        keep_s = keep & ~body_big_sorted
+        table_s = jnp.full((Kc + 1, c_small), n, jnp.int32)
+        table_s = table_s.at[jnp.where(keep_s, slot_b, Kc),
+                             jnp.clip(rank_c, 0, c_small - 1)].set(
+            jnp.where(keep_s, sort_idx.astype(jnp.int32), n))
     else:
-        U = jnp.zeros((), f32)
-    return acc.astype(pos.dtype), U.astype(pos.dtype), overflow
+        ids_small = occ_c
+        table_s = table
+
+    P_s = _packed(table_s)
+    P_full = _packed(table) if split else P_s
+
+    nb2 = [(a, b) for a in range(-ws, ws + 1) for b in range(-ws, ws + 1)]
+    n_nb = len(nb2)
+    oz = origin[2]
+
+    def sweep(ids_list, i_cap, blk, P, width):
+        """Masked pair sweep of the listed COLUMNS (i-side width
+        ``i_cap``; j-side = one packed row per neighbor column, width
+        ``width``). Under sharding each device sweeps a contiguous
+        1/``_n_parts`` slice; the caller psums the per-body results."""
+        Ki = ids_list.shape[0]
+        if blk <= 0:
+            budget = (32 * 1024 * 1024) // max(1, i_cap * width * n_nb)
+            blk = max(8, min(4096, 1 << (max(3, budget).bit_length() - 1)))
+        Ki_part = -(-Ki // max(1, _n_parts))
+        nblk = -(-Ki_part // blk)
+        W = width
+        base = (jnp.int32(0) if _part_index is None
+                else _part_index * Ki_part)
+        end = jnp.minimum(Ki, base + Ki_part)
+
+        def block(s0):
+            slots_l = s0 + jnp.arange(blk)
+            ids = ids_list[jnp.minimum(slots_l, Ki - 1)]
+            valid = (slots_l < end) & (ids < M2)
+            cy = ids % M
+            cx = ids // M
+            nb_slots = []
+            for a, b in nb2:
+                nx, ny = cx + a, cy + b
+                ok = ((0 <= nx) & (nx < M) & (0 <= ny) & (ny < M)
+                      & valid)
+                nid = jnp.where(ok, nx * M + ny, M2)
+                nb_slots.append(slot_c[nid])
+            nb = jnp.stack(nb_slots, axis=1)                 # [B, n_nb]
+
+            own = slot_c[jnp.where(valid, ids, M2)]
+            my = P[own]                                      # [B, 5W]
+            rows = P[nb].reshape(blk, n_nb, 5, W)
+            rows = rows.transpose(0, 2, 1, 3).reshape(blk, 5, -1)
+
+            pi = tuple(my[:, k * W:k * W + i_cap] for k in range(3))
+            idx_my = my[:, 4 * W:4 * W + i_cap]
+            pj = tuple(rows[:, k] for k in range(3))         # [B, n_nb W]
+            mj = rows[:, 3]
+            idx_nb = rows[:, 4]
+
+            # z cell-band claim: identical binning arithmetic to the
+            # deposit (same f32 ops on the same values -> same cell),
+            # so the level partition stays exact. Sentinel rows float
+            # to zc = M-1 but carry mass 0 / idx n, contributing 0.
+            zci = jnp.clip(jnp.floor((pi[2] - oz) / h), 0, M - 1)
+            zcj = jnp.clip(jnp.floor((pj[2] - oz) / h), 0, M - 1)
+            band = jnp.abs(zci[:, :, None] - zcj[:, None, :]) <= ws
+
+            dx = pj[0][:, None, :] - pi[0][:, :, None]       # [B, Ci, n_nb W]
+            dy = pj[1][:, None, :] - pi[1][:, :, None]
+            dz = pj[2][:, None, :] - pi[2][:, :, None]
+            r2 = dx * dx + dy * dy + dz * dz + eps2
+            inv_r = lax.rsqrt(r2)
+            take = band & (idx_my[:, :, None] != idx_nb[:, None, :])
+            w = jnp.where(take,
+                          mj[:, None, :] * (inv_r * inv_r * inv_r), 0.0)
+            acc_b = G * jnp.stack(
+                [jnp.sum(w * dx, -1), jnp.sum(w * dy, -1),
+                 jnp.sum(w * dz, -1)], axis=-1)
+            pe_b = jnp.sum(jnp.where(take, mj[:, None, :] * inv_r, 0.0),
+                           -1)
+            return idx_my.astype(jnp.int32), acc_b, pe_b
+
+        starts = base + jnp.arange(0, nblk * blk, blk)
+        idx_all, acc_all, pe_all = lax.map(block, starts)
+        return (idx_all.reshape(-1), acc_all.reshape(-1, 3),
+                pe_all.reshape(-1))
+
+    i_s, a_s, p_s = sweep(ids_small, c_small, cell_block, P_s, c_small)
+    if split:
+        i_f, a_f, p_f = sweep(ids_front, c_small, cell_block,
+                              P_full, capacity)
+        i_b, a_b, p_b = sweep(ids_big, capacity, cell_block,
+                              P_full, capacity)
+        idx_flat = jnp.concatenate([i_s, i_f, i_b])
+        acc_flat = jnp.concatenate([a_s, a_f, a_b])
+        pe_flat = jnp.concatenate([p_s, p_f, p_b])
+    else:
+        idx_flat, acc_flat, pe_flat = i_s, a_s, p_s
+    return idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow
 
 
 def tree_sharded_force(
@@ -837,6 +1060,7 @@ def tree_sharded_force(
     order: int = 1,
     max_big: int = 0,
     max_frontier: int = 0,
+    near: str = "cells",
     with_potential: bool = True,
     box=None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -868,7 +1092,7 @@ def tree_sharded_force(
     acc, U, _ = tree_acc_potential(
         pos_g, mass_g, alive_g, G_grav=G_grav, eps2=eps2, levels=levels,
         capacity=capacity, ws=ws, max_cells=max_cells, order=order,
-        max_big=max_big, max_frontier=max_frontier,
+        max_big=max_big, max_frontier=max_frontier, near=near,
         with_potential=with_potential, box=box,
         _n_parts=n_shards, _part_index=part, _psum_axis=axis_name)
     # U is numerically identical on every device (replicated far phase +
@@ -948,6 +1172,57 @@ def tree_class_probe(
             for c in range(2 * ws + 1):
                 any_big = any_big | lax.dynamic_slice(p, (a, b, c),
                                                       (M, M, M))
+    any_big = any_big.reshape(-1)
+    big = counts > c_small
+    frontier = occupied & ~big & any_big
+    i32 = jnp.int32
+    return (jnp.max(counts), jnp.sum(occupied.astype(i32)),
+            jnp.sum(big.astype(i32)), jnp.sum(frontier.astype(i32)))
+
+
+@partial(jax.jit, static_argnames=("levels", "ws", "c_small"))
+def tree_column_probe(
+    pos: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    levels: int = 6,
+    ws: int = 1,
+    c_small: int = 32,
+    box=None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Column-occupancy census for sizing the ``near="columns"`` sweep's
+    static budgets: returns (max bodies per (x, y) COLUMN, occupied
+    columns, BIG columns [> c_small bodies], FRONTIER columns [small
+    with a big (2ws+1)^2 column neighbor]) — the sizers for ``capacity``
+    / ``max_cells`` / ``max_big`` / ``max_frontier`` under the column
+    near field, binned exactly like :func:`tree_acc_potential` (same box
+    fit and dead-body handling). One segment-sum over the M^2 column
+    grid plus (2ws+1)^2 dense boolean shifts — no gathers."""
+    n = pos.shape[0]
+    M = 2 ** levels
+    M2 = M * M
+    pos32 = pos.astype(jnp.float32)
+    alive_b = (jnp.ones((n,), bool) if alive is None else alive.astype(bool))
+    if box is None:
+        center, half = _bounding_cube(pos32, alive_b.astype(jnp.float32),
+                                      M, None)
+    else:
+        center = jnp.asarray(box[0], jnp.float32)
+        half = jnp.asarray(box[1], jnp.float32)
+    h = 2.0 * half / M
+    cc = jnp.clip(jnp.floor((pos32 - (center - half)) / h).astype(jnp.int32),
+                  0, M - 1)
+    col_id = cc[:, 0] * M + cc[:, 1]
+    col_id = jnp.where(alive_b, col_id, M2)
+    counts = jax.ops.segment_sum(alive_b.astype(jnp.int32), col_id,
+                                 num_segments=M2 + 1)[:M2]
+    occupied = counts > 0
+    big2 = (counts > c_small).reshape(M, M)
+    p = jnp.pad(big2, ws)
+    any_big = jnp.zeros_like(big2)
+    for a in range(2 * ws + 1):
+        for b in range(2 * ws + 1):
+            any_big = any_big | lax.dynamic_slice(p, (a, b), (M, M))
     any_big = any_big.reshape(-1)
     big = counts > c_small
     frontier = occupied & ~big & any_big

@@ -165,7 +165,7 @@ def _mesh_force_fn(cfg: SimConfig, axis: str, n_shards: int):
                 G_grav=cfg.G, eps2=cfg.eps2, levels=cfg.tree_levels,
                 capacity=cfg.tree_capacity, ws=cfg.tree_ws,
                 max_cells=cfg.tree_max_cells, order=cfg.tree_order,
-                max_big=cfg.tree_max_big,
+                max_big=cfg.tree_max_big, near=cfg.tree_near,
                 max_frontier=cfg.tree_max_frontier,
                 with_potential=cfg.track_potential, box=pm_box)
         return force

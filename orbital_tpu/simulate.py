@@ -65,6 +65,7 @@ def simulate(
     tree_capacity: Union[int, str] = "auto",
     tree_ws: int = 1,
     tree_order: int = 1,
+    tree_near: str = "cells",
     adaptive_eta: Optional[float] = None,
     dt_min: float = 0.0,
     hermite_fast_cap: int = 0,
@@ -132,6 +133,7 @@ def simulate(
         tree_order=tree_order,
         tree_capacity=48 if tree_capacity == "auto" else int(tree_capacity),
         tree_ws=tree_ws,
+        tree_near=tree_near,
         adaptive_eta=adaptive_eta,
         dt_min=dt_min / rescale.time if dt_min else 0.0,
         hermite_fast_cap=hermite_fast_cap,
@@ -160,7 +162,8 @@ def simulate(
         # the actual initial distribution in one cheap pass; re-probe
         # mid-run with ops.tree.tree_occupancy_probe if the system
         # contracts (the hot path drops the overflow counter)
-        from .ops.tree import tree_class_probe, tree_occupancy_probe
+        from .ops.tree import (tree_class_probe, tree_column_probe,
+                               tree_occupancy_probe)
 
         if tree_levels == "auto":
             # smallest pyramid whose densest cell stays near-field-cheap
@@ -171,10 +174,19 @@ def simulate(
                 if int(occ) <= 64 or tree_levels == 8:
                     break
             cfg = cfg.replace(tree_levels=tree_levels)
-        occ, ncells, nbig, nfront = tree_class_probe(
-            state.pos, state.alive, levels=tree_levels, ws=tree_ws,
-            box=cfg.pm_box_arrays())
-        kcells = min(state.n_bodies, 8 ** tree_levels,
+        # budgets are per-CELL under near="cells", per-COLUMN under
+        # near="columns" — probe at the matching granularity
+        if tree_near == "columns":
+            occ, ncells, nbig, nfront = tree_column_probe(
+                state.pos, state.alive, levels=tree_levels, ws=tree_ws,
+                box=cfg.pm_box_arrays())
+            unit_cap = 4 ** tree_levels
+        else:
+            occ, ncells, nbig, nfront = tree_class_probe(
+                state.pos, state.alive, levels=tree_levels, ws=tree_ws,
+                box=cfg.pm_box_arrays())
+            unit_cap = 8 ** tree_levels
+        kcells = min(state.n_bodies, unit_cap,
                      -(-int(int(ncells) * 1.5) // 1024) * 1024)
         # probe-sized class-list budgets (1.5x headroom, /256-aligned):
         # the K//8 / K//4 heuristics are heavily sentinel-padded on
@@ -186,9 +198,11 @@ def simulate(
                           tree_max_frontier=kfront)
         if tree_capacity == "auto":
             cap = max(16, -(-int(int(occ) * 1.5) // 8) * 8)
-            if cap > 4096:
+            cap_bound = 16384 if tree_near == "columns" else 4096
+            if cap > cap_bound:
+                unit = "column" if tree_near == "columns" else "cell"
                 raise ValueError(
-                    f"tree_capacity='auto': densest cell holds {int(occ)} "
+                    f"tree_capacity='auto': densest {unit} holds {int(occ)} "
                     "bodies — raise tree_levels (finer cells) for this "
                     "concentration")
             cfg = cfg.replace(tree_capacity=cap)
@@ -200,11 +214,18 @@ def simulate(
         # the hot loop drops the overflow counter (rollout.py); one cheap
         # end-of-run probe catches a system that contracted past the
         # budgets sized from the initial distribution
-        from .ops.tree import tree_occupancy_probe
+        if cfg.tree_near == "columns":
+            from .ops.tree import tree_column_probe as _fin_probe
 
-        occ_f, ncells_f = tree_occupancy_probe(
-            final.pos, final.alive, levels=cfg.tree_levels,
-            box=cfg.pm_box_arrays())
+            occ_f, ncells_f = _fin_probe(
+                final.pos, final.alive, levels=cfg.tree_levels,
+                ws=cfg.tree_ws, box=cfg.pm_box_arrays())[:2]
+        else:
+            from .ops.tree import tree_occupancy_probe
+
+            occ_f, ncells_f = tree_occupancy_probe(
+                final.pos, final.alive, levels=cfg.tree_levels,
+                box=cfg.pm_box_arrays())
         if int(occ_f) > cfg.tree_capacity or int(ncells_f) > cfg.tree_max_cells:
             import warnings
 

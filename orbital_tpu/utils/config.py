@@ -102,6 +102,13 @@ class SimConfig:
         tree_max_big: static budget for BIG cells (> 16 bodies) in the
             near-field occupancy split (0 = max_cells//8 heuristic; size
             from ops.tree.tree_class_probe to cut sentinel padding).
+        tree_near: near-field sweep granularity — "cells" (per-cell
+            (2ws+1)^3 neighbor-row gathers) | "columns" (per-(x,y)-column
+            (2ws+1)^2 gathers with an in-kernel |dz| <= ws band mask;
+            ~25x fewer of the row gathers that dominate near-field cost
+            on concentrated systems). Under "columns" the capacity /
+            max_cells / max_big / max_frontier budgets are PER-COLUMN —
+            size them with ops.tree.tree_column_probe.
         tree_max_frontier: static budget for FRONTIER cells (small cells
             adjacent to a big one) in the split (0 = max_cells//4
             heuristic; size from ops.tree.tree_class_probe).
@@ -130,6 +137,7 @@ class SimConfig:
     tree_order: int = 1
     tree_max_big: int = 0
     tree_max_frontier: int = 0
+    tree_near: str = "cells"
     hermite_fast_cap: int = 0
     hermite_max_substeps: int = 64
 
@@ -143,6 +151,9 @@ class SimConfig:
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
         if self.tree_ws not in (1, 2):
             raise ValueError(f"tree_ws must be 1 or 2, got {self.tree_ws}")
+        if self.tree_near not in ("cells", "columns"):
+            raise ValueError(
+                f"tree_near must be 'cells' or 'columns', got {self.tree_near}")
         if self.tree_order not in (1, 2):
             raise ValueError(
                 f"tree_order must be 1 or 2, got {self.tree_order}")

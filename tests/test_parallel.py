@@ -486,3 +486,35 @@ def test_sharded_ensemble_tree_step(rng):
         np.testing.assert_allclose(np.asarray(out.pos)[e],
                                    np.asarray(ref.pos),
                                    rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_tree_columns_force_matches_single_device(rng):
+    """The column near field (near='columns') composes with the sharded
+    tree exactly like the cell sweep: disjoint column-list slices per
+    device + one psum reproduce the single-device result."""
+    from jax.sharding import PartitionSpec as P
+    from orbital_tpu.ops.tree import (tree_acc_potential,
+                                      tree_column_probe,
+                                      tree_sharded_force)
+
+    st = _plummer_state(rng)
+    levels = 3
+    occ, ncols, _, _ = tree_column_probe(st.pos, st.alive, levels=levels)
+    kw = dict(G_grav=1.0, eps2=1e-3, levels=levels,
+              capacity=max(16, -(-int(occ) // 8) * 8),
+              max_cells=-(-int(ncols) // 64) * 64, ws=1, near="columns")
+    a_ref, U_ref, ovf = tree_acc_potential(st.pos, st.mass, st.alive, **kw)
+    assert int(ovf) == 0
+
+    mesh = make_mesh()
+    f = jax.jit(jax.shard_map(
+        lambda p, m, a: tree_sharded_force(
+            p, m, a, axis_name="body", n_shards=8, **kw),
+        mesh=mesh, in_specs=(P("body", None), P("body"), P("body")),
+        out_specs=(P("body", None), P()),
+    ))
+    a, U = f(st.pos, st.mass, st.alive)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=1e-6, atol=1e-7)
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-6)

@@ -416,3 +416,136 @@ def test_tree_class_probe_sizes_budgets(gauss_blob):
         _, _, ov_st = tree_acc_potential(pos, mass, **kw, max_big=1,
                                          max_frontier=int(nfront))
         assert int(ov_st) > 0
+
+
+# ---------------------------------------------------------------------------
+# column near field (near="columns")
+# ---------------------------------------------------------------------------
+
+def test_tree_columns_pair_partition_exact(rng):
+    """The column sweep + its |dz| <= ws band mask must reproduce the
+    dense oracle to f32 rounding for center-placed bodies — a missed,
+    double-counted, or band-mask-misclassified pair shows as O(1)."""
+    for _ in range(20):
+        pos, box = _window_center_bodies(rng, 12, levels=4)
+        mass = rng.uniform(0.5, 1.5, 12).astype(np.float32)
+        a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
+        a, _, ov = tree_acc_potential(pos, mass, G_grav=1.0, eps2=1e-6,
+                                      levels=4, capacity=16, ws=1,
+                                      near="columns", box=box)
+        assert int(ov) == 0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("ws", [1, 2])
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.slow
+def test_tree_columns_match_cells(gauss_blob, ws, order):
+    """near="columns" computes the SAME near field as near="cells" (only
+    the accumulation order differs): accelerations and potential agree to
+    f32 summation rounding on the concentrated blob."""
+    from orbital_tpu.ops.tree import tree_column_probe
+
+    pos, mass = gauss_blob
+    occ, nc = tree_occupancy_probe(pos, levels=5)
+    a_c, U_c, ov_c = tree_acc_potential(
+        pos, mass, G_grav=1.0, eps2=1e-6, levels=5, ws=ws, order=order,
+        capacity=int(occ) + 8, max_cells=int(nc) + 32, near="cells")
+    cocc, cnc, _, _ = tree_column_probe(pos, levels=5, ws=ws)
+    a_k, U_k, ov_k = tree_acc_potential(
+        pos, mass, G_grav=1.0, eps2=1e-6, levels=5, ws=ws, order=order,
+        capacity=int(cocc) + 8, max_cells=int(cnc) + 32, near="columns")
+    assert int(ov_c) == 0 and int(ov_k) == 0
+    scale = np.sqrt(np.mean(np.sum(np.asarray(a_c) ** 2, -1)))
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_c),
+                               atol=1e-4 * scale)
+    assert float(U_k) == pytest.approx(float(U_c), rel=1e-5)
+
+
+def test_tree_column_probe_counts(rng):
+    """Column census matches a direct histogram of (x, y) bins."""
+    from orbital_tpu.ops.tree import tree_column_probe
+
+    n, levels, half = 512, 4, 8.0
+    M = 2 ** levels
+    pos = rng.uniform(-half * 0.9, half * 0.9, (n, 3)).astype(np.float32)
+    box = (np.zeros(3, np.float32), np.float32(half))
+    cc = np.clip(np.floor((pos + half) / (2 * half / M)), 0,
+                 M - 1).astype(int)
+    counts = np.zeros((M, M), int)
+    np.add.at(counts, (cc[:, 0], cc[:, 1]), 1)
+    cap, ncols, nbig, nfront = tree_column_probe(pos, levels=levels,
+                                                 box=box, c_small=4)
+    assert int(cap) == counts.max()
+    assert int(ncols) == (counts > 0).sum()
+    assert int(nbig) == (counts > 4).sum()
+
+
+@pytest.mark.slow
+def test_tree_columns_capacity_overflow_counted(gauss_blob):
+    pos, mass = gauss_blob
+    _, _, ov = tree_acc_potential(pos, mass, G_grav=1.0, eps2=1e-6,
+                                  levels=4, capacity=2, ws=1,
+                                  near="columns")
+    assert int(ov) > 0
+
+
+@pytest.mark.slow
+def test_tree_columns_max_cells_overflow_counted(gauss_blob):
+    from orbital_tpu.ops.tree import tree_column_probe
+
+    pos, mass = gauss_blob
+    cocc, cnc, _, _ = tree_column_probe(pos, levels=5)
+    assert int(cnc) > 8
+    _, _, ov = tree_acc_potential(pos, mass, G_grav=1.0, eps2=1e-6,
+                                  levels=5, capacity=int(cocc) + 8, ws=1,
+                                  max_cells=8, near="columns")
+    assert int(ov) > 0
+
+
+@pytest.mark.slow
+def test_tree_columns_dead_bodies_inert(gauss_blob):
+    from orbital_tpu.engine.state import far_positions
+    from orbital_tpu.ops.tree import tree_column_probe
+
+    pos, mass = gauss_blob
+    n = len(mass)
+    alive = np.ones(n, bool)
+    alive[1500:] = False
+    pos2 = pos.copy()
+    pos2[~alive] = far_positions(int((~alive).sum()), 3.0, np.float32)
+    cocc, _, _, _ = tree_column_probe(pos[alive], levels=5)
+    a_live, _, ov1 = tree_acc_potential(pos[alive], mass[alive],
+                                        G_grav=1.0, eps2=1e-6, levels=5,
+                                        capacity=int(cocc) + 8, ws=1,
+                                        near="columns")
+    a_mask, _, ov2 = tree_acc_potential(pos2, mass, alive, G_grav=1.0,
+                                        eps2=1e-6, levels=5,
+                                        capacity=int(cocc) + 8, ws=1,
+                                        near="columns")
+    assert int(ov1) == 0 and int(ov2) == 0
+    a_mask = np.asarray(a_mask)
+    np.testing.assert_array_equal(a_mask[~alive], 0.0)
+    assert _rms(a_mask[alive], a_live) < 2e-2
+
+
+@pytest.mark.slow
+def test_simulate_tree_columns(gauss_blob):
+    """simulate(tree_near='columns') probe-sizes per-COLUMN budgets and
+    stays in the cell path's accuracy class over a short rollout."""
+    pos, mass = gauss_blob
+    objs = [ot.Object(mass=float(m) * 1e4, radius=1e-3,
+                      velocity=np.zeros(3),
+                      coordinates=ot.Coordinates(*p.tolist()))
+            for m, p in zip(mass[:256], pos[:256])]
+    r_cells = ot.simulate(objs, steps=10, dt=1e-4, softening=1e-2,
+                          force_impl="tree", tree_levels=4,
+                          precision="f32")
+    r_cols = ot.simulate(objs, steps=10, dt=1e-4, softening=1e-2,
+                         force_impl="tree", tree_levels=4,
+                         tree_near="columns", precision="f32")
+    assert r_cols.config.tree_near == "columns"
+    scale = np.sqrt(np.mean(np.sum(r_cells.pos[-1] ** 2, -1)))
+    np.testing.assert_allclose(r_cols.pos[-1], r_cells.pos[-1],
+                               atol=1e-4 * scale)
