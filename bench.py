@@ -47,7 +47,8 @@ _EXTRA_GROUPS = [
      "bench_tree_large_error"),
     ("pm_drift_65536_10000steps", "bench_pm_drift_error"),
     ("tree_drift_65536_1000steps", "bench_tree_drift_error"),
-    ("p3m_uniform_drift_65536_10000steps", "bench_p3m_drift_error"),
+    ("p3m_uniform_drift_65536_4000steps", "bench_p3m_drift_error",
+     "p3m_uniform_drift_65536_10000steps"),
 ]
 
 
@@ -446,12 +447,16 @@ def main() -> None:
     import orbital_tpu as ot
     from orbital_tpu.engine.state import make_state
 
-    def _drift(cfg, state, steps, eps2_):
+    def _drift(cfg, state, steps, eps2_, sec_per_step=0.03):
+        """Chunked drift rollout; chunk sized so no single XLA program
+        runs past ~25 s (the worker watchdog presents longer programs as
+        worker crashes — same lesson as benchmarks/drift_sweep.py)."""
+        chunk = max(50, min(500, int(25.0 / max(sec_per_step, 1e-4))))
         E0 = energy_hybrid(state, eps2_)
         final = state
         done = 0
         while done < steps:
-            final, _ = ot.rollout_jit(final, cfg, min(500, steps - done))
+            final, _ = ot.rollout_jit(final, cfg, min(chunk, steps - done))
             float(final.time)
             done = int(final.step) - int(state.step)
         return abs((energy_hybrid(final, eps2_) - E0) / E0)
@@ -484,7 +489,8 @@ def main() -> None:
                               pm_grid=128, pm_box=box)
         st = ot.init_forces(make_state(pos, vel, mass, precision="f32"),
                             cfg_pm)
-        extras["pm_drift_65536_10000steps"] = _drift(cfg_pm, st, 10000, eps2)
+        extras["pm_drift_65536_10000steps"] = _drift(cfg_pm, st, 10000,
+                                                     eps2, 0.015)
         _checkpoint_result()
     except Exception as e:  # noqa: BLE001
         extras["bench_pm_drift_error"] = str(e)[:200]
@@ -493,7 +499,8 @@ def main() -> None:
                                  pm_box=box)
         st = ot.init_forces(make_state(pos, vel, mass, precision="f32"),
                             cfg_tr)
-        extras["tree_drift_65536_1000steps"] = _drift(cfg_tr, st, 1000, eps2)
+        extras["tree_drift_65536_1000steps"] = _drift(cfg_tr, st, 1000,
+                                                      eps2, 0.25)
         _checkpoint_result()
     except Exception as e:  # noqa: BLE001
         extras["bench_tree_drift_error"] = str(e)[:200]
@@ -514,8 +521,8 @@ def main() -> None:
                               pm_grid=64, p3m_capacity=cap, pm_box=ubox)
         st = ot.init_forces(
             make_state(pos_u, vel_u, mass, precision="f32"), cfg_p3)
-        extras["p3m_uniform_drift_65536_10000steps"] = _drift(
-            cfg_p3, st, 10000, eps2)
+        extras["p3m_uniform_drift_65536_4000steps"] = _drift(
+            cfg_p3, st, 4000, eps2, 0.21)
         _checkpoint_result()
     except Exception as e:  # noqa: BLE001
         extras["bench_p3m_drift_error"] = str(e)[:200]
