@@ -206,6 +206,26 @@ def test_ensemble_same_key_reproducible(rng):
     assert not np.array_equal(np.asarray(s1.pos[1]), np.asarray(s3.pos[1]))
 
 
+@pytest.mark.slow
+def test_ensemble_rollout_tree(rng):
+    """force_impl='tree' under the plain vmapped ensemble_rollout: the
+    tree's sorts/scatters/searchsorted batch correctly, and the
+    unperturbed control member reproduces an unbatched tree rollout."""
+    base = _plummer_state(rng, n=64)
+    cfg = _tree_cfg(base)
+    states = make_ensemble(base, 2, jax.random.key(0), pos_sigma=1e-4)
+    finals, trajs = ensemble_rollout(states, cfg, 10, record_every=5)
+    assert finals.pos.shape == (2, 64, 3)
+    assert np.all(np.isfinite(energy_drift(trajs)))
+
+    st0 = ot.init_forces(base, cfg)
+    fin0, _ = ot.rollout_jit(st0, cfg, 10)
+    np.testing.assert_allclose(np.asarray(finals.pos[0]),
+                               np.asarray(fin0.pos),
+                               rtol=1e-6, atol=1e-7)
+    assert not np.allclose(np.asarray(finals.pos[1]), np.asarray(fin0.pos))
+
+
 def test_sharded_ensemble_step_2d_mesh(rng):
     """(ensemble x body) 2D mesh: matches per-member unsharded stepping."""
     import jax.numpy as jnp
