@@ -264,8 +264,10 @@ def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3) -> float:
 
     pos, vel, mass = make_plummer(n)
     state = make_state(pos, vel, mass, precision="f32")
+    # columns near field: measured-best at l7/65k (117 vs 129 ms/eval,
+    # benchmarks/tree_sweep.jsonl)
     cfg = tree_cfg_probed(pos, levels, dt=1e-4, G=1.0, eps2=1e-6,
-                          track_potential=False)
+                          tree_near="columns", track_potential=False)
     state = ot.init_forces(state, cfg)
     step = make_step_fn(cfg, resolve_force_fn(cfg, n))
     sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)

@@ -621,29 +621,47 @@ def tree_acc_potential(
         return (acc.astype(pos.dtype), U.astype(pos.dtype),
                 jnp.zeros((), jnp.int32))
 
-    m_pad = jnp.concatenate([m_eff, jnp.zeros((1,), f32)])
+    # packed-row sources in sorted-body order (one [n,3] row gather + two
+    # element gathers — ~0.5% of what the old table-gather pack cost)
+    pos_srt = pos32[sort_idx]
+    m_srt = m_eff[sort_idx]
+    idx_srt = sort_idx.astype(f32)
 
-    def _packed(tbl_w):
-        """[K+1, 5 W] packed rows: px | py | pz | m | idx(as f32; exact
-        for n < 2^24 — a per-chip body-count bound far above tree HBM
-        limits)."""
-        cols = [jnp.concatenate([pos32[:, k],
-                                 jnp.full((1,), 1e30, f32)])[tbl_w]
-                for k in range(3)]
-        cols.append(m_pad[tbl_w])
-        cols.append(tbl_w.astype(f32))
-        return jnp.concatenate(cols, axis=1)
+    def _pack_rows(slot_b, rank_b, keep_b, Kcap, Wd):
+        """[Kcap+1, 5 Wd] packed rows: px | py | pz | m | idx (as f32;
+        exact for n < 2^24 — far above tree HBM limits).
+
+        Built by SCATTERING the n sorted bodies (5n elements) instead of
+        gathering Kcap x Wd x 5 table elements: every row is a prefix of
+        the cell-id-sorted body array, and the element-gather pack was
+        the near field's dominant cost (measured 108 ms of the 139 ms
+        near phase at l7/65k vs ~3 ms for this scatter; DESIGN.md).
+        Dropped bodies scatter their channel's sentinel into the dump
+        row Kcap, which therefore stays all-sentinel."""
+        s = jnp.where(keep_b, slot_b, Kcap)
+        r = jnp.clip(rank_b, 0, Wd - 1)
+        sent = jnp.concatenate([jnp.full((3 * Wd,), 1e30, f32),
+                                jnp.zeros((Wd,), f32),
+                                jnp.full((Wd,), float(n), f32)])
+        P = jnp.broadcast_to(sent, (Kcap + 1, 5 * Wd))
+        cols = (pos_srt[:, 0], pos_srt[:, 1], pos_srt[:, 2], m_srt,
+                idx_srt)
+        sentv = (1e30, 1e30, 1e30, 0.0, float(n))
+        for c, (v, sv) in enumerate(zip(cols, sentv)):
+            P = P.at[s, c * Wd + r].set(jnp.where(keep_b, v, sv),
+                                        mode="drop")
+        return P
 
     if near == "columns":
         idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow = \
             _near_columns(
-                pos32, sc, sort_idx, _packed, n, M, ws, eps2, G,
+                pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
                 origin, h, capacity, max_cells, max_big, max_frontier,
                 cell_block, _n_parts, _part_index)
     else:
         (idx_flat, acc_flat, pe_flat, cap_overflow,
          cell_overflow) = _near_cells_body(
-            sc, sort_idx, rank, cell_count, occ_idx, slot_of, _packed,
+            sc, sort_idx, rank, cell_count, occ_idx, slot_of, _pack_rows,
             n, M, M3, K, ws, eps2, G, capacity, max_big, max_frontier,
             cell_block, _n_parts, _part_index)
     acc_near = jax.ops.segment_sum(acc_flat, idx_flat,
@@ -673,7 +691,7 @@ def tree_acc_potential(
 
 
 def _near_cells_body(sc, sort_idx, rank, cell_count, occ_idx, slot_of,
-                     _packed, n, M, M3, K, ws, eps2, G, capacity,
+                     _pack_rows, n, M, M3, K, ws, eps2, G, capacity,
                      max_big, max_frontier, cell_block,
                      _n_parts, _part_index):
     """Near field at CELL granularity: each occupied finest cell sweeps
@@ -683,11 +701,6 @@ def _near_cells_body(sc, sort_idx, rank, cell_count, occ_idx, slot_of,
     cap_overflow = jnp.sum((rank >= capacity) & (sc < M3) & (slot < K),
                            dtype=jnp.int32)
     cell_overflow = jnp.sum((slot >= K) & (sc < M3), dtype=jnp.int32)
-
-    table = jnp.full((K + 1, capacity), n, jnp.int32)
-    table = table.at[jnp.where(keep, slot, K),
-                     jnp.clip(rank, 0, capacity - 1)].set(
-        jnp.where(keep, sort_idx.astype(jnp.int32), n))
 
     # Occupancy classes, three-list design. Concentrated systems put ~all
     # mass skew in a few cells: at 65k Plummer the densest cell holds ~100
@@ -761,21 +774,14 @@ def _near_cells_body(sc, sort_idx, rank, cell_count, occ_idx, slot_of,
                              dtype=jnp.int32)
         cell_overflow = cell_overflow + big_drop + front_drop
 
-        # width-16 table holding only small cells' bodies (small-cell rank
+        # width-16 rows holding only small cells' bodies (small-cell rank
         # is < 16 by definition, so it can never overflow)
         keep_s = keep & ~body_big_sorted
-        table_s = jnp.full((K + 1, c_small), n, jnp.int32)
-        table_s = table_s.at[jnp.where(keep_s, slot, K),
-                             jnp.clip(rank, 0, c_small - 1)].set(
-            jnp.where(keep_s, sort_idx.astype(jnp.int32), n))
+        P_s = _pack_rows(slot, rank, keep_s, K, c_small)
+        P_full = _pack_rows(slot, rank, keep, K, capacity)
     else:
         ids_small = occ_idx
-        table_s = table
-
-    P_s = _packed(table_s)
-    if split:
-        P_full = _packed(table)
-    else:
+        P_s = _pack_rows(slot, rank, keep, K, capacity)
         P_full = P_s
 
     def sweep(ids_list, i_cap, blk, P, width):
@@ -861,7 +867,7 @@ def _near_cells_body(sc, sort_idx, rank, cell_count, occ_idx, slot_of,
     return idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow
 
 
-def _near_columns(pos32, sc, sort_idx, _packed, n, M, ws, eps2, G,
+def _near_columns(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
                   origin, h, capacity, max_cells, max_big, max_frontier,
                   cell_block, _n_parts, _part_index):
     """Near field at COLUMN granularity: each occupied (x, y) column
@@ -899,11 +905,6 @@ def _near_columns(pos32, sc, sort_idx, _packed, n, M, ws, eps2, G,
         (rank_c >= capacity) & (col_s < M2) & (slot_b < Kc),
         dtype=jnp.int32)
     cell_overflow = jnp.sum((slot_b >= Kc) & (col_s < M2), dtype=jnp.int32)
-
-    table = jnp.full((Kc + 1, capacity), n, jnp.int32)
-    table = table.at[jnp.where(keep, slot_b, Kc),
-                     jnp.clip(rank_c, 0, capacity - 1)].set(
-        jnp.where(keep, sort_idx.astype(jnp.int32), n))
 
     # same three-class split as the cell sweep, at column granularity
     c_small = 32 if capacity > 32 else capacity
@@ -948,16 +949,12 @@ def _near_columns(pos32, sc, sort_idx, _packed, n, M, ws, eps2, G,
         cell_overflow = cell_overflow + big_drop + front_drop
 
         keep_s = keep & ~body_big_sorted
-        table_s = jnp.full((Kc + 1, c_small), n, jnp.int32)
-        table_s = table_s.at[jnp.where(keep_s, slot_b, Kc),
-                             jnp.clip(rank_c, 0, c_small - 1)].set(
-            jnp.where(keep_s, sort_idx.astype(jnp.int32), n))
+        P_s = _pack_rows(slot_b, rank_c, keep_s, Kc, c_small)
+        P_full = _pack_rows(slot_b, rank_c, keep, Kc, capacity)
     else:
         ids_small = occ_c
-        table_s = table
-
-    P_s = _packed(table_s)
-    P_full = _packed(table) if split else P_s
+        P_s = _pack_rows(slot_b, rank_c, keep, Kc, capacity)
+        P_full = P_s
 
     nb2 = [(a, b) for a in range(-ws, ws + 1) for b in range(-ws, ws + 1)]
     n_nb = len(nb2)
