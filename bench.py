@@ -239,9 +239,14 @@ def tree_cfg_probed(pos, levels: int, **kw):
         # probe with the SAME pinned cube the config will bin with
         pbox = (jnp.asarray(np.asarray(pbox[:3], np.float32)),
                 jnp.float32(pbox[3]))
-    probe = tree_column_probe if near == "columns" else tree_class_probe
-    cap, occ, nbig, nfront = probe(
-        jnp.asarray(pos, jnp.float32), levels=levels, ws=ws, box=pbox)
+    nchunks = 0
+    if near == "columns":
+        cap, occ, nbig, nfront, nchunks = tree_column_probe(
+            jnp.asarray(pos, jnp.float32), levels=levels, ws=ws, box=pbox,
+            with_chunks=True)
+    else:
+        cap, occ, nbig, nfront = tree_class_probe(
+            jnp.asarray(pos, jnp.float32), levels=levels, ws=ws, box=pbox)
     kcells = int(np.ceil((int(occ) * 1.3) / 512) * 512)
     return ot.SimConfig(
         force_impl="tree", tree_levels=levels, tree_ws=ws, tree_near=near,
@@ -249,6 +254,7 @@ def tree_cfg_probed(pos, levels: int, **kw):
         tree_max_cells=kcells,
         tree_max_big=min(kcells, max(256, int(np.ceil(int(nbig) * 1.3 / 256) * 256))),
         tree_max_frontier=min(kcells, max(256, int(np.ceil(int(nfront) * 1.3 / 256) * 256))),
+        tree_max_chunks=max(256, int(np.ceil(int(nchunks) * 1.3 / 256) * 256)),
         **kw)
 
 
@@ -298,7 +304,8 @@ def bench_tree_staged(n: int, levels: int = 8,
     kw = dict(G_grav=1.0, eps2=1e-6, levels=levels, ws=cfg.tree_ws,
               capacity=cfg.tree_capacity, max_cells=cfg.tree_max_cells,
               max_big=cfg.tree_max_big, max_frontier=cfg.tree_max_frontier,
-              near=cfg.tree_near, with_potential=False)
+              max_chunks=cfg.tree_max_chunks, near=cfg.tree_near,
+              with_potential=False)
 
     def phase_step(ph):
         def step(p):

@@ -129,7 +129,8 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
                 levels=cfg.tree_levels, capacity=cfg.tree_capacity,
                 ws=cfg.tree_ws, max_cells=cfg.tree_max_cells,
                 order=cfg.tree_order, max_big=cfg.tree_max_big,
-                max_frontier=cfg.tree_max_frontier, near=cfg.tree_near,
+                max_frontier=cfg.tree_max_frontier,
+                max_chunks=cfg.tree_max_chunks, near=cfg.tree_near,
                 with_potential=cfg.track_potential, box=cfg.pm_box_arrays())
             return acc, U
         return fn

@@ -320,9 +320,10 @@ def _far_field(chans, levels, ws, half, origin, G, eps2, order):
         m = 2 ** lev
         h_lev = 2.0 * half / m
         mflat = chans[lev][0]
-        ids = jnp.arange(m * m * m, dtype=jnp.int32)
-        ctr = [(ids // (m * m)).astype(f32), ((ids // m) % m).astype(f32),
-               (ids % m).astype(f32)]
+        # per-axis cell-center coordinates via 3-D iota (no 16.7M-element
+        # integer div/mod chains at the finest level)
+        ctr = [lax.broadcasted_iota(f32, (m, m, m), k).reshape(-1)
+               for k in range(3)]
         cc = [origin[k] + (ctr[k] + 0.5) * h_lev for k in range(3)]
         # dipole about centers: p = sum(m x) - m c
         pvec = [chans[lev][1 + k] - mflat * cc[k] for k in range(3)]
@@ -405,6 +406,35 @@ def _compact_sorted(flags, values, K, sentinel):
     return jnp.where(pos < n, values[jnp.minimum(pos, n - 1)], sentinel)
 
 
+def _dense_slot_map(ids_list, K, id_max):
+    """Dense ``[id_max + 1]`` map: id -> its slot in ``ids_list`` (a
+    K-long padded id list with sentinel ``id_max``), K for absent ids.
+    One scatter + gathers replace per-query binary searches."""
+    return jnp.full((id_max + 1,), K, jnp.int32).at[
+        jnp.minimum(ids_list, id_max)].set(
+        jnp.where(ids_list < id_max, jnp.arange(K, dtype=jnp.int32), K),
+        mode="drop")
+
+
+def _segment_bounds(sorted_keys):
+    """(first, last) occurrence index per element of a SORTED int key
+    array — semantically ``searchsorted(keys, keys, 'left'/'right')``,
+    but via two associative scans instead of 2n binary searches
+    (searchsorted costs ~96 ns/query on v5e: at N=1M the two searches
+    were ~190 ms of the near phase; the scans are ~1 ms)."""
+    n = sorted_keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    boundary = sorted_keys[1:] != sorted_keys[:-1]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), boundary])
+    is_end = jnp.concatenate([boundary, jnp.ones((1,), bool)])
+    first = lax.associative_scan(jnp.maximum,
+                                 jnp.where(is_start, idx, 0))
+    last = lax.associative_scan(jnp.minimum,
+                                jnp.where(is_end, idx + 1, n),
+                                reverse=True)
+    return first, last
+
+
 def _lookup_slot(sorted_ids, query):
     """Row index of ``query`` in the sorted (sentinel-padded) id list, or
     K (one-past-end) when absent."""
@@ -417,8 +447,8 @@ def _lookup_slot(sorted_ids, query):
 @partial(jax.jit,
          static_argnames=("G_grav", "eps2", "levels", "capacity", "ws",
                           "max_cells", "cell_block", "with_potential",
-                          "order", "max_big", "max_frontier", "near",
-                          "_phase", "_n_parts", "_psum_axis"))
+                          "order", "max_big", "max_frontier", "max_chunks",
+                          "near", "_phase", "_n_parts", "_psum_axis"))
 def tree_acc_potential(
     pos: jax.Array,
     mass: jax.Array,
@@ -435,6 +465,7 @@ def tree_acc_potential(
     order: int = 1,
     max_big: int = 0,
     max_frontier: int = 0,
+    max_chunks: int = 0,
     near: str = "cells",
     box=None,
     _phase: str = "both",
@@ -470,6 +501,16 @@ def tree_acc_potential(
             / ``max_frontier`` budgets are PER-COLUMN (size them with
             :func:`tree_column_probe`); the occupancy-class split uses
             c_small=32.
+        max_chunks: static budget for the column big sweep's i-side
+            CHUNK list (``near="columns"`` only): big columns are swept
+            in 32-row i-chunks, so the big sweep costs
+            O(big-bodies x 9 x capacity) instead of
+            O(big-columns x capacity x 9 x capacity) — on a 1M Plummer
+            core the padded full-capacity i side was ~85% of the whole
+            near phase. 0 = ``min(K_big x ceil(capacity/32),
+            max(512, 4 K_big))``; size exactly (plus margin) with
+            :func:`tree_column_probe` ``with_chunks=True``. Chunks past
+            the budget are dropped and counted in the overflow.
         box: optional (center [3], half) pinning the grid (recommended for
             long rollouts, same rationale as ``SimConfig.pm_box``); default
             refits the live bounding cube every call. Bodies outside a
@@ -534,25 +575,6 @@ def tree_acc_potential(
             c.reshape(mm, 2, mm, 2, mm, 2).sum(axis=(1, 3, 5)).reshape(-1)
             for c in chans[lev + 1])
 
-    K = min(n, M3) if max_cells <= 0 else int(max_cells)
-
-    # sorted-body machinery (near field): occupied-cell lists come from
-    # the N sorted bodies, never from grid-sized scans
-    sort_idx = jnp.argsort(cell_id)
-    sc = cell_id[sort_idx]
-    first = jnp.searchsorted(sc, sc, side="left")
-    last = jnp.searchsorted(sc, sc, side="right")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-    cell_count = (last - first).astype(jnp.int32)   # per sorted body
-    is_first = (rank == 0) & (sc < M3)
-    occ_idx = _compact_sorted(is_first, sc, K, M3)  # sorted occupied cells
-    # dense cell -> slot inverse map: neighbor lookups are then single
-    # gathers (~6.5 ns) instead of searchsorted binary searches (~96
-    # ns/query on v5e — the near field issues 27 lookups per cell)
-    slot_of = jnp.full((M3 + 1,), K, jnp.int32).at[
-        jnp.minimum(occ_idx, M3)].set(
-        jnp.where(occ_idx < M3, jnp.arange(K, dtype=jnp.int32), K))
-
     # ---- far field: per-level octant convolutions + body Taylor step ------
     if _phase == "near":
         F_ch = tuple(jnp.zeros((M3,), f32) for _ in range(_N_FLD[order]))
@@ -578,9 +600,8 @@ def tree_acc_potential(
         together with a scalar reduced from the same gather chain.)"""
         m = 2 ** levels
         h_l = 2.0 * half / m
-        ids = jnp.arange(M3, dtype=jnp.int32)
-        ctr = [(ids // (m * m)).astype(f32), ((ids // m) % m).astype(f32),
-               (ids % m).astype(f32)]
+        ctr = [lax.broadcasted_iota(f32, (m, m, m), k).reshape(-1)
+               for k in range(3)]
         ccell = [origin[k] + (ctr[k] + 0.5) * h_l for k in range(3)]
         mflat = chans[levels][0]
         p = [chans[levels][1 + k] - mflat * ccell[k] for k in range(3)]
@@ -613,13 +634,35 @@ def tree_acc_potential(
         phi_far = phi_far - 0.5 * jq
 
     if _phase == "far":
-        # staged evaluation (see tree_acc_potential_staged): everything
-        # near-field dead-codes away, including the overflow counters
+        # staged evaluation (see tree_acc_potential_staged): the sorted-
+        # body machinery below is never even traced here — XLA failed to
+        # dead-code-eliminate the argsort/bounds chain when it preceded
+        # this return (measured ~320 ms inside the far program at N=1M)
         acc = a_far * alive_f[:, None]
         U = (far_potential_cellwise() if with_potential
              else jnp.zeros((), f32))
         return (acc.astype(pos.dtype), U.astype(pos.dtype),
                 jnp.zeros((), jnp.int32))
+
+    # sorted-body machinery (near field): occupied-cell lists come from
+    # the N sorted bodies, never from grid-sized scans
+    sort_idx = jnp.argsort(cell_id)
+    sc = cell_id[sort_idx]
+    if near == "cells":
+        # cell-granularity lists; the columns sweep builds its own at
+        # column granularity, so none of this is traced there
+        K = min(n, M3) if max_cells <= 0 else int(max_cells)
+        first, last = _segment_bounds(sc)
+        rank = jnp.arange(n, dtype=jnp.int32) - first
+        cell_count = last - first                       # per sorted body
+        is_first = (rank == 0) & (sc < M3)
+        occ_idx = _compact_sorted(is_first, sc, K, M3)  # sorted occ cells
+        # dense cell -> slot inverse map: neighbor lookups are then single
+        # gathers (~6.5 ns) instead of searchsorted binary searches (~96
+        # ns/query on v5e — the near field issues 27 lookups per cell)
+        slot_of = jnp.full((M3 + 1,), K, jnp.int32).at[
+            jnp.minimum(occ_idx, M3)].set(
+            jnp.where(occ_idx < M3, jnp.arange(K, dtype=jnp.int32), K))
 
     # packed-row sources in sorted-body order (one [n,3] row gather + two
     # element gathers — ~0.5% of what the old table-gather pack cost)
@@ -657,7 +700,7 @@ def tree_acc_potential(
             _near_columns(
                 pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
                 origin, h, capacity, max_cells, max_big, max_frontier,
-                cell_block, _n_parts, _part_index)
+                max_chunks, cell_block, _n_parts, _part_index)
     else:
         (idx_flat, acc_flat, pe_flat, cap_overflow,
          cell_overflow) = _near_cells_body(
@@ -763,12 +806,14 @@ def _near_cells_body(sc, sort_idx, rank, cell_count, occ_idx, slot_of,
         # lose their target sweep — counted (their source role via the
         # tables is unaffected)
         body_big_sorted = cell_count > c_small
-        slot_big = _lookup_slot(ids_big, jnp.minimum(sc, M3))
+        # dense id -> list-slot maps: per-body membership tests are then
+        # single gathers instead of n binary searches (~96 ns/query)
+        slot_big = _dense_slot_map(ids_big, K_big, M3)[jnp.minimum(sc, M3)]
         big_drop = jnp.sum(body_big_sorted & (sc < M3) & (slot < K)
                            & (slot_big >= K_big), dtype=jnp.int32)
         front_dense = jnp.zeros((M3 + 1,), bool).at[
             jnp.where(frontier, occ_idx, M3)].set(frontier)
-        slot_f = _lookup_slot(ids_front, jnp.minimum(sc, M3))
+        slot_f = _dense_slot_map(ids_front, K_f, M3)[jnp.minimum(sc, M3)]
         front_drop = jnp.sum(front_dense[jnp.minimum(sc, M3)] & (sc < M3)
                              & (slot < K) & (slot_f >= K_f),
                              dtype=jnp.int32)
@@ -869,7 +914,7 @@ def _near_cells_body(sc, sort_idx, rank, cell_count, occ_idx, slot_of,
 
 def _near_columns(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
                   origin, h, capacity, max_cells, max_big, max_frontier,
-                  cell_block, _n_parts, _part_index):
+                  max_chunks, cell_block, _n_parts, _part_index):
     """Near field at COLUMN granularity: each occupied (x, y) column
     sweeps its (2ws+1)^2 neighbor COLUMNS, with the |dz| <= ws cell-band
     claim enforced in-kernel from the packed z coordinates.
@@ -887,10 +932,9 @@ def _near_columns(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
     (c_small = 32); size them with :func:`tree_column_probe`."""
     M2 = M * M
     col_s = jnp.minimum(sc // M, M2)  # sorted ascending; dead -> M2
-    first_c = jnp.searchsorted(col_s, col_s, side="left")
-    last_c = jnp.searchsorted(col_s, col_s, side="right")
-    rank_c = jnp.arange(n, dtype=jnp.int32) - first_c.astype(jnp.int32)
-    col_count = (last_c - first_c).astype(jnp.int32)  # per sorted body
+    first_c, last_c = _segment_bounds(col_s)
+    rank_c = jnp.arange(n, dtype=jnp.int32) - first_c
+    col_count = last_c - first_c                      # per sorted body
     is_first_c = (rank_c == 0) & (col_s < M2)
     Kc = min(n, M2) if max_cells <= 0 else int(max_cells)
     occ_c = _compact_sorted(is_first_c, col_s, Kc, M2)
@@ -937,12 +981,13 @@ def _near_columns(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
         ids_front = _compact_sorted(frontier, occ_c, K_f, M2)
 
         body_big_sorted = col_count > c_small
-        slot_big = _lookup_slot(ids_big, col_s)
+        # dense id -> list-slot maps (single gathers, not binary searches)
+        slot_big = _dense_slot_map(ids_big, K_big, M2)[col_s]
         big_drop = jnp.sum(body_big_sorted & (col_s < M2) & (slot_b < Kc)
                            & (slot_big >= K_big), dtype=jnp.int32)
         front_dense = jnp.zeros((M2 + 1,), bool).at[
             jnp.where(frontier, occ_c, M2)].set(frontier)
-        slot_f = _lookup_slot(ids_front, col_s)
+        slot_f = _dense_slot_map(ids_front, K_f, M2)[col_s]
         front_drop = jnp.sum(front_dense[col_s] & (col_s < M2)
                              & (slot_b < Kc) & (slot_f >= K_f),
                              dtype=jnp.int32)
@@ -951,6 +996,34 @@ def _near_columns(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
         keep_s = keep & ~body_big_sorted
         P_s = _pack_rows(slot_b, rank_c, keep_s, Kc, c_small)
         P_full = _pack_rows(slot_b, rank_c, keep, Kc, capacity)
+
+        # ---- big sweep i-side CHUNKING -------------------------------
+        # Sweeping each big column padded to full ``capacity`` on the i
+        # side makes the big sweep cost n_big x capacity x 9 x capacity;
+        # on concentrated cores (1M Plummer) that was ~85% of the whole
+        # near phase while the MEDIAN big column holds a small fraction
+        # of capacity. Instead the kept big-column bodies are re-packed
+        # into consecutive 32-row chunks (one more scatter pack), and
+        # the big sweep runs chunk-vs-neighbor-columns: cost becomes
+        # big-BODIES x 9 x capacity. The chunk ordinal is a prefix
+        # cumsum over the same sorted body order the packs use.
+        CPC = -(-capacity // c_small)  # max chunks per column
+        keep_big = keep & body_big_sorted & (slot_big < K_big)
+        chunk_start = keep_big & (rank_c % c_small == 0)
+        K_ch = (min(K_big * CPC, max(512, 4 * K_big))
+                if max_chunks <= 0 else min(int(max_chunks), K_big * CPC))
+        # per body: ordinal of its chunk among all chunk starts
+        chunk_ord = jnp.cumsum(chunk_start.astype(jnp.int32)) - 1
+        keep_ch = keep_big & (chunk_ord < K_ch)
+        chunk_drop = jnp.sum(keep_big & ~keep_ch, dtype=jnp.int32)
+        cell_overflow = cell_overflow + chunk_drop
+        # i-side pack: row = chunk ordinal, lane = rank within chunk
+        P_ch = _pack_rows(jnp.clip(chunk_ord, 0, K_ch), rank_c % c_small,
+                          keep_ch, K_ch, c_small)
+        # per chunk: its column id (for the neighbor lookups), compacted
+        # in the same order the ordinals were assigned
+        ids_chunk = _compact_sorted(chunk_start & (chunk_ord < K_ch),
+                                    col_s, K_ch, M2)
     else:
         ids_small = occ_c
         P_s = _pack_rows(slot_b, rank_c, keep, Kc, capacity)
@@ -960,11 +1033,14 @@ def _near_columns(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
     n_nb = len(nb2)
     oz = origin[2]
 
-    def sweep(ids_list, i_cap, blk, P, width):
+    def sweep(ids_list, i_cap, blk, P, width, Pi=None):
         """Masked pair sweep of the listed COLUMNS (i-side width
         ``i_cap``; j-side = one packed row per neighbor column, width
-        ``width``). Under sharding each device sweeps a contiguous
-        1/``_n_parts`` slice; the caller psums the per-body results."""
+        ``width``). With ``Pi`` the i side reads row ``list position``
+        of that table (width ``i_cap``) instead of the column's row in
+        ``P`` — the chunked big sweep's contract. Under sharding each
+        device sweeps a contiguous 1/``_n_parts`` slice; the caller
+        psums the per-body results."""
         Ki = ids_list.shape[0]
         if blk <= 0:
             budget = (32 * 1024 * 1024) // max(1, i_cap * width * n_nb)
@@ -991,13 +1067,18 @@ def _near_columns(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
                 nb_slots.append(slot_c[nid])
             nb = jnp.stack(nb_slots, axis=1)                 # [B, n_nb]
 
-            own = slot_c[jnp.where(valid, ids, M2)]
-            my = P[own]                                      # [B, 5W]
+            if Pi is None:
+                own = slot_c[jnp.where(valid, ids, M2)]
+                my = P[own]                                  # [B, 5W]
+                Wi = W
+            else:
+                my = Pi[jnp.minimum(slots_l, Ki - 1)]        # [B, 5 i_cap]
+                Wi = i_cap
             rows = P[nb].reshape(blk, n_nb, 5, W)
             rows = rows.transpose(0, 2, 1, 3).reshape(blk, 5, -1)
 
-            pi = tuple(my[:, k * W:k * W + i_cap] for k in range(3))
-            idx_my = my[:, 4 * W:4 * W + i_cap]
+            pi = tuple(my[:, k * Wi:k * Wi + i_cap] for k in range(3))
+            idx_my = my[:, 4 * Wi:4 * Wi + i_cap]
             pj = tuple(rows[:, k] for k in range(3))         # [B, n_nb W]
             mj = rows[:, 3]
             idx_nb = rows[:, 4]
@@ -1034,8 +1115,8 @@ def _near_columns(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
     if split:
         i_f, a_f, p_f = sweep(ids_front, c_small, cell_block,
                               P_full, capacity)
-        i_b, a_b, p_b = sweep(ids_big, capacity, cell_block,
-                              P_full, capacity)
+        i_b, a_b, p_b = sweep(ids_chunk, c_small, cell_block,
+                              P_full, capacity, Pi=P_ch)
         idx_flat = jnp.concatenate([i_s, i_f, i_b])
         acc_flat = jnp.concatenate([a_s, a_f, a_b])
         pe_flat = jnp.concatenate([p_s, p_f, p_b])
@@ -1057,6 +1138,7 @@ def tree_sharded_force(
     order: int = 1,
     max_big: int = 0,
     max_frontier: int = 0,
+    max_chunks: int = 0,
     near: str = "cells",
     with_potential: bool = True,
     box=None,
@@ -1089,8 +1171,8 @@ def tree_sharded_force(
     acc, U, _ = tree_acc_potential(
         pos_g, mass_g, alive_g, G_grav=G_grav, eps2=eps2, levels=levels,
         capacity=capacity, ws=ws, max_cells=max_cells, order=order,
-        max_big=max_big, max_frontier=max_frontier, near=near,
-        with_potential=with_potential, box=box,
+        max_big=max_big, max_frontier=max_frontier, max_chunks=max_chunks,
+        near=near, with_potential=with_potential, box=box,
         _n_parts=n_shards, _part_index=part, _psum_axis=axis_name)
     # U is numerically identical on every device (replicated far phase +
     # psum'd near phase) but built from all_gathered values, so shard_map's
@@ -1177,7 +1259,8 @@ def tree_class_probe(
             jnp.sum(big.astype(i32)), jnp.sum(frontier.astype(i32)))
 
 
-@partial(jax.jit, static_argnames=("levels", "ws", "c_small"))
+@partial(jax.jit, static_argnames=("levels", "ws", "c_small",
+                                   "with_chunks"))
 def tree_column_probe(
     pos: jax.Array,
     alive: Optional[jax.Array] = None,
@@ -1186,15 +1269,19 @@ def tree_column_probe(
     ws: int = 1,
     c_small: int = 32,
     box=None,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    with_chunks: bool = False,
+):
     """Column-occupancy census for sizing the ``near="columns"`` sweep's
     static budgets: returns (max bodies per (x, y) COLUMN, occupied
     columns, BIG columns [> c_small bodies], FRONTIER columns [small
     with a big (2ws+1)^2 column neighbor]) — the sizers for ``capacity``
     / ``max_cells`` / ``max_big`` / ``max_frontier`` under the column
     near field, binned exactly like :func:`tree_acc_potential` (same box
-    fit and dead-body handling). One segment-sum over the M^2 column
-    grid plus (2ws+1)^2 dense boolean shifts — no gathers."""
+    fit and dead-body handling). With ``with_chunks=True`` a fifth value
+    is appended: the total 32-row i-chunk count over big columns
+    (sum of ceil(count / c_small)) — the ``max_chunks`` sizer. One
+    segment-sum over the M^2 column grid plus (2ws+1)^2 dense boolean
+    shifts — no gathers."""
     n = pos.shape[0]
     M = 2 ** levels
     M2 = M * M
@@ -1224,8 +1311,12 @@ def tree_column_probe(
     big = counts > c_small
     frontier = occupied & ~big & any_big
     i32 = jnp.int32
-    return (jnp.max(counts), jnp.sum(occupied.astype(i32)),
-            jnp.sum(big.astype(i32)), jnp.sum(frontier.astype(i32)))
+    out = (jnp.max(counts), jnp.sum(occupied.astype(i32)),
+           jnp.sum(big.astype(i32)), jnp.sum(frontier.astype(i32)))
+    if with_chunks:
+        nchunks = jnp.sum(jnp.where(big, -(-counts // c_small), 0))
+        out = out + (nchunks.astype(i32),)
+    return out
 
 
 @partial(jax.jit, static_argnames=("levels",))

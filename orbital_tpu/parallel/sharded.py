@@ -167,6 +167,7 @@ def _mesh_force_fn(cfg: SimConfig, axis: str, n_shards: int):
                 max_cells=cfg.tree_max_cells, order=cfg.tree_order,
                 max_big=cfg.tree_max_big, near=cfg.tree_near,
                 max_frontier=cfg.tree_max_frontier,
+                max_chunks=cfg.tree_max_chunks,
                 with_potential=cfg.track_potential, box=pm_box)
         return force
 

@@ -177,9 +177,9 @@ def simulate(
         # budgets are per-CELL under near="cells", per-COLUMN under
         # near="columns" — probe at the matching granularity
         if tree_near == "columns":
-            occ, ncells, nbig, nfront = tree_column_probe(
+            occ, ncells, nbig, nfront, nchunks = tree_column_probe(
                 state.pos, state.alive, levels=tree_levels, ws=tree_ws,
-                box=cfg.pm_box_arrays())
+                box=cfg.pm_box_arrays(), with_chunks=True)
             unit_cap = 4 ** tree_levels
         else:
             occ, ncells, nbig, nfront = tree_class_probe(
@@ -196,6 +196,10 @@ def simulate(
                      max(256, -(-int(int(nfront) * 1.5) // 256) * 256))
         cfg = cfg.replace(tree_max_cells=kcells, tree_max_big=kbig,
                           tree_max_frontier=kfront)
+        if tree_near == "columns":
+            # i-side chunk list for the big sweep, same 1.5x headroom
+            cfg = cfg.replace(tree_max_chunks=max(
+                256, -(-int(int(nchunks) * 1.5) // 256) * 256))
         if tree_capacity == "auto":
             cap = max(16, -(-int(int(occ) * 1.5) // 8) * 8)
             cap_bound = 16384 if tree_near == "columns" else 4096

@@ -112,6 +112,11 @@ class SimConfig:
         tree_max_frontier: static budget for FRONTIER cells (small cells
             adjacent to a big one) in the split (0 = max_cells//4
             heuristic; size from ops.tree.tree_class_probe).
+        tree_max_chunks: static budget for the column big sweep's i-side
+            32-row chunk list (near="columns" only; 0 = heuristic; size
+            from ops.tree.tree_column_probe(with_chunks=True)). Chunking
+            makes the big sweep cost scale with big-column BODIES
+            instead of big-columns x capacity.
     """
 
     dt: float
@@ -137,6 +142,7 @@ class SimConfig:
     tree_order: int = 1
     tree_max_big: int = 0
     tree_max_frontier: int = 0
+    tree_max_chunks: int = 0
     tree_near: str = "cells"
     hermite_fast_cap: int = 0
     hermite_max_substeps: int = 64
