@@ -313,9 +313,24 @@ def _unpack_fields(out, n_fields):
 def _far_field(chans, levels, ws, half, origin, G, eps2, order):
     """Conv far field over all levels. Returns F flat finest-grid field
     channels [M^3] (order 1: Ax..Az, Jxx..Jyz, phi; order 2 inserts the
-    18 Hessian channels before phi) — expansions about cell centers."""
+    18 Hessian channels before phi) — expansions about FINEST cell
+    centers.
+
+    Levels are combined LAZILY at the finest grid: every level's conv
+    output is Taylor-shifted straight from its own cell centers to the
+    finest cell centers in one broadcast-sum per output channel. The
+    former level-by-level pushdown materialized tens of grid-sized
+    intermediates at the finest transition (measured ~310 ms of the
+    482 ms far-grid phase at N=1M, levels=8); the per-axis shift
+    vectors here are tiny (delta depends only on the within-block
+    offset, (j + 0.5 - r/2) h_fin), so XLA can fuse the whole
+    combination into near-minimal HBM traffic. Shifting each level
+    directly is also one truncation order more accurate than the
+    chained re-expansion (no compounding of dropped terms)."""
     f32 = jnp.float32
-    F = None
+    M = 2 ** levels
+    nf = _N_FLD[order]
+    dFs = {}
     for lev in range(2, levels + 1):
         m = 2 ** lev
         h_lev = 2.0 * half / m
@@ -338,36 +353,45 @@ def _far_field(chans, levels, ws, half, origin, G, eps2, order):
                             + mflat * cc[i] * cc[j])
         packed = _octant_pack(moms, m)
         out = _level_conv(packed, ws, h_lev, G, eps2, order)
-        dF = _unpack_fields(out, _N_FLD[order])
-        if F is None:
-            F = dF
+        dFs[lev] = _unpack_fields(out, nf)
+
+    # combine: F_fin = sum_lev shift(dF_lev, c_fin - c_lev). The 6-d view
+    # (m, r, m, r, m, r) of a flat [M^3] x-major grid is a free reshape,
+    # and delta is constant within each r-block, so each level's term is
+    # small-array reads + broadcasts only.
+    h_fin = 2.0 * half / M
+    acc = [jnp.zeros((M * M * M,), f32) for _ in range(nf)]
+    for lev in range(2, levels + 1):
+        d = dFs[lev]
+        if lev == levels:
+            acc = [a + c for a, c in zip(acc, d)]
             continue
-        # push the parent expansion down with static octant deltas
-        # (child center - parent center = +-h_lev/2 per axis)
-        s = m // 2
-        sh = (s, 2, s, 2, s, 2)
-        half_h = 0.5 * h_lev
-        sides = jnp.asarray([-1.0, 1.0], f32) * half_h
-        dx = sides.reshape(1, 2, 1, 1, 1, 1)
-        dy = sides.reshape(1, 1, 1, 2, 1, 1)
-        dz = sides.reshape(1, 1, 1, 1, 1, 2)
+        m = 2 ** lev
+        r = M // m
 
         def up(c):
-            return jnp.broadcast_to(c.reshape(s, 1, s, 1, s, 1), sh)
+            return c.reshape(m, 1, m, 1, m, 1)
 
-        U = [up(c) for c in F]
-        Ax, Ay, Az = U[0], U[1], U[2]
-        Jxx, Jyy, Jzz, Jxy, Jxz, Jyz = U[3], U[4], U[5], U[6], U[7], U[8]
-        phi = U[-1]
-        Ax_c = Ax + Jxx * dx + Jxy * dy + Jxz * dz
-        Ay_c = Ay + Jxy * dx + Jyy * dy + Jyz * dz
-        Az_c = Az + Jxz * dx + Jyz * dy + Jzz * dz
-        phi_c = phi - (Ax * dx + Ay * dy + Az * dz)
+        def dl(axis):
+            dv = (jnp.arange(r, dtype=f32) + 0.5 - 0.5 * r) * h_fin
+            shape = [1, 1, 1, 1, 1, 1]
+            shape[2 * axis + 1] = r
+            return dv.reshape(shape)
+
+        dx, dy, dz = dl(0), dl(1), dl(2)
+        A = [up(d[k]) for k in range(3)]
+        J = [up(d[3 + q]) for q in range(6)]  # xx yy zz xy xz yz
+        phi = up(d[-1])
+        Ax_c = A[0] + J[0] * dx + J[3] * dy + J[4] * dz
+        Ay_c = A[1] + J[3] * dx + J[1] * dy + J[5] * dz
+        Az_c = A[2] + J[4] * dx + J[5] * dy + J[2] * dz
+        phi_c = phi - (A[0] * dx + A[1] * dy + A[2] * dz) - 0.5 * (
+            J[0] * dx * dx + J[1] * dy * dy + J[2] * dz * dz
+            + 2.0 * (J[3] * dx * dy + J[4] * dx * dz + J[5] * dy * dz))
         if order == 1:
-            pushed = (Ax_c, Ay_c, Az_c, Jxx, Jyy, Jzz, Jxy, Jxz, Jyz,
-                      phi_c)
+            shifted = (Ax_c, Ay_c, Az_c) + tuple(J) + (phi_c,)
         else:
-            H = U[9:27]  # H[i*6 + q], q packed xx yy zz xy xz yz
+            H = [up(d[9 + t]) for t in range(18)]
 
             def hquad(i):
                 b = i * 6
@@ -380,19 +404,18 @@ def _far_field(chans, levels, ws, half, origin, G, eps2, order):
             Ay_c = Ay_c + 0.5 * hquad(1)
             Az_c = Az_c + 0.5 * hquad(2)
             # J_(ij) += H_i(jk) delta_k (fully symmetric H)
-            Jxx_c = Jxx + H[0] * dx + H[3] * dy + H[4] * dz
-            Jyy_c = Jyy + H[9] * dx + H[7] * dy + H[11] * dz
-            Jzz_c = Jzz + H[16] * dx + H[17] * dy + H[14] * dz
-            Jxy_c = Jxy + H[3] * dx + H[1] * dy + H[5] * dz
-            Jxz_c = Jxz + H[4] * dx + H[5] * dy + H[2] * dz
-            Jyz_c = Jyz + H[10] * dx + H[11] * dy + H[8] * dz
-            phi_c = phi_c - 0.5 * (
-                Jxx * dx * dx + Jyy * dy * dy + Jzz * dz * dz
-                + 2.0 * (Jxy * dx * dy + Jxz * dx * dz + Jyz * dy * dz))
-            pushed = (Ax_c, Ay_c, Az_c, Jxx_c, Jyy_c, Jzz_c, Jxy_c,
-                      Jxz_c, Jyz_c) + tuple(H) + (phi_c,)
-        F = tuple(p.reshape(-1) + d for p, d in zip(pushed, dF))
-    return F
+            Jxx_c = J[0] + H[0] * dx + H[3] * dy + H[4] * dz
+            Jyy_c = J[1] + H[9] * dx + H[7] * dy + H[11] * dz
+            Jzz_c = J[2] + H[16] * dx + H[17] * dy + H[14] * dz
+            Jxy_c = J[3] + H[3] * dx + H[1] * dy + H[5] * dz
+            Jxz_c = J[4] + H[4] * dx + H[5] * dy + H[2] * dz
+            Jyz_c = J[5] + H[10] * dx + H[11] * dy + H[8] * dz
+            shifted = ((Ax_c, Ay_c, Az_c, Jxx_c, Jyy_c, Jzz_c, Jxy_c,
+                        Jxz_c, Jyz_c) + tuple(H) + (phi_c,))
+        tgt = (m, r, m, r, m, r)
+        acc = [a + jnp.broadcast_to(s_, tgt).reshape(-1)
+               for a, s_ in zip(acc, shifted)]
+    return tuple(acc)
 
 
 def _compact_sorted(flags, values, K, sentinel):

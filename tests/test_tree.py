@@ -549,3 +549,54 @@ def test_simulate_tree_columns(gauss_blob):
     scale = np.sqrt(np.mean(np.sum(r_cells.pos[-1] ** 2, -1)))
     np.testing.assert_allclose(r_cols.pos[-1], r_cells.pos[-1],
                                atol=1e-4 * scale)
+
+
+def test_tree_column_probe_chunk_count(rng):
+    """with_chunks appends sum(ceil(count/c_small)) over big columns."""
+    from orbital_tpu.ops.tree import tree_column_probe
+
+    n, levels, half = 512, 4, 8.0
+    M = 2 ** levels
+    pos = rng.uniform(-half * 0.9, half * 0.9, (n, 3)).astype(np.float32)
+    box = (np.zeros(3, np.float32), np.float32(half))
+    cc = np.clip(np.floor((pos + half) / (2 * half / M)), 0,
+                 M - 1).astype(int)
+    counts = np.zeros((M, M), int)
+    np.add.at(counts, (cc[:, 0], cc[:, 1]), 1)
+    out = tree_column_probe(pos, levels=levels, box=box, c_small=4,
+                            with_chunks=True)
+    assert len(out) == 5
+    big = counts[counts > 4]
+    assert int(out[4]) == int(np.ceil(big / 4).sum())
+
+
+@pytest.mark.slow
+def test_tree_columns_chunked_big_sweep_parity(gauss_blob):
+    """The chunked big sweep (i-side 32-row chunks of big columns)
+    reproduces the dense oracle, a starved chunk budget overflows loudly,
+    and a generous budget changes nothing."""
+    from orbital_tpu.ops.tree import tree_column_probe
+
+    pos, mass = gauss_blob
+    a_ref, _ = pairwise_acc_dense(pos, mass, G=1.0, eps2=1e-6)
+    cap, ncol, nbig, nfront, nch = [
+        int(x) for x in tree_column_probe(pos, levels=4, ws=1,
+                                          with_chunks=True)]
+    assert nbig > 0 and nch > nbig  # the blob must exercise the split
+    kw = dict(G_grav=1.0, eps2=1e-6, levels=4, ws=1,
+              capacity=int(np.ceil((cap + 8) / 16) * 16),
+              max_cells=ncol + 32, max_big=nbig + 8,
+              max_frontier=nfront + 8, near="columns")
+    a, _, ov = tree_acc_potential(pos, mass, max_chunks=nch + 8, **kw)
+    assert int(ov) == 0
+    # levels=4 is the shallowest pyramid where the blob has big COLUMNS;
+    # the monopole method error there is ~2.5e-2
+    assert _rms(a, a_ref) < 3e-2
+    # generous budget: identical result (pure padding)
+    a2, _, ov2 = tree_acc_potential(pos, mass, max_chunks=2 * nch, **kw)
+    assert int(ov2) == 0
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    # starved budget: dropped chunks are counted, not silent
+    _, _, ov3 = tree_acc_potential(pos, mass, max_chunks=max(1, nch // 3),
+                                   **kw)
+    assert int(ov3) > 0
