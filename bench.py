@@ -561,7 +561,7 @@ def main() -> None:
         extras["bench_pm_drift_error"] = str(e)[:200]
     try:
         cfg_tr = tree_cfg_probed(pos, 7, dt=1e-3, G=1.0, eps2=eps2,
-                                 pm_box=box)
+                                 tree_near="columns", pm_box=box)
         st = ot.init_forces(make_state(pos, vel, mass, precision="f32"),
                             cfg_tr)
         extras["tree_drift_65536_1000steps"] = _drift(cfg_tr, st, 1000,

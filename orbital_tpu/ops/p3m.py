@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .pm import _pm_core
+from .tree import _segment_bounds
 
 __all__ = ["p3m_acc_potential", "p3m_ring_force", "p3m_overflow_probe",
            "p3m_max_occupancy"]
@@ -153,27 +154,33 @@ def p3m_acc_potential(
 
     order = jnp.argsort(cell_id)
     sc = cell_id[order]
-    first = jnp.searchsorted(sc, sc, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    # scan-based segment bounds: searchsorted costs ~96 ns/query on v5e
+    # (~95 ms at N=1M); the associative scan is ~1 ms (ops/tree.py)
+    first, _ = _segment_bounds(sc)
+    rank = jnp.arange(n, dtype=jnp.int32) - first
     keep = (rank < capacity) & (sc < gc3)
     overflow = jnp.sum((rank >= capacity) & (sc < gc3), dtype=jnp.int32)
 
+    s_row = jnp.where(keep, sc, gc3)
+    r_col = jnp.clip(rank, 0, capacity - 1)
     table = jnp.full((gc3 + 1, capacity), n, jnp.int32)
-    table = table.at[jnp.where(keep, sc, gc3),
-                     jnp.clip(rank, 0, capacity - 1)].set(
+    table = table.at[s_row, r_col].set(
         jnp.where(keep, order.astype(jnp.int32), n))
 
-    # sentinel row n: far away, massless
-    pos_pad = jnp.concatenate(
-        [pos32, jnp.full((1, 3), 1e30, f32)], axis=0)
-    m_pad = jnp.concatenate([m_eff, jnp.zeros((1,), f32)])
-
-    # pre-gather per-cell body data ONCE: the pair sweep then reads whole
-    # [M]-rows per (cell, neighbor) — contiguous streams instead of the
-    # per-body random gathers that dominated the first implementation
-    # (measured ~10x on the sweep at N=1M)
-    cell_pos = pos_pad[table]                            # [gc3+1, M, 3]
-    cell_m = m_pad[table]                                # [gc3+1, M]
+    # per-cell body data built by SCATTERING the cell-id-sorted bodies
+    # (5n elements) instead of gathering gc3 x M table elements — every
+    # table row is a prefix of the sorted body array, the same inversion
+    # that cut the tree's pack from 108 to 2.3 ms (ops/tree.py). Unfilled
+    # slots keep the sentinel (far away, massless), matching the old
+    # pos_pad[table] semantics.
+    cell_pos = jnp.broadcast_to(
+        jnp.full((3,), 1e30, f32), (gc3 + 1, capacity, 3))
+    cell_pos = cell_pos.at[s_row, r_col].set(
+        jnp.where(keep[:, None], pos32[order], 1e30),
+        mode="drop")                                     # [gc3+1, M, 3]
+    cell_m = jnp.zeros((gc3 + 1, capacity), f32).at[s_row, r_col].set(
+        jnp.where(keep, m_eff[order], 0.0),
+        mode="drop")                                     # [gc3+1, M]
 
     n_blocks = -(-gc3 // cell_block)
 
@@ -306,30 +313,44 @@ def p3m_ring_force(
     origin = center - half
     s_cell = 2.0 * half / gc
 
-    def bin_block(p32, a_b):
-        """[gc3+1, capacity] body-index table on the agreed global grid
-        (sentinel row gc3; sentinel index nloc)."""
+    def bin_pack(p32, a_b, channels, sentinels):
+        """Scatter-packed per-cell channel tables [gc3+1, M(, C)] on the
+        agreed global grid — every table row is a prefix of the
+        cell-id-sorted body array, so the bodies are scattered into the
+        tables instead of gathering gc3 x M elements (the inversion from
+        ops/tree.py; sentinel row gc3 stays all-sentinel)."""
+        nb = p32.shape[0]
         cc = jnp.clip(jnp.floor((p32 - origin) / s_cell).astype(jnp.int32),
                       0, gc - 1)
         cid = (cc[:, 0] * gc + cc[:, 1]) * gc + cc[:, 2]
         cid = jnp.where(a_b, cid, gc3)
         order = jnp.argsort(cid)
         sct = cid[order]
-        first = jnp.searchsorted(sct, sct, side="left")
-        rk = jnp.arange(nloc, dtype=jnp.int32) - first.astype(jnp.int32)
+        first, _ = _segment_bounds(sct)
+        rk = jnp.arange(nb, dtype=jnp.int32) - first
         keep = (rk < capacity) & (sct < gc3)
-        tbl = jnp.full((gc3 + 1, capacity), nloc, jnp.int32)
-        tbl = tbl.at[jnp.where(keep, sct, gc3),
-                     jnp.clip(rk, 0, capacity - 1)].set(
-            jnp.where(keep, order.astype(jnp.int32), nloc))
-        return tbl
+        s_row = jnp.where(keep, sct, gc3)
+        r_col = jnp.clip(rk, 0, capacity - 1)
+        out = []
+        for ch, sent in zip(channels, sentinels):
+            sent = jnp.asarray(sent, ch.dtype)
+            chs = ch[order]
+            if ch.ndim == 2:
+                base = jnp.broadcast_to(
+                    sent, (gc3 + 1, capacity, ch.shape[1]))
+                val = jnp.where(keep[:, None], chs, sent)
+            else:
+                base = jnp.full((gc3 + 1, capacity), sent, ch.dtype)
+                val = jnp.where(keep, chs, sent)
+            out.append(base.at[s_row, r_col].set(val, mode="drop"))
+        return out
 
-    my_tbl = bin_block(pos32, alive_b)
-    pos_pad_i = jnp.concatenate([pos32, jnp.full((1, 3), 1e30, f32)], axis=0)
-    cell_pos_i = pos_pad_i[my_tbl]                     # [gc3+1, M, 3]
     gid0 = (lax.axis_index(axis_name).astype(jnp.int32) * nloc
             + jnp.arange(nloc, dtype=jnp.int32))
-    gid_pad_i = jnp.concatenate([gid0, jnp.full((1,), -2, jnp.int32)])
+    my_tbl, gid_tbl_i, cell_pos_i = bin_pack(
+        pos32, alive_b,
+        [jnp.arange(nloc, dtype=jnp.int32), gid0, pos32],
+        [nloc, -2, 1e30])
 
     n_blocks = -(-gc3 // cell_block)
     starts = jnp.arange(0, n_blocks * cell_block, cell_block)
@@ -337,13 +358,8 @@ def p3m_ring_force(
 
     def sweep(visit):
         pos_j, m_j, alive_j, gid_j = visit
-        tbl_j = bin_block(pos_j, alive_j)
-        pj_pad = jnp.concatenate([pos_j, jnp.full((1, 3), 1e30, f32)], axis=0)
-        mj_pad = jnp.concatenate([m_j, jnp.zeros((1,), f32)])
-        gj_pad = jnp.concatenate([gid_j, jnp.full((1,), -1, jnp.int32)])
-        cell_pos_j = pj_pad[tbl_j]
-        cell_m_j = mj_pad[tbl_j]
-        cell_g_j = gj_pad[tbl_j]
+        cell_pos_j, cell_m_j, cell_g_j = bin_pack(
+            pos_j, alive_j, [pos_j, m_j, gid_j], [1e30, 0.0, -1])
 
         def block(c0):
             cells = c0 + jnp.arange(cell_block)
@@ -361,7 +377,7 @@ def p3m_ring_force(
             nb = jnp.stack(nb_ids, axis=1)             # [B, 27]
 
             idx_my = my_tbl[cells_c]                   # [B, M] local indices
-            gid_my = gid_pad_i[idx_my]
+            gid_my = gid_tbl_i[cells_c]
             pi = cell_pos_i[cells_c]                   # [B, M, 3]
             pj = cell_pos_j[nb].reshape(cell_block, -1, 3)
             mj = cell_m_j[nb].reshape(cell_block, -1)

@@ -65,7 +65,7 @@ def simulate(
     tree_capacity: Union[int, str] = "auto",
     tree_ws: int = 1,
     tree_order: int = 1,
-    tree_near: str = "cells",
+    tree_near: str = "columns",
     adaptive_eta: Optional[float] = None,
     dt_min: float = 0.0,
     hermite_fast_cap: int = 0,

@@ -600,3 +600,24 @@ def test_tree_columns_chunked_big_sweep_parity(gauss_blob):
     _, _, ov3 = tree_acc_potential(pos, mass, max_chunks=max(1, nch // 3),
                                    **kw)
     assert int(ov3) > 0
+
+
+def test_segment_bounds_matches_searchsorted(rng):
+    """The associative-scan segment bounds reproduce
+    searchsorted(keys, keys, 'left'/'right') on sorted keys with
+    duplicates, a constant run, and singletons."""
+    import jax.numpy as jnp
+
+    from orbital_tpu.ops.tree import _segment_bounds
+
+    for keys in (
+        np.sort(rng.integers(0, 40, 256)).astype(np.int32),
+        np.zeros(64, np.int32),
+        np.arange(17, dtype=np.int32),
+        np.array([3], np.int32),
+    ):
+        first, last = _segment_bounds(jnp.asarray(keys))
+        np.testing.assert_array_equal(
+            np.asarray(first), np.searchsorted(keys, keys, side="left"))
+        np.testing.assert_array_equal(
+            np.asarray(last), np.searchsorted(keys, keys, side="right"))
