@@ -12,6 +12,20 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# A long pytest process accumulates hundreds of LLVM-JIT'd XLA
+# executables; at the kernel-default vm.max_map_count (65530) the
+# process eventually exhausts its mmap budget and the NEXT compile
+# segfaults (reproduced deterministically at the 34th test of
+# test_tree.py; gone at 1048576). Best-effort bump — root-only write,
+# silently skipped elsewhere.
+try:  # pragma: no cover - environment repair
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1048576")
+except OSError:
+    pass
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
