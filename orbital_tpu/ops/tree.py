@@ -262,17 +262,37 @@ def _conv_weights(ws: int, h, G: float, eps2: float, order: int):
     return slabs
 
 
+# conv data layout: channels-last (NHWC) keeps the octant-channel axis on
+# the TPU's 128-lane minor dimension AND lets _octant_pack/_unpack_fields
+# skip their grid-sized transposes (the packed [s, s, s, 8 Mo] form is the
+# natural intermediate of both). Flip only with a TPU measurement.
+_FAR_NHWC = False
+
+
 def _level_conv(moments, ws: int, h, G: float, eps2: float, order: int):
     """One level's far-field sweep as batched 2-D convolutions.
 
-    ``moments``: [s, 8 Mo, s, s] octant-packed parent grid (x as batch).
-    Returns [s, 8 F, s, s] per target octant. f32/HIGHEST — bf16 tap
-    products would sit above the method's own error floor.
+    ``moments``: octant-packed parent grid — [s, 8 Mo, s, s] (NCHW, x as
+    batch) or [s, s, s, 8 Mo] when ``_FAR_NHWC``. Returns the matching
+    [s, 8 F, s, s] / [s, s, s, 8 F] per target octant. f32/HIGHEST — bf16
+    tap products would sit above the method's own error floor.
     """
     s = moments.shape[0]
     in_ch = 8 * _N_MOM[order]
     out_ch = 8 * _N_FLD[order]
     slabs = _conv_weights(ws, h, G, eps2, order)
+    if _FAR_NHWC:
+        pad = jnp.zeros((ws, s, s, in_ch), jnp.float32)
+        xp = jnp.concatenate([pad, moments, pad], axis=0)
+        out = jnp.zeros((s, s, s, out_ch), jnp.float32)
+        for Dx, w in slabs.items():
+            c2 = lax.conv_general_dilated(
+                xp, jnp.transpose(w, (2, 3, 1, 0)),  # OIHW -> HWIO
+                window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=lax.Precision.HIGHEST)
+            out = out + lax.dynamic_slice_in_dim(c2, ws + Dx, s, axis=0)
+        return out
     pad = jnp.zeros((ws, in_ch, s, s), jnp.float32)
     xp = jnp.concatenate([pad, moments, pad], axis=0)
     out = jnp.zeros((s, out_ch, s, s), jnp.float32)
@@ -287,8 +307,9 @@ def _level_conv(moments, ws: int, h, G: float, eps2: float, order: int):
 
 
 def _octant_pack(flat_chans, m):
-    """Mo flat [m^3] moment grids -> [s, 8 Mo, s, s] octant-packed parent
-    grid (s = m/2; in-channel = moment*8 + octant, octant = ox*4+oy*2+oz)."""
+    """Mo flat [m^3] moment grids -> octant-packed parent grid, [s, 8 Mo,
+    s, s] NCHW or [s, s, s, 8 Mo] NHWC (s = m/2; channel = moment*8 +
+    octant, octant = ox*4+oy*2+oz)."""
     s = m // 2
     parts = []
     for c in flat_chans:
@@ -297,15 +318,21 @@ def _octant_pack(flat_chans, m):
         parts.append(g)
     g = jnp.stack(parts, axis=3)                 # [s, s, s, Mo, 8]
     g = g.reshape(s, s, s, 8 * len(parts))
-    return g.transpose(0, 3, 1, 2)               # [s(x), 8 Mo, s(y), s(z)]
+    if _FAR_NHWC:
+        return g                                 # [s(x), s, s, 8 Mo]
+    return g.transpose(0, 3, 1, 2)               # [s(x), 8 Mo, s, s]
 
 
 def _unpack_fields(out, n_fields):
-    """[s, 8 F, s, s] conv output -> F flat child-grid channels [m^3]
-    (m = 2s, x-major child linear ids). Channels stay SEPARATE 1-D arrays
-    for the same T(8,128) lane-padding reason as the moment pyramid."""
+    """Conv output ([s, 8 F, s, s] NCHW / [s, s, s, 8 F] NHWC) -> F flat
+    child-grid channels [m^3] (m = 2s, x-major child linear ids). Channels
+    stay SEPARATE 1-D arrays for the same T(8,128) lane-padding reason as
+    the moment pyramid."""
     s = out.shape[0]
-    g = out.transpose(0, 2, 3, 1).reshape(s, s, s, 2, 2, 2, n_fields)
+    if _FAR_NHWC:
+        g = out.reshape(s, s, s, 2, 2, 2, n_fields)
+    else:
+        g = out.transpose(0, 2, 3, 1).reshape(s, s, s, 2, 2, 2, n_fields)
     g = g.transpose(0, 3, 1, 4, 2, 5, 6)         # [s,2, s,2, s,2, F]
     return tuple(g[..., ch].reshape(-1) for ch in range(n_fields))
 

@@ -621,3 +621,27 @@ def test_segment_bounds_matches_searchsorted(rng):
             np.asarray(first), np.searchsorted(keys, keys, side="left"))
         np.testing.assert_array_equal(
             np.asarray(last), np.searchsorted(keys, keys, side="right"))
+
+def test_far_field_layout_parity(rng):
+    """The NHWC far-field path (channels-last conv + transpose-free
+    pack/unpack) is bit-identical to the NCHW path, both orders."""
+    import orbital_tpu.ops.tree as T
+
+    pos = rng.normal(0, 0.3, (256, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, 256).astype(np.float32)
+    saved = T._FAR_NHWC
+    try:
+        for order in (1, 2):
+            outs = {}
+            for nhwc in (False, True):
+                T._FAR_NHWC = nhwc
+                a, pe, ov = tree_acc_potential(
+                    pos, mass, G_grav=1.0, eps2=1e-4, levels=4, ws=1,
+                    capacity=128, max_cells=256, order=order,
+                    with_potential=True)
+                assert int(ov) == 0
+                outs[nhwc] = (np.asarray(a), np.asarray(pe))
+            np.testing.assert_array_equal(outs[True][0], outs[False][0])
+            np.testing.assert_array_equal(outs[True][1], outs[False][1])
+    finally:
+        T._FAR_NHWC = saved
