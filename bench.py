@@ -234,11 +234,28 @@ def tree_cfg_probed(pos, levels: int, **kw):
 
     ws = kw.pop("tree_ws", 1)
     near = kw.pop("tree_near", "cells")
+    chunk = kw.pop("tree_chunk", 32)
     pbox = kw.get("pm_box")
     if pbox is not None:
         # probe with the SAME pinned cube the config will bin with
         pbox = (jnp.asarray(np.asarray(pbox[:3], np.float32)),
                 jnp.float32(pbox[3]))
+    if near == "pairs":
+        from orbital_tpu.ops.tree import tree_pairs_probe
+
+        total, per_oct = tree_pairs_probe(
+            jnp.asarray(pos, jnp.float32), levels=levels, ws=ws,
+            chunk=chunk, box=pbox)
+        per = [int(v) for v in np.asarray(per_oct)]
+        while per and per[-1] == 0:
+            per.pop()
+        entries = tuple((max(32, -(-int(v * 1.3) // 32) * 32) if v else 0)
+                        for v in per)
+        return ot.SimConfig(
+            force_impl="tree", tree_levels=levels, tree_ws=ws,
+            tree_near="pairs", tree_chunk=chunk,
+            tree_max_chunks=max(256, int(np.ceil(int(total) * 1.3 / 256) * 256)),
+            tree_pair_entries=entries, **kw)
     nchunks = 0
     if near == "columns":
         cap, occ, nbig, nfront, nchunks = tree_column_probe(

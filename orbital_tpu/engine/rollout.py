@@ -131,6 +131,8 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
                 order=cfg.tree_order, max_big=cfg.tree_max_big,
                 max_frontier=cfg.tree_max_frontier,
                 max_chunks=cfg.tree_max_chunks, near=cfg.tree_near,
+                chunk=cfg.tree_chunk,
+                pair_entries=tuple(cfg.tree_pair_entries),
                 with_potential=cfg.track_potential, box=cfg.pm_box_arrays())
             return acc, U
         return fn

@@ -105,7 +105,7 @@ if _SKIP:
 
 __all__ = ["tree_acc_potential", "tree_acc_potential_staged",
            "tree_sharded_force", "tree_occupancy_probe", "tree_class_probe",
-           "tree_column_probe", "tree_stencil"]
+           "tree_column_probe", "tree_pairs_probe", "tree_stencil"]
 
 
 def tree_stencil(ws: int) -> list[tuple[int, int, int]]:
@@ -498,7 +498,8 @@ def _lookup_slot(sorted_ids, query):
          static_argnames=("G_grav", "eps2", "levels", "capacity", "ws",
                           "max_cells", "cell_block", "with_potential",
                           "order", "max_big", "max_frontier", "max_chunks",
-                          "near", "_phase", "_n_parts", "_psum_axis"))
+                          "near", "chunk", "pair_entries", "_phase",
+                          "_n_parts", "_psum_axis"))
 def tree_acc_potential(
     pos: jax.Array,
     mass: jax.Array,
@@ -517,6 +518,8 @@ def tree_acc_potential(
     max_frontier: int = 0,
     max_chunks: int = 0,
     near: str = "cells",
+    chunk: int = 32,
+    pair_entries: tuple = (),
     box=None,
     _phase: str = "both",
     _n_parts: int = 1,
@@ -550,7 +553,19 @@ def tree_acc_potential(
             ``"columns"`` the ``capacity`` / ``max_cells`` / ``max_big``
             / ``max_frontier`` budgets are PER-COLUMN (size them with
             :func:`tree_column_probe`); the occupancy-class split uses
-            c_small=32.
+            c_small=32. ``"pairs"`` sweeps 32-body CHUNK pairs with
+            octave-padded j widths (see :func:`_near_pairs`) — it
+            replaces the per-column capacity padding (up to ~100x true
+            pairs on concentrated cores) with < 2x octave rounding;
+            budgets are ``max_chunks`` + ``pair_entries`` from
+            :func:`tree_pairs_probe` (capacity / max_cells / max_big /
+            max_frontier are ignored).
+        chunk: ``near="pairs"`` chunk row size (bodies per packed row on
+            both sweep sides).
+        pair_entries: ``near="pairs"`` static per-octave i-chunk budgets
+            (octave o holds chunks whose 9-neighborhood j-chunk total is
+            at most (2ws+1)^2 * 2**o). Size with
+            :func:`tree_pairs_probe`.
         max_chunks: static budget for the column big sweep's i-side
             CHUNK list (``near="columns"`` only): big columns are swept
             in 32-row i-chunks, so the big sweep costs
@@ -578,8 +593,12 @@ def tree_acc_potential(
         raise ValueError("ws must be 1 or 2")
     if order not in (1, 2):
         raise ValueError("order must be 1 (monopole+dipole) or 2 (+quad)")
-    if near not in ("cells", "columns"):
-        raise ValueError("near must be 'cells' or 'columns'")
+    if near not in ("cells", "columns", "pairs"):
+        raise ValueError("near must be 'cells', 'columns', or 'pairs'")
+    if near == "pairs" and not pair_entries:
+        raise ValueError(
+            "near='pairs' needs per-octave i-chunk budgets: pass "
+            "pair_entries sized with tree_pairs_probe")
     if levels < 2 or levels > 8:
         raise ValueError("levels must be in [2, 8]")
     n = pos.shape[0]
@@ -745,7 +764,13 @@ def tree_acc_potential(
                                         mode="drop")
         return P
 
-    if near == "columns":
+    if near == "pairs":
+        idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow = \
+            _near_pairs(
+                pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
+                origin, h, max_chunks, chunk, pair_entries, cell_block,
+                _n_parts, _part_index)
+    elif near == "columns":
         idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow = \
             _near_columns(
                 pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
@@ -1175,6 +1200,189 @@ def _near_columns(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
     return idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow
 
 
+def _near_pairs(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
+                origin, h, max_chunks, chunk, pair_entries, cell_block,
+                _n_parts, _part_index):
+    """Near field at CHUNK-PAIR granularity: every column is cut into
+    consecutive ``chunk``-body i-chunks, and each i-chunk sweeps exactly
+    the j-chunks of its (2ws+1)^2 neighbor columns — padded only to the
+    next OCTAVE of its true j-chunk total.
+
+    Why: the column sweep's big/frontier classes pad every neighbor
+    column's j side to the DENSEST column's ``capacity``; on a 1M Plummer
+    core the padded pair count is ~50-100x the true near-pair count, and
+    the big sweep is ~85% of the near phase. Here the j side of i-chunk k
+    is the concatenation of its 9 neighbor columns' chunk-row runs —
+    consecutive rows of ONE packed table (columns are contiguous in the
+    cell-sorted body order), located by two dense maps (column -> first
+    chunk row, column -> chunk count). Padding is bounded by the octave
+    rounding (< 2x) plus the per-chunk lane rounding, for the SAME
+    ~50 ns/row packed-row gathers. The occupancy classes, per-column
+    ``capacity``, and the big/frontier/chunk budgets all disappear; the
+    only budgets are ``max_chunks`` (total chunk rows; pass 0 to derive
+    ceil(n/chunk) + a column-fragmentation margin — always safe but
+    padded) and ``pair_entries`` (per-octave i-chunk counts, octave o
+    holding chunks whose 9-neighborhood totals at most 9 * 2**o j-chunks;
+    size both with :func:`tree_pairs_probe`)."""
+    M2 = M * M
+    C = int(chunk)
+    col_s = jnp.minimum(sc // M, M2)  # sorted ascending; dead -> M2
+    first_c, last_c = _segment_bounds(col_s)
+    rank_c = jnp.arange(n, dtype=jnp.int32) - first_c
+    col_count = (last_c - first_c).astype(jnp.int32)  # per sorted body
+    valid_b = col_s < M2
+    is_first_c = (rank_c == 0) & valid_b
+
+    # chunk every column: ordinal = prefix count of chunk starts in the
+    # same sorted order the packed rows use
+    K_ch = int(max_chunks) if max_chunks > 0 else (
+        -(-n // C) + min(n, M2))
+    chunk_start = valid_b & (rank_c % C == 0)
+    chunk_ord = jnp.cumsum(chunk_start.astype(jnp.int32)) - 1
+    keep = valid_b & (chunk_ord < K_ch)
+    cap_overflow = jnp.sum(valid_b & (chunk_ord >= K_ch), dtype=jnp.int32)
+
+    P = _pack_rows(chunk_ord, rank_c % C, keep, K_ch, C)
+    ids_chunk_col = _compact_sorted(chunk_start & (chunk_ord < K_ch),
+                                    col_s, K_ch, M2)
+    chunk_valid = ids_chunk_col < M2
+
+    # dense column maps (single gathers in the sweep, no binary searches)
+    cpc_b = -(-col_count // C)  # chunks per column, at every body
+    cpc_map = jnp.zeros((M2 + 1,), jnp.int32).at[
+        jnp.where(is_first_c, col_s, M2)].set(
+        jnp.where(is_first_c, cpc_b, 0))
+    first_chunk_map = jnp.full((M2 + 1,), K_ch, jnp.int32).at[
+        jnp.where(is_first_c, col_s, M2)].set(
+        jnp.where(is_first_c, chunk_ord, K_ch))
+
+    nb2 = [(a, b) for a in range(-ws, ws + 1) for b in range(-ws, ws + 1)]
+    n_nb = len(nb2)
+
+    def neighbor_cols(col_ids):
+        """[..., n_nb] neighbor column ids (M2 where off-grid)."""
+        cy = col_ids % M
+        cx = col_ids // M
+        cols = []
+        for a, b in nb2:
+            nx, ny = cx + a, cy + b
+            ok = (0 <= nx) & (nx < M) & (0 <= ny) & (ny < M)
+            cols.append(jnp.where(ok & (col_ids < M2), nx * M + ny, M2))
+        return jnp.stack(cols, axis=-1)
+
+    # octave classification: S = total j-chunks over the 9 neighbors;
+    # octave o holds chunks with S <= 9 * 2**o (o = 0 is exact for the
+    # uniform/sparse regime where every neighbor column is one chunk)
+    S_ch = jnp.sum(cpc_map[neighbor_cols(ids_chunk_col)], axis=-1)
+    n_oct = len(pair_entries)
+    base_w = n_nb
+    oct_of = jnp.zeros((K_ch,), jnp.int32)
+    for k in range(n_oct):
+        oct_of = oct_of + (S_ch > base_w * (1 << k)).astype(jnp.int32)
+    chunk_rows = jnp.arange(K_ch, dtype=jnp.int32)
+
+    oz = origin[2]
+    results = []
+    # chunks past the last compiled octave lose their target sweep too
+    drop_flag = chunk_valid & (oct_of >= n_oct)
+    for o, E_o in enumerate(pair_entries):
+        in_o = chunk_valid & (oct_of == o)
+        if E_o <= 0:
+            drop_flag = drop_flag | in_o
+            continue
+        E_o = int(E_o)
+        W = base_w * (1 << o)  # j width in chunk rows
+        ord_o = jnp.cumsum(in_o.astype(jnp.int32)) - 1
+        drop_flag = drop_flag | (in_o & (ord_o >= E_o))
+        ids_o = _compact_sorted(in_o & (ord_o < E_o), chunk_rows, E_o,
+                                K_ch)
+
+        blk = cell_block
+        if blk <= 0:
+            budget = (32 * 1024 * 1024) // max(1, C * W * C)
+            blk = max(1, min(4096, 1 << (max(1, budget).bit_length() - 1)))
+        Ki_part = -(-E_o // max(1, _n_parts))
+        nblk = -(-Ki_part // blk)
+        base = (jnp.int32(0) if _part_index is None
+                else _part_index * Ki_part)
+        end = jnp.minimum(E_o, base + Ki_part)
+
+        def block(s0, _W=W, _blk=blk, _ids=ids_o, _end=end):
+            slots_l = s0 + jnp.arange(_blk)
+            ci = _ids[jnp.minimum(slots_l, _ids.shape[0] - 1)]
+            valid = (slots_l < _end) & (ci < K_ch)
+            ci = jnp.where(valid, ci, K_ch)
+            col = ids_chunk_col[jnp.minimum(ci, K_ch - 1)]
+            col = jnp.where(valid, col, M2)
+            nbc = neighbor_cols(col)                       # [B, 9]
+            cj = cpc_map[nbc]                              # [B, 9]
+            j0 = first_chunk_map[nbc]                      # [B, 9]
+            cum = jnp.cumsum(cj, axis=1)                   # inclusive
+            cum0 = jnp.concatenate(
+                [jnp.zeros((_blk, 1), jnp.int32), cum[:, :-1]], axis=1)
+            p = jnp.arange(_W, dtype=jnp.int32)[None, :]   # [1, W]
+            # segment of slot p: number of neighbors fully before it
+            seg = jnp.sum((p[:, :, None] >= cum[:, None, :]).astype(
+                jnp.int32), axis=-1)                       # [B, W] in 0..9
+            in_range = p < cum[:, -1:]
+            segc = jnp.minimum(seg, n_nb - 1)
+            j_row = (jnp.take_along_axis(j0, segc, axis=1)
+                     + p - jnp.take_along_axis(cum0, segc, axis=1))
+            j_row = jnp.where(in_range, jnp.minimum(j_row, K_ch), K_ch)
+
+            my = P[ci]                                     # [B, 5C]
+            rows = P[j_row].reshape(_blk, _W, 5, C)
+            rows = rows.transpose(0, 2, 1, 3).reshape(_blk, 5, -1)
+
+            pi = tuple(my[:, k * C:(k + 1) * C] for k in range(3))
+            idx_my = my[:, 4 * C:5 * C]
+            pj = tuple(rows[:, k] for k in range(3))       # [B, W C]
+            mj = rows[:, 3]
+            idx_nb = rows[:, 4]
+
+            # z cell-band claim: identical binning arithmetic to the
+            # deposit (same f32 ops on the same values -> same cell), so
+            # the level partition stays exact; sentinel rows carry mass 0
+            zci = jnp.clip(jnp.floor((pi[2] - oz) / h), 0, M - 1)
+            zcj = jnp.clip(jnp.floor((pj[2] - oz) / h), 0, M - 1)
+            band = jnp.abs(zci[:, :, None] - zcj[:, None, :]) <= ws
+
+            dx = pj[0][:, None, :] - pi[0][:, :, None]     # [B, C, W C]
+            dy = pj[1][:, None, :] - pi[1][:, :, None]
+            dz = pj[2][:, None, :] - pi[2][:, :, None]
+            r2 = dx * dx + dy * dy + dz * dz + eps2
+            inv_r = lax.rsqrt(r2)
+            take = band & (idx_my[:, :, None] != idx_nb[:, None, :])
+            w = jnp.where(take,
+                          mj[:, None, :] * (inv_r * inv_r * inv_r), 0.0)
+            acc_b = G * jnp.stack(
+                [jnp.sum(w * dx, -1), jnp.sum(w * dy, -1),
+                 jnp.sum(w * dz, -1)], axis=-1)
+            pe_b = jnp.sum(jnp.where(take, mj[:, None, :] * inv_r, 0.0),
+                           -1)
+            return idx_my.astype(jnp.int32), acc_b, pe_b
+
+        starts = base + jnp.arange(0, nblk * blk, blk)
+        idx_all, acc_all, pe_all = lax.map(block, starts)
+        results.append((idx_all.reshape(-1), acc_all.reshape(-1, 3),
+                        pe_all.reshape(-1)))
+
+    # dropped i-chunks (octave budget exhausted or past the last octave)
+    # lose their TARGET sweep; count their kept bodies
+    dropped_b = jnp.concatenate([drop_flag, jnp.zeros((1,), bool)])[
+        jnp.minimum(chunk_ord, K_ch)]
+    cell_overflow = jnp.sum(keep & dropped_b, dtype=jnp.int32)
+
+    if not results:
+        z = jnp.zeros((1,), jnp.int32) + n
+        return (z, jnp.zeros((1, 3), jnp.float32),
+                jnp.zeros((1,), jnp.float32), cap_overflow, cell_overflow)
+    idx_flat = jnp.concatenate([r[0] for r in results])
+    acc_flat = jnp.concatenate([r[1] for r in results])
+    pe_flat = jnp.concatenate([r[2] for r in results])
+    return idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow
+
+
 def tree_sharded_force(
     pos, mass, alive, *,
     axis_name: str,
@@ -1190,6 +1398,8 @@ def tree_sharded_force(
     max_frontier: int = 0,
     max_chunks: int = 0,
     near: str = "cells",
+    chunk: int = 32,
+    pair_entries: tuple = (),
     with_potential: bool = True,
     box=None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -1222,7 +1432,8 @@ def tree_sharded_force(
         pos_g, mass_g, alive_g, G_grav=G_grav, eps2=eps2, levels=levels,
         capacity=capacity, ws=ws, max_cells=max_cells, order=order,
         max_big=max_big, max_frontier=max_frontier, max_chunks=max_chunks,
-        near=near, with_potential=with_potential, box=box,
+        near=near, chunk=chunk, pair_entries=tuple(pair_entries),
+        with_potential=with_potential, box=box,
         _n_parts=n_shards, _part_index=part, _psum_axis=axis_name)
     # U is numerically identical on every device (replicated far phase +
     # psum'd near phase) but built from all_gathered values, so shard_map's
@@ -1367,6 +1578,64 @@ def tree_column_probe(
         nchunks = jnp.sum(jnp.where(big, -(-counts // c_small), 0))
         out = out + (nchunks.astype(i32),)
     return out
+
+
+@partial(jax.jit, static_argnames=("levels", "ws", "chunk", "n_octaves"))
+def tree_pairs_probe(
+    pos: jax.Array,
+    alive: Optional[jax.Array] = None,
+    *,
+    levels: int = 6,
+    ws: int = 1,
+    chunk: int = 32,
+    n_octaves: int = 16,
+    box=None,
+) -> tuple[jax.Array, jax.Array]:
+    """Chunk census for sizing the ``near="pairs"`` sweep's static
+    budgets: returns (total chunk count, [n_octaves] per-octave i-chunk
+    counts) — the ``max_chunks`` / ``pair_entries`` sizers, binned
+    exactly like :func:`tree_acc_potential` (same box fit, dead-body
+    handling, chunking, and octave rule: a column's chunks sit in the
+    smallest octave o with its (2ws+1)^2-neighborhood j-chunk total
+    <= (2ws+1)^2 * 2**o). One segment-sum over the M^2 column grid plus
+    (2ws+1)^2 dense shifts — no gathers. Trim trailing zero octaves on
+    the host before passing ``pair_entries``."""
+    n = pos.shape[0]
+    M = 2 ** levels
+    M2 = M * M
+    pos32 = pos.astype(jnp.float32)
+    alive_b = (jnp.ones((n,), bool) if alive is None else alive.astype(bool))
+    if box is None:
+        center, half = _bounding_cube(pos32, alive_b.astype(jnp.float32),
+                                      M, None)
+    else:
+        center = jnp.asarray(box[0], jnp.float32)
+        half = jnp.asarray(box[1], jnp.float32)
+    h = 2.0 * half / M
+    cc = jnp.clip(jnp.floor((pos32 - (center - half)) / h).astype(jnp.int32),
+                  0, M - 1)
+    col_id = cc[:, 0] * M + cc[:, 1]
+    col_id = jnp.where(alive_b, col_id, M2)
+    counts = jax.ops.segment_sum(alive_b.astype(jnp.int32), col_id,
+                                 num_segments=M2 + 1)[:M2]
+    cpc = -(-counts // int(chunk))                       # chunks/column
+    # S = neighborhood j-chunk total: padded dense shifts, no gathers
+    cpc2 = cpc.reshape(M, M)
+    p = jnp.pad(cpc2, ws)
+    S = jnp.zeros_like(cpc2)
+    for a in range(2 * ws + 1):
+        for b in range(2 * ws + 1):
+            S = S + lax.dynamic_slice(p, (a, b), (M, M))
+    S = S.reshape(-1)
+    base_w = (2 * ws + 1) ** 2
+    oct_of = jnp.zeros((M2,), jnp.int32)
+    for k in range(n_octaves):
+        oct_of = oct_of + (S > base_w * (1 << k)).astype(jnp.int32)
+    # out-of-range octaves are DROPPED (segment_sum ignores them) — the
+    # kernel drops such chunks too, so the budgets stay consistent
+    per_oct = jax.ops.segment_sum(
+        jnp.where(counts > 0, cpc, 0), oct_of, num_segments=n_octaves)
+    return jnp.sum(cpc), per_oct
 
 
 @partial(jax.jit, static_argnames=("levels",))

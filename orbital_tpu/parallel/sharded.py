@@ -167,7 +167,8 @@ def _mesh_force_fn(cfg: SimConfig, axis: str, n_shards: int):
                 max_cells=cfg.tree_max_cells, order=cfg.tree_order,
                 max_big=cfg.tree_max_big, near=cfg.tree_near,
                 max_frontier=cfg.tree_max_frontier,
-                max_chunks=cfg.tree_max_chunks,
+                max_chunks=cfg.tree_max_chunks, chunk=cfg.tree_chunk,
+                pair_entries=tuple(cfg.tree_pair_entries),
                 with_potential=cfg.track_potential, box=pm_box)
         return force
 

@@ -66,6 +66,7 @@ def simulate(
     tree_ws: int = 1,
     tree_order: int = 1,
     tree_near: str = "columns",
+    tree_chunk: int = 32,
     adaptive_eta: Optional[float] = None,
     dt_min: float = 0.0,
     hermite_fast_cap: int = 0,
@@ -134,6 +135,7 @@ def simulate(
         tree_capacity=48 if tree_capacity == "auto" else int(tree_capacity),
         tree_ws=tree_ws,
         tree_near=tree_near,
+        tree_chunk=tree_chunk,
         adaptive_eta=adaptive_eta,
         dt_min=dt_min / rescale.time if dt_min else 0.0,
         hermite_fast_cap=hermite_fast_cap,
@@ -175,8 +177,25 @@ def simulate(
                     break
             cfg = cfg.replace(tree_levels=tree_levels)
         # budgets are per-CELL under near="cells", per-COLUMN under
-        # near="columns" — probe at the matching granularity
-        if tree_near == "columns":
+        # near="columns", per-CHUNK-OCTAVE under near="pairs" — probe at
+        # the matching granularity
+        if tree_near == "pairs":
+            from .ops.tree import tree_pairs_probe
+
+            total, per_oct = tree_pairs_probe(
+                state.pos, state.alive, levels=tree_levels, ws=tree_ws,
+                chunk=cfg.tree_chunk, box=cfg.pm_box_arrays())
+            per = [int(v) for v in np.asarray(per_oct)]
+            while per and per[-1] == 0:
+                per.pop()
+            entries = tuple(
+                (max(32, -(-int(v * 1.5) // 32) * 32) if v else 0)
+                for v in per)
+            cfg = cfg.replace(
+                tree_max_chunks=max(
+                    256, -(-int(int(total) * 1.5) // 256) * 256),
+                tree_pair_entries=entries)
+        elif tree_near == "columns":
             occ, ncells, nbig, nfront, nchunks = tree_column_probe(
                 state.pos, state.alive, levels=tree_levels, ws=tree_ws,
                 box=cfg.pm_box_arrays(), with_chunks=True)
@@ -186,21 +205,23 @@ def simulate(
                 state.pos, state.alive, levels=tree_levels, ws=tree_ws,
                 box=cfg.pm_box_arrays())
             unit_cap = 8 ** tree_levels
-        kcells = min(state.n_bodies, unit_cap,
-                     -(-int(int(ncells) * 1.5) // 1024) * 1024)
-        # probe-sized class-list budgets (1.5x headroom, /256-aligned):
-        # the K//8 / K//4 heuristics are heavily sentinel-padded on
-        # concentrated systems and the padded rows dominate sweep cost
-        kbig = min(kcells, max(256, -(-int(int(nbig) * 1.5) // 256) * 256))
-        kfront = min(kcells,
-                     max(256, -(-int(int(nfront) * 1.5) // 256) * 256))
-        cfg = cfg.replace(tree_max_cells=kcells, tree_max_big=kbig,
-                          tree_max_frontier=kfront)
+        if tree_near != "pairs":
+            kcells = min(state.n_bodies, unit_cap,
+                         -(-int(int(ncells) * 1.5) // 1024) * 1024)
+            # probe-sized class-list budgets (1.5x headroom, /256-aligned):
+            # the K//8 / K//4 heuristics are heavily sentinel-padded on
+            # concentrated systems and the padded rows dominate sweep cost
+            kbig = min(kcells,
+                       max(256, -(-int(int(nbig) * 1.5) // 256) * 256))
+            kfront = min(kcells,
+                         max(256, -(-int(int(nfront) * 1.5) // 256) * 256))
+            cfg = cfg.replace(tree_max_cells=kcells, tree_max_big=kbig,
+                              tree_max_frontier=kfront)
         if tree_near == "columns":
             # i-side chunk list for the big sweep, same 1.5x headroom
             cfg = cfg.replace(tree_max_chunks=max(
                 256, -(-int(int(nchunks) * 1.5) // 256) * 256))
-        if tree_capacity == "auto":
+        if tree_capacity == "auto" and tree_near != "pairs":
             cap = max(16, -(-int(int(occ) * 1.5) // 8) * 8)
             cap_bound = 16384 if tree_near == "columns" else 4096
             if cap > cap_bound:
@@ -218,28 +239,42 @@ def simulate(
         # the hot loop drops the overflow counter (rollout.py); one cheap
         # end-of-run probe catches a system that contracted past the
         # budgets sized from the initial distribution
-        if cfg.tree_near == "columns":
-            from .ops.tree import tree_column_probe as _fin_probe
+        if cfg.tree_near == "pairs":
+            from .ops.tree import tree_pairs_probe as _fin_pairs
 
-            occ_f, ncells_f = _fin_probe(
+            total_f, per_f = _fin_pairs(
                 final.pos, final.alive, levels=cfg.tree_levels,
-                ws=cfg.tree_ws, box=cfg.pm_box_arrays())[:2]
-        else:
-            from .ops.tree import tree_occupancy_probe
-
-            occ_f, ncells_f = tree_occupancy_probe(
-                final.pos, final.alive, levels=cfg.tree_levels,
+                ws=cfg.tree_ws, chunk=cfg.tree_chunk,
                 box=cfg.pm_box_arrays())
-        if int(occ_f) > cfg.tree_capacity or int(ncells_f) > cfg.tree_max_cells:
+            per_f = [int(v) for v in np.asarray(per_f)]
+            ent = cfg.tree_pair_entries
+            grown = (int(total_f) > cfg.tree_max_chunks or any(
+                v and (o >= len(ent) or v > ent[o])
+                for o, v in enumerate(per_f)))
+        else:
+            if cfg.tree_near == "columns":
+                from .ops.tree import tree_column_probe as _fin_probe
+
+                occ_f, ncells_f = _fin_probe(
+                    final.pos, final.alive, levels=cfg.tree_levels,
+                    ws=cfg.tree_ws, box=cfg.pm_box_arrays())[:2]
+            else:
+                from .ops.tree import tree_occupancy_probe
+
+                occ_f, ncells_f = tree_occupancy_probe(
+                    final.pos, final.alive, levels=cfg.tree_levels,
+                    box=cfg.pm_box_arrays())
+            grown = (int(occ_f) > cfg.tree_capacity
+                     or int(ncells_f) > cfg.tree_max_cells)
+        if grown:
             import warnings
 
             warnings.warn(
-                f"tree budgets outgrown during the run: final densest cell "
-                f"{int(occ_f)} bodies (capacity {cfg.tree_capacity}), "
-                f"{int(ncells_f)} occupied cells (max_cells "
-                f"{cfg.tree_max_cells}); near-field pairs were dropped near "
-                "the end of the rollout. Re-run in shorter segments so the "
-                "budgets re-size, or pass explicit tree_capacity/levels.",
+                "tree budgets outgrown during the run: the final "
+                "distribution exceeds the near-field budgets sized from "
+                "the initial one; near-field pairs were dropped near the "
+                "end of the rollout. Re-run in shorter segments so the "
+                "budgets re-size, or pass explicit budgets/levels.",
                 RuntimeWarning, stacklevel=2)
 
     return SimResult(

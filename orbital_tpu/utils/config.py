@@ -116,7 +116,14 @@ class SimConfig:
             32-row chunk list (near="columns" only; 0 = heuristic; size
             from ops.tree.tree_column_probe(with_chunks=True)). Chunking
             makes the big sweep cost scale with big-column BODIES
-            instead of big-columns x capacity.
+            instead of big-columns x capacity. Under tree_near="pairs"
+            this is the TOTAL chunk-table row budget instead.
+        tree_chunk: tree_near="pairs" chunk row size (bodies per packed
+            row on both sweep sides).
+        tree_pair_entries: tree_near="pairs" static per-octave i-chunk
+            budgets; size with ops.tree.tree_pairs_probe
+            (simulate(force_impl="tree", tree_near="pairs") probes
+            automatically).
     """
 
     dt: float
@@ -144,6 +151,8 @@ class SimConfig:
     tree_max_frontier: int = 0
     tree_max_chunks: int = 0
     tree_near: str = "cells"
+    tree_chunk: int = 32
+    tree_pair_entries: tuple = ()
     hermite_fast_cap: int = 0
     hermite_max_substeps: int = 64
 
@@ -157,9 +166,9 @@ class SimConfig:
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
         if self.tree_ws not in (1, 2):
             raise ValueError(f"tree_ws must be 1 or 2, got {self.tree_ws}")
-        if self.tree_near not in ("cells", "columns"):
-            raise ValueError(
-                f"tree_near must be 'cells' or 'columns', got {self.tree_near}")
+        if self.tree_near not in ("cells", "columns", "pairs"):
+            raise ValueError(f"tree_near must be 'cells', 'columns', or "
+                             f"'pairs', got {self.tree_near}")
         if self.tree_order not in (1, 2):
             raise ValueError(
                 f"tree_order must be 1 or 2, got {self.tree_order}")

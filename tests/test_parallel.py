@@ -538,3 +538,35 @@ def test_sharded_tree_columns_force_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
                                rtol=1e-6, atol=1e-7)
     assert float(U) == pytest.approx(float(U_ref), rel=1e-6)
+
+def test_sharded_tree_pairs_force_matches_single_device(rng):
+    """The chunk-pair near field (near='pairs') composes with the sharded
+    tree exactly like the cell/column sweeps: disjoint per-octave
+    entry-list slices per device + one psum reproduce the single-device
+    result."""
+    from jax.sharding import PartitionSpec as P
+    from orbital_tpu.ops.tree import (tree_acc_potential, tree_pairs_probe,
+                                      tree_sharded_force)
+
+    st = _plummer_state(rng)
+    levels = 3
+    total, per = tree_pairs_probe(st.pos, st.alive, levels=levels)
+    entries = tuple(int(v) + 4 if v else 0 for v in np.asarray(per))
+    while entries and entries[-1] == 0:
+        entries = entries[:-1]
+    kw = dict(G_grav=1.0, eps2=1e-3, levels=levels, ws=1, near="pairs",
+              max_chunks=int(total) + 8, pair_entries=entries)
+    a_ref, U_ref, ovf = tree_acc_potential(st.pos, st.mass, st.alive, **kw)
+    assert int(ovf) == 0
+
+    mesh = make_mesh()
+    f = jax.jit(jax.shard_map(
+        lambda p, m, a: tree_sharded_force(
+            p, m, a, axis_name="body", n_shards=8, **kw),
+        mesh=mesh, in_specs=(P("body", None), P("body"), P("body")),
+        out_specs=(P("body", None), P()),
+    ))
+    a, U = f(st.pos, st.mass, st.alive)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=1e-6, atol=1e-7)
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-6)

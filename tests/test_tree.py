@@ -645,3 +645,108 @@ def test_far_field_layout_parity(rng):
             np.testing.assert_array_equal(outs[True][1], outs[False][1])
     finally:
         T._FAR_NHWC = saved
+
+def _pairs_budgets(pos, levels, ws=1, chunk=32, alive=None, margin=4):
+    import jax.numpy as jnp
+
+    from orbital_tpu.ops.tree import tree_pairs_probe
+
+    total, per = tree_pairs_probe(
+        jnp.asarray(pos), None if alive is None else jnp.asarray(alive),
+        levels=levels, ws=ws, chunk=chunk)
+    e = tuple(int(v) + margin if v else 0 for v in np.asarray(per))
+    while e and e[-1] == 0:
+        e = e[:-1]
+    return int(total) + margin, e
+
+
+@pytest.mark.parametrize("ws,chunk", [(1, 32), (1, 64), (2, 32)])
+def test_tree_pairs_match_cells(rng, ws, chunk):
+    """near="pairs" (chunk-pair sweep, octave-padded j widths) computes
+    the SAME near field as near="cells": accelerations and potential
+    agree to f32 summation rounding on a concentrated blob."""
+    n, levels = 1024, 4
+    pos = (rng.normal(0, 1, (n, 3))
+           * rng.uniform(0.05, 1.0, (n, 1))).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    occ, nc = tree_occupancy_probe(pos, levels=levels)
+    a_c, U_c, ov_c = tree_acc_potential(
+        pos, mass, G_grav=1.0, eps2=1e-4, levels=levels, ws=ws,
+        capacity=int(occ) + 8, max_cells=int(nc) + 32, near="cells")
+    total, entries = _pairs_budgets(pos, levels, ws=ws, chunk=chunk)
+    a_p, U_p, ov_p = tree_acc_potential(
+        pos, mass, G_grav=1.0, eps2=1e-4, levels=levels, ws=ws,
+        max_chunks=total, chunk=chunk, pair_entries=entries, near="pairs")
+    assert int(ov_c) == 0 and int(ov_p) == 0
+    scale = np.sqrt(np.mean(np.sum(np.asarray(a_c) ** 2, -1)))
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_c),
+                               atol=2e-6 * scale)
+    assert float(U_p) == pytest.approx(float(U_c), rel=1e-6)
+
+
+def test_tree_pairs_overflow_counted(rng):
+    """Starved chunk-table, starved octave, and missing-octave budgets
+    each count the excluded bodies instead of silently dropping them."""
+    n, levels = 1024, 4
+    pos = (rng.normal(0, 1, (n, 3))
+           * rng.uniform(0.05, 1.0, (n, 1))).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    total, entries = _pairs_budgets(pos, levels)
+    kw = dict(G_grav=1.0, eps2=1e-4, levels=levels, ws=1, near="pairs")
+    _, _, ov = tree_acc_potential(pos, mass, max_chunks=max(1, total // 2),
+                                  pair_entries=entries, **kw)
+    assert int(ov) > 0
+    starved = tuple(max(1, v // 3) if v else 0 for v in entries)
+    _, _, ov2 = tree_acc_potential(pos, mass, max_chunks=total,
+                                   pair_entries=starved, **kw)
+    assert int(ov2) > 0
+    _, _, ov3 = tree_acc_potential(pos, mass, max_chunks=total,
+                                   pair_entries=entries[:1], **kw)
+    assert int(ov3) > 0
+
+
+def test_tree_pairs_dead_bodies_inert(rng):
+    """Masked bodies exert no force, feel no force, and the masked run is
+    bit-identical to running on the alive subset (same box, same order)."""
+    n, levels = 1024, 4
+    pos = (rng.normal(0, 1, (n, 3))
+           * rng.uniform(0.05, 1.0, (n, 1))).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    alive = np.ones(n, bool)
+    alive[::3] = False
+    total, entries = _pairs_budgets(pos, levels, alive=alive)
+    a_m, U_m, ov_m = tree_acc_potential(
+        pos, mass, alive, G_grav=1.0, eps2=1e-4, levels=levels, ws=1,
+        max_chunks=total, pair_entries=entries, near="pairs")
+    sub = alive.nonzero()[0]
+    t2, e2 = _pairs_budgets(pos[sub], levels)
+    a_s, U_s, ov_s = tree_acc_potential(
+        pos[sub], mass[sub], G_grav=1.0, eps2=1e-4, levels=levels, ws=1,
+        max_chunks=t2, pair_entries=e2, near="pairs")
+    assert int(ov_m) == 0 and int(ov_s) == 0
+    a_m = np.asarray(a_m)
+    np.testing.assert_array_equal(a_m[~alive], 0.0)
+    np.testing.assert_array_equal(a_m[alive], np.asarray(a_s))
+    assert float(U_m) == pytest.approx(float(U_s), rel=1e-6)
+
+
+@pytest.mark.slow
+def test_simulate_tree_pairs(gauss_blob):
+    """simulate(tree_near='pairs') probe-sizes max_chunks/pair_entries and
+    matches the cells path over a short rollout."""
+    pos, mass = gauss_blob
+    objs = [ot.Object(mass=float(m) * 1e4, radius=1e-3,
+                      velocity=np.zeros(3),
+                      coordinates=ot.Coordinates(*p.tolist()))
+            for m, p in zip(mass[:256], pos[:256])]
+    r_cells = ot.simulate(objs, steps=10, dt=1e-4, softening=1e-2,
+                          force_impl="tree", tree_levels=4,
+                          precision="f32")
+    r_pairs = ot.simulate(objs, steps=10, dt=1e-4, softening=1e-2,
+                          force_impl="tree", tree_levels=4,
+                          tree_near="pairs", precision="f32")
+    assert r_pairs.config.tree_near == "pairs"
+    assert r_pairs.config.tree_pair_entries
+    scale = np.sqrt(np.mean(np.sum(r_cells.pos[-1] ** 2, -1)))
+    np.testing.assert_allclose(r_pairs.pos[-1], r_cells.pos[-1],
+                               atol=1e-4 * scale)
