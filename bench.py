@@ -275,7 +275,23 @@ def tree_cfg_probed(pos, levels: int, **kw):
         **kw)
 
 
-def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3) -> float:
+def _tree_kw_from_cfg(cfg):
+    """tree_acc_potential kwargs from a probed SimConfig (any near mode)."""
+    kw = dict(G_grav=1.0, eps2=cfg.eps2, levels=cfg.tree_levels,
+              ws=cfg.tree_ws, near=cfg.tree_near,
+              max_chunks=cfg.tree_max_chunks, with_potential=False)
+    if cfg.tree_near == "pairs":
+        kw.update(chunk=cfg.tree_chunk,
+                  pair_entries=tuple(cfg.tree_pair_entries))
+    else:
+        kw.update(capacity=cfg.tree_capacity, max_cells=cfg.tree_max_cells,
+                  max_big=cfg.tree_max_big,
+                  max_frontier=cfg.tree_max_frontier)
+    return kw
+
+
+def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3,
+               near: str = "columns") -> float:
     """Tree-gravity KDK step rate on a concentrated Plummer sphere (the
     regime P3M's fixed capacity excludes; ops/tree.py conv far field).
     Budgets probe-sized via tree_class_probe."""
@@ -290,15 +306,15 @@ def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3) -> float:
     # columns near field: measured-best at l7/65k (117 vs 129 ms/eval,
     # benchmarks/tree_sweep.jsonl)
     cfg = tree_cfg_probed(pos, levels, dt=1e-4, G=1.0, eps2=1e-6,
-                          tree_near="columns", track_potential=False)
+                          tree_near=near, track_potential=False)
     state = ot.init_forces(state, cfg)
     step = make_step_fn(cfg, resolve_force_fn(cfg, n))
     sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
     return n / sec
 
 
-def bench_tree_staged(n: int, levels: int = 8,
-                      iters: int = 1) -> tuple[float, int]:
+def bench_tree_staged(n: int, levels: int = 8, iters: int = 1,
+                      near: str = "columns") -> tuple[float, int]:
     """Large-N tree rate via the STAGED evaluation (ops/tree.py
     tree_acc_potential_staged): the single-program step at levels=8,
     N>=512k reproducibly crashes this platform's remote compile helper,
@@ -317,12 +333,8 @@ def bench_tree_staged(n: int, levels: int = 8,
     vel = jnp.asarray(vel_np, jnp.float32)
     mass = jnp.asarray(mass_np, jnp.float32)
     cfg = tree_cfg_probed(pos_np, levels, dt=1e-4, G=1.0, eps2=1e-6,
-                          tree_near="columns", track_potential=False)
-    kw = dict(G_grav=1.0, eps2=1e-6, levels=levels, ws=cfg.tree_ws,
-              capacity=cfg.tree_capacity, max_cells=cfg.tree_max_cells,
-              max_big=cfg.tree_max_big, max_frontier=cfg.tree_max_frontier,
-              max_chunks=cfg.tree_max_chunks, near=cfg.tree_near,
-              with_potential=False)
+                          tree_near=near, track_potential=False)
+    kw = _tree_kw_from_cfg(cfg)
 
     def phase_step(ph):
         def step(p):

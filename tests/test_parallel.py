@@ -570,3 +570,30 @@ def test_sharded_tree_pairs_force_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
                                rtol=1e-6, atol=1e-7)
     assert float(U) == pytest.approx(float(U_ref), rel=1e-6)
+
+def test_ensemble_rollout_tree_pairs(rng):
+    """tree_near='pairs' under the plain vmapped ensemble_rollout: the
+    chunk-pair machinery (cumsums, dense maps, take_along_axis) batches
+    correctly, and the unperturbed control member reproduces an
+    unbatched pairs rollout."""
+    from orbital_tpu.ops.tree import tree_pairs_probe
+
+    base = _plummer_state(rng, n=64)
+    total, per = tree_pairs_probe(base.pos, base.alive, levels=3)
+    entries = tuple(int(v) + 4 if v else 0 for v in np.asarray(per))
+    while entries and entries[-1] == 0:
+        entries = entries[:-1]
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-3, force_impl="tree",
+                       tree_levels=3, tree_near="pairs",
+                       tree_max_chunks=int(total) + 8,
+                       tree_pair_entries=entries)
+    states = make_ensemble(base, 2, jax.random.key(0), pos_sigma=1e-4)
+    finals, trajs = ensemble_rollout(states, cfg, 10, record_every=5)
+    assert finals.pos.shape == (2, 64, 3)
+    assert np.all(np.isfinite(energy_drift(trajs)))
+
+    st0 = ot.init_forces(base, cfg)
+    fin0, _ = ot.rollout_jit(st0, cfg, 10)
+    np.testing.assert_allclose(np.asarray(finals.pos[0]),
+                               np.asarray(fin0.pos),
+                               rtol=1e-6, atol=1e-7)
