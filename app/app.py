@@ -105,6 +105,11 @@ SIM_SCENE = os.getenv("SIM_SCENE", "sol")  # "sol" | "cluster"
 SIM_N = int(os.getenv("SIM_N", "65536"))
 SIM_VIEW_MAX = int(os.getenv("SIM_VIEW_MAX", "1500"))
 SIM_STEPS_PER_TICK = int(os.getenv("SIM_STEPS_PER_TICK", "10"))
+# cluster force family: "exact" (O(N^2) Pallas kernels, the default) or
+# "tree" (multilevel multipole — the live 512k-1M regime; past the
+# single-program compile limit the loop switches to rollout_staged)
+SIM_FORCE = os.getenv("SIM_FORCE", "exact")
+SIM_TREE_LEVELS = int(os.getenv("SIM_TREE_LEVELS", "0"))  # 0 = auto
 
 engine = None
 _cl = None  # cluster-mode runtime (dict), None in solar mode
@@ -119,23 +124,60 @@ if SIM_SCENE == "cluster":
     _pos = _rng.normal(size=(SIM_N, 3))
     _vel = _rng.normal(size=(SIM_N, 3)) * 0.6
     _mass = np.full(SIM_N, 1.0 / SIM_N)
-    _cl_cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4)
-    _cl_state = ot.init_forces(
-        ot.make_state(_pos, _vel, _mass, np.full(SIM_N, 1e-4),
-                      precision="ds32"), _cl_cfg)
+    if SIM_FORCE == "tree":
+        from orbital_tpu.ops.tree import tree_pairs_probe
+
+        _lv = SIM_TREE_LEVELS or (8 if SIM_N > 262144 else 7)
+        _total, _per = tree_pairs_probe(
+            np.asarray(_pos, np.float32), levels=_lv)
+        _per = [int(v) for v in np.asarray(_per)]
+        while _per and _per[-1] == 0:
+            _per.pop()
+        _cl_cfg = ot.SimConfig(
+            dt=1e-3, G=1.0, eps2=1e-4, force_impl="tree",
+            tree_levels=_lv, tree_near="pairs",
+            tree_max_chunks=max(256, -(-int(_total) * 3 // 2 // 256) * 256),
+            tree_pair_entries=tuple(
+                (max(32, -(-v * 3 // 2 // 32) * 32) if v else 0)
+                for v in _per))
+    else:
+        _cl_cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4)
+    # the single-program tree step trips this platform's compile helper
+    # at levels=8, N >= 512k; the staged host loop is the supported path
+    _cl_staged = (SIM_FORCE == "tree"
+                  and (SIM_N >= 524288 or _cl_cfg.tree_levels >= 8))
+    _state0 = ot.make_state(_pos, _vel, _mass, np.full(SIM_N, 1e-4),
+                            precision="ds32")
+    _cl_state = (ot.init_forces_staged(_state0, _cl_cfg) if _cl_staged
+                 else ot.init_forces(_state0, _cl_cfg))
     _view_idx = np.linspace(0, SIM_N - 1, min(SIM_VIEW_MAX, SIM_N),
                             dtype=np.int64)
     _cl = {
         "state": _cl_state, "cfg": _cl_cfg, "view": _view_idx,
         "hist": {f"b{int(i):06d}": [] for i in _view_idx},
         "chunk": max(64, (1 << 27) // SIM_N),
+        "staged": _cl_staged,
     }
+
+    def _advance(k: int) -> None:
+        if _cl["staged"]:
+            from orbital_tpu.engine.rollout import rollout_staged
+
+            _cl["state"], _, ovf = rollout_staged(_cl["state"],
+                                                  _cl["cfg"], k)
+            if ovf:
+                print(f"WARNING: tree near-field overflow {ovf} "
+                      "(budgets outgrown; restart to re-probe)")
+        else:
+            _cl["state"], _ = rollout(_cl["state"], _cl["cfg"], k)
+
+    _cl["advance"] = _advance
     if INITIAL_STEPS > 0:
         print(f"Warming up {SIM_N}-body cluster...")
         done = 0
         while done < INITIAL_STEPS:
             k = min(_cl["chunk"], INITIAL_STEPS - done)
-            _cl["state"], _ = rollout(_cl["state"], _cl_cfg, k)
+            _advance(k)
             done += k
         float(_cl["state"].time)
         print("Done.")
@@ -270,10 +312,7 @@ def engine_loop() -> None:
         t0 = time.time()
         with engine_lock:
             if _cl is not None:
-                from orbital_tpu.engine.rollout import rollout
-
-                _cl["state"], _ = rollout(_cl["state"], _cl["cfg"],
-                                          SIM_STEPS_PER_TICK)
+                _cl["advance"](SIM_STEPS_PER_TICK)
             else:
                 engine.step()
             _snapshot = build_snapshot()

@@ -32,7 +32,9 @@ from .models.objects import (  # noqa: F401
 )
 from .models.rigid import moment_of_inertia, random_angular_velocity  # noqa: F401
 from .engine.state import NBodyState, Precision, Rescale, make_state  # noqa: F401
-from .engine.rollout import Trajectory, init_forces, rollout, rollout_jit  # noqa: F401
+from .engine.rollout import (Trajectory, init_forces,  # noqa: F401
+                             init_forces_staged, rollout, rollout_jit,
+                             rollout_staged)
 from .utils.config import SimConfig  # noqa: F401
 from .simulate import SimResult, simulate  # noqa: F401
 
@@ -45,7 +47,8 @@ __all__ = [
     "pairwise_accelerations", "set_circular_orbit",
     "moment_of_inertia", "random_angular_velocity",
     "NBodyState", "Precision", "Rescale", "make_state",
-    "Trajectory", "init_forces", "rollout", "rollout_jit", "SimConfig",
+    "Trajectory", "init_forces", "init_forces_staged", "rollout",
+    "rollout_jit", "rollout_staged", "SimConfig",
     "simulate", "SimResult", "SimulationEngine", "run_simulation",
     "pm_acc_potential", "p3m_acc_potential", "tree_acc_potential",
     "fit_initial_conditions", "fit_orbital_elements", "FitResult",

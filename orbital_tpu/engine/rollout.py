@@ -378,3 +378,109 @@ def rollout_jit(
 ) -> tuple[NBodyState, Optional[Trajectory]]:
     """jit-wrapped :func:`rollout` (cfg/steps/record_every static)."""
     return rollout(state, cfg, steps, record_every)
+
+
+def _staged_force_kwargs(cfg: SimConfig) -> dict:
+    kw = dict(G_grav=cfg.G, eps2=cfg.eps2, levels=cfg.tree_levels,
+              ws=cfg.tree_ws, order=cfg.tree_order, near=cfg.tree_near,
+              max_chunks=cfg.tree_max_chunks,
+              with_potential=cfg.track_potential,
+              box=cfg.pm_box_arrays())
+    if cfg.tree_near == "pairs":
+        kw.update(chunk=cfg.tree_chunk,
+                  pair_entries=tuple(cfg.tree_pair_entries))
+    else:
+        kw.update(capacity=cfg.tree_capacity, max_cells=cfg.tree_max_cells,
+                  max_big=cfg.tree_max_big,
+                  max_frontier=cfg.tree_max_frontier)
+    return kw
+
+
+def init_forces_staged(state: NBodyState, cfg: SimConfig) -> NBodyState:
+    """:func:`init_forces` via the tree's two-program staged evaluation
+    (companion of :func:`rollout_staged` — the single-program tree force
+    this platform's compile helper rejects at N >= 512k, levels=8 is
+    exactly what ``init_forces`` would build)."""
+    from ..ops.tree import tree_acc_potential_staged
+
+    acc, potential, _ = tree_acc_potential_staged(
+        state.pos, state.mass, state.alive, **_staged_force_kwargs(cfg))
+    return state.replace(acc=acc, potential=potential)
+
+
+def rollout_staged(
+    state: NBodyState,
+    cfg: SimConfig,
+    steps: int,
+    record_every: int = 0,
+) -> tuple[NBodyState, Optional[Trajectory], int]:
+    """Host-driven KDK rollout on the tree's STAGED two-program force.
+
+    The compiled :func:`rollout` traces the force into one XLA program,
+    which this platform's remote compile helper rejects for the tree at
+    N >= 512k, levels=8 (see ``ops.tree.tree_acc_potential_staged``).
+    This loop keeps the KDK update exactly as ``make_step_fn`` composes
+    it (half-kick / drift / force / half-kick, ds32 accumulation
+    included) but dispatches the far and near force phases as separate
+    programs from the host — ~3 dispatches/step of tunnel RTT, noise
+    against the seconds-per-eval regime large-N trees live in.
+
+    Requires ``integrator='kdk'``, ``collisions='none'``, and
+    ``force_impl='tree'``. Returns ``(final, trajectory | None,
+    max_overflow)`` — unlike the compiled hot loop, the near-field
+    overflow counter is CHECKED every step and the maximum is returned
+    (0 means every near pair was summed exactly for the whole run,
+    closing ADVICE r1 #3's gap for the staged path)."""
+    from ..ops.tree import tree_acc_potential
+    from .integrators import _accumulate
+
+    if cfg.integrator != "kdk" or cfg.collisions != "none":
+        raise ValueError(
+            "rollout_staged supports integrator='kdk' with "
+            "collisions='none' (the staged force cannot live inside a "
+            "compiled collision step)")
+    if cfg.force_impl != "tree":
+        raise ValueError("rollout_staged is the force_impl='tree' "
+                         "large-N path; use rollout() otherwise")
+    if record_every and steps % record_every != 0:
+        raise ValueError(
+            f"steps={steps} not divisible by record_every={record_every}")
+    kw = _staged_force_kwargs(cfg)
+    dt = cfg.dt
+
+    @jax.jit
+    def kick_drift(s: NBodyState) -> NBodyState:
+        vel, vel_lo = _accumulate(s.vel, s.vel_lo, 0.5 * dt * s.acc)
+        if vel_lo is None:
+            pos, pos_lo = _accumulate(s.pos, s.pos_lo, dt * vel)
+        else:
+            pos, pos_lo = _accumulate(s.pos, s.pos_lo, dt * vel,
+                                      dt * vel_lo)
+        return s.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)
+
+    @jax.jit
+    def close(s: NBodyState, acc, potential) -> NBodyState:
+        vel, vel_lo = _accumulate(s.vel, s.vel_lo, 0.5 * dt * acc)
+        return s.replace(vel=vel, vel_lo=vel_lo, acc=acc,
+                         potential=potential,
+                         time=s.time + dt, step=s.step + 1)
+
+    snap = jax.jit(_snapshot)
+    records: list = []
+    max_overflow = 0
+    for i in range(steps):
+        state = kick_drift(state)
+        a_f, u_f, _ = tree_acc_potential(state.pos, state.mass,
+                                         state.alive, _phase="far", **kw)
+        a_n, u_n, ovf = tree_acc_potential(state.pos, state.mass,
+                                           state.alive, _phase="near",
+                                           **kw)
+        max_overflow = max(max_overflow, int(ovf))
+        state = close(state, a_f + a_n, u_f + u_n)
+        if record_every and (i + 1) % record_every == 0:
+            records.append(snap(state))
+    if not record_every:
+        return state, None, max_overflow
+    stacked = {k: jnp.stack([r[k] for r in records])
+               for k in records[0]}
+    return state, Trajectory(**stacked), max_overflow

@@ -181,3 +181,64 @@ def test_cluster_demo_mode(cluster_client):
     r = c.get("/")
     assert r.status_code == 200
     assert c.get("/health").get_json()["status"] == "ok"
+
+@pytest.fixture()
+def tree_cluster_client():
+    """Cluster demo with SIM_FORCE=tree (tiny N + shallow levels for CPU)."""
+    keys = ("SIM_SCENE", "SIM_N", "SIM_VIEW_MAX", "SIM_INITIAL_STEPS",
+            "SIM_STEPS_PER_TICK", "SIM_DISABLE_THREAD", "SIM_FORCE",
+            "SIM_TREE_LEVELS")
+    saved = {k: os.environ.get(k) for k in keys}
+    os.environ.update({
+        "SIM_SCENE": "cluster",
+        "SIM_N": "256",
+        "SIM_VIEW_MAX": "32",
+        "SIM_INITIAL_STEPS": "10",
+        "SIM_STEPS_PER_TICK": "5",
+        "SIM_DISABLE_THREAD": "true",
+        "SIM_FORCE": "tree",
+        "SIM_TREE_LEVELS": "4",
+    })
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if sys.path[0] != repo_root:
+        sys.path.insert(0, repo_root)
+    sys.modules.pop("app.app", None)
+    sys.modules.pop("app", None)
+    mod = importlib.import_module("app.app")
+    mod.app.config["TESTING"] = True
+    with mod.app.test_client() as c:
+        yield c, mod
+    sys.modules.pop("app.app", None)
+    sys.modules.pop("app", None)
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+
+
+@pytest.mark.slow
+def test_cluster_demo_tree_force(tree_cluster_client):
+    """SIM_FORCE=tree drives the cluster demo on the multilevel tree
+    (probe-sized pairs budgets); the staged branch of the same _advance
+    wrapper advances time via rollout_staged with zero overflow."""
+    c, mod = tree_cluster_client
+    assert mod._cl["cfg"].force_impl == "tree"
+    assert mod._cl["cfg"].tree_near == "pairs"
+    assert mod._cl["cfg"].tree_pair_entries
+    d = c.get("/api/state").get_json()
+    assert len(d["bodies"]) == 32
+    t0 = d["time_elapsed"]
+    with mod.engine_lock:
+        mod._cl["advance"](mod.SIM_STEPS_PER_TICK)
+        mod._snapshot = mod.build_snapshot()
+    d1 = c.get("/api/state").get_json()
+    assert d1["time_elapsed"] > t0
+
+    # the staged branch of the same wrapper (the >= 512k path, small here)
+    t1 = float(mod._cl["state"].time)
+    with mod.engine_lock:
+        mod._cl["staged"] = True
+        mod._cl["advance"](2)
+        mod._cl["staged"] = False
+    assert float(mod._cl["state"].time) > t1

@@ -758,3 +758,43 @@ def test_simulate_tree_pairs(gauss_blob):
     scale = np.sqrt(np.mean(np.sum(r_cells.pos[-1] ** 2, -1)))
     np.testing.assert_allclose(r_pairs.pos[-1], r_cells.pos[-1],
                                atol=1e-4 * scale)
+
+@pytest.mark.slow
+def test_rollout_staged_matches_compiled(rng):
+    """rollout_staged (host-driven two-program KDK for the large-N tree
+    regime) reproduces the compiled rollout to f32 rounding, records the
+    same trajectory shape, and reports zero overflow on a probed config."""
+    from orbital_tpu.engine.state import make_state
+
+    n, levels = 512, 4
+    pos = (rng.normal(0, 1, (n, 3))
+           * rng.uniform(0.05, 1.0, (n, 1))).astype(np.float32)
+    vel = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32) / n
+    total, entries = _pairs_budgets(pos, levels)
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4, force_impl="tree",
+                       tree_levels=levels, tree_near="pairs",
+                       tree_max_chunks=total, tree_pair_entries=entries)
+    st = make_state(pos, vel, mass, precision="f32")
+
+    st_c = ot.init_forces(st, cfg)
+    fin_c, traj_c = ot.rollout_jit(st_c, cfg, 8, record_every=4)
+
+    st_s = ot.init_forces_staged(st, cfg)
+    np.testing.assert_allclose(np.asarray(st_s.acc), np.asarray(st_c.acc),
+                               rtol=1e-5, atol=1e-7)
+    fin_s, traj_s, ovf = ot.rollout_staged(st_s, cfg, 8, record_every=4)
+    assert ovf == 0
+    scale = np.sqrt(np.mean(np.sum(np.asarray(fin_c.pos) ** 2, -1)))
+    np.testing.assert_allclose(np.asarray(fin_s.pos),
+                               np.asarray(fin_c.pos), atol=1e-5 * scale)
+    assert traj_s.pos.shape == traj_c.pos.shape
+    np.testing.assert_allclose(np.asarray(traj_s.energy),
+                               np.asarray(traj_c.energy), rtol=1e-5)
+    assert float(fin_s.time) == pytest.approx(float(fin_c.time))
+
+    # contract guards
+    with pytest.raises(ValueError, match="kdk"):
+        ot.rollout_staged(st_s, cfg.replace(integrator="euler"), 2)
+    with pytest.raises(ValueError, match="tree"):
+        ot.rollout_staged(st_s, cfg.replace(force_impl="dense"), 2)
