@@ -24,6 +24,12 @@ from .utils.config import SimConfig
 
 __all__ = ["simulate", "SimResult"]
 
+# tree rollouts at and past this shape route to the host-driven staged
+# loop (engine.rollout.rollout_staged): the single-program tree step
+# reproducibly crashes this platform's remote compile helper there
+_STAGED_MIN_LEVELS = 8
+_STAGED_MIN_N = 524288
+
 
 @dataclasses.dataclass
 class SimResult:
@@ -231,8 +237,30 @@ def simulate(
                     "bodies — raise tree_levels (finer cells) for this "
                     "concentration")
             cfg = cfg.replace(tree_capacity=cap)
-    state = init_forces(state, cfg)
-    final, traj = rollout_jit(state, cfg, steps, record_every)
+    staged = (force_impl == "tree" and cfg.integrator == "kdk"
+              and cfg.collisions == "none"
+              and cfg.tree_levels >= _STAGED_MIN_LEVELS
+              and state.n_bodies >= _STAGED_MIN_N)
+    if staged:
+        # the single-program tree step trips this platform's remote
+        # compile helper at levels=8, N >= 512k; the host-driven
+        # two-program loop is the supported path (and it CHECKS the
+        # near-field overflow every step)
+        from .engine.rollout import init_forces_staged, rollout_staged
+
+        state = init_forces_staged(state, cfg)
+        final, traj, ovf = rollout_staged(state, cfg, steps, record_every)
+        if ovf:
+            import warnings
+
+            warnings.warn(
+                f"tree near-field overflow {ovf} during the staged "
+                "rollout: budgets sized from the initial distribution "
+                "were outgrown mid-run; re-run in shorter segments.",
+                RuntimeWarning, stacklevel=2)
+    else:
+        state = init_forces(state, cfg)
+        final, traj = rollout_jit(state, cfg, steps, record_every)
     assert isinstance(traj, Trajectory)
 
     if force_impl == "tree":

@@ -798,3 +798,38 @@ def test_rollout_staged_matches_compiled(rng):
         ot.rollout_staged(st_s, cfg.replace(integrator="euler"), 2)
     with pytest.raises(ValueError, match="tree"):
         ot.rollout_staged(st_s, cfg.replace(force_impl="dense"), 2)
+
+@pytest.mark.slow
+def test_simulate_routes_large_tree_to_staged(gauss_blob, monkeypatch):
+    """At the staged-regime shape (levels >= 8, N >= 512k on the real
+    platform; thresholds lowered here) simulate() routes through
+    rollout_staged and produces the same SimResult surface."""
+    import sys
+
+    # orbital_tpu.simulate the ATTRIBUTE is the function (package
+    # re-export); the module lives in sys.modules
+    import orbital_tpu.simulate  # noqa: F401
+    sim_mod = sys.modules["orbital_tpu.simulate"]
+
+    pos, mass = gauss_blob
+    objs = [ot.Object(mass=float(m) * 1e4, radius=1e-3,
+                      velocity=np.zeros(3),
+                      coordinates=ot.Coordinates(*p.tolist()))
+            for m, p in zip(mass[:128], pos[:128])]
+    monkeypatch.setattr(sim_mod, "_STAGED_MIN_LEVELS", 4)
+    monkeypatch.setattr(sim_mod, "_STAGED_MIN_N", 64)
+    calls = {}
+    from orbital_tpu.engine import rollout as ro
+    orig = ro.rollout_staged
+
+    def spy(*a, **k):
+        calls["staged"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ro, "rollout_staged", spy)
+    r = ot.simulate(objs, steps=10, dt=1e-4, softening=1e-2,
+                    force_impl="tree", tree_levels=4, tree_near="pairs",
+                    precision="f32", record_every=5)
+    assert calls.get("staged")
+    assert r.pos.shape[0] == 2 and np.isfinite(r.pos).all()
+    assert np.isfinite(r.energy).all()
