@@ -125,27 +125,22 @@ if SIM_SCENE == "cluster":
     _vel = _rng.normal(size=(SIM_N, 3)) * 0.6
     _mass = np.full(SIM_N, 1.0 / SIM_N)
     if SIM_FORCE == "tree":
-        from orbital_tpu.ops.tree import tree_pairs_probe
+        from orbital_tpu.ops.tree import tree_pairs_budgets
 
         _lv = SIM_TREE_LEVELS or (8 if SIM_N > 262144 else 7)
-        _total, _per = tree_pairs_probe(
+        _kch, _entries = tree_pairs_budgets(
             np.asarray(_pos, np.float32), levels=_lv)
-        _per = [int(v) for v in np.asarray(_per)]
-        while _per and _per[-1] == 0:
-            _per.pop()
         _cl_cfg = ot.SimConfig(
             dt=1e-3, G=1.0, eps2=1e-4, force_impl="tree",
             tree_levels=_lv, tree_near="pairs",
-            tree_max_chunks=max(256, -(-int(_total) * 3 // 2 // 256) * 256),
-            tree_pair_entries=tuple(
-                (max(32, -(-v * 3 // 2 // 32) * 32) if v else 0)
-                for v in _per))
+            tree_max_chunks=_kch, tree_pair_entries=_entries)
     else:
         _cl_cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-4)
     # the single-program tree step trips this platform's compile helper
-    # at levels=8, N >= 512k; the staged host loop is the supported path
-    _cl_staged = (SIM_FORCE == "tree"
-                  and (SIM_N >= 524288 or _cl_cfg.tree_levels >= 8))
+    # at levels=8 AND N >= 512k (same gate as simulate._STAGED_MIN_*);
+    # the staged host loop is the supported path there
+    _cl_staged = (SIM_FORCE == "tree" and SIM_N >= 524288
+                  and _cl_cfg.tree_levels >= 8)
     _state0 = ot.make_state(_pos, _vel, _mass, np.full(SIM_N, 1e-4),
                             precision="ds32")
     _cl_state = (ot.init_forces_staged(_state0, _cl_cfg) if _cl_staged

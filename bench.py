@@ -241,20 +241,14 @@ def tree_cfg_probed(pos, levels: int, **kw):
         pbox = (jnp.asarray(np.asarray(pbox[:3], np.float32)),
                 jnp.float32(pbox[3]))
     if near == "pairs":
-        from orbital_tpu.ops.tree import tree_pairs_probe
+        from orbital_tpu.ops.tree import tree_pairs_budgets
 
-        total, per_oct = tree_pairs_probe(
+        kch, entries = tree_pairs_budgets(
             jnp.asarray(pos, jnp.float32), levels=levels, ws=ws,
             chunk=chunk, box=pbox)
-        per = [int(v) for v in np.asarray(per_oct)]
-        while per and per[-1] == 0:
-            per.pop()
-        entries = tuple((max(32, -(-int(v * 1.3) // 32) * 32) if v else 0)
-                        for v in per)
         return ot.SimConfig(
             force_impl="tree", tree_levels=levels, tree_ws=ws,
-            tree_near="pairs", tree_chunk=chunk,
-            tree_max_chunks=max(256, int(np.ceil(int(total) * 1.3 / 256) * 256)),
+            tree_near="pairs", tree_chunk=chunk, tree_max_chunks=kch,
             tree_pair_entries=entries, **kw)
     nchunks = 0
     if near == "columns":
@@ -276,10 +270,13 @@ def tree_cfg_probed(pos, levels: int, **kw):
 
 
 def _tree_kw_from_cfg(cfg):
-    """tree_acc_potential kwargs from a probed SimConfig (any near mode)."""
-    kw = dict(G_grav=1.0, eps2=cfg.eps2, levels=cfg.tree_levels,
-              ws=cfg.tree_ws, near=cfg.tree_near,
-              max_chunks=cfg.tree_max_chunks, with_potential=False)
+    """tree_acc_potential kwargs from a probed SimConfig (any near mode) —
+    the FULL force the config describes (G, order, pinned box included),
+    so staged benchmarks measure exactly the configured evaluation."""
+    kw = dict(G_grav=cfg.G, eps2=cfg.eps2, levels=cfg.tree_levels,
+              ws=cfg.tree_ws, order=cfg.tree_order, near=cfg.tree_near,
+              max_chunks=cfg.tree_max_chunks, box=cfg.pm_box_arrays(),
+              with_potential=False)
     if cfg.tree_near == "pairs":
         kw.update(chunk=cfg.tree_chunk,
                   pair_entries=tuple(cfg.tree_pair_entries))

@@ -24,7 +24,8 @@ from .state import NBodyState
 
 __all__ = ["Trajectory", "resolve_force_fn", "resolve_force_detect_fn",
            "resolve_accel_jerk_fn", "resolve_accel_jerk_detect_fn",
-           "init_forces", "rollout", "rollout_jit"]
+           "init_forces", "init_forces_staged", "rollout", "rollout_jit",
+           "rollout_staged"]
 
 # Above this body count the dense [N, N] path gives way to row-blocked or
 # Pallas kernels ("auto" policy).
@@ -380,6 +381,34 @@ def rollout_jit(
     return rollout(state, cfg, steps, record_every)
 
 
+@partial(jax.jit, static_argnames=("dt", "ds32"))
+def _staged_kick_drift(s: NBodyState, dt: float, ds32: bool) -> NBodyState:
+    """KDK half-kick + drift, jitted ONCE per (dt, precision) — the
+    staged loop calls it every step, so per-call closures would retrace
+    and recompile on every rollout_staged invocation (and through the
+    remote compile helper, every viewer tick)."""
+    from .integrators import _accumulate
+
+    vel, vel_lo = _accumulate(s.vel, s.vel_lo, 0.5 * dt * s.acc)
+    if not ds32:
+        pos, pos_lo = _accumulate(s.pos, s.pos_lo, dt * vel)
+    else:
+        pos, pos_lo = _accumulate(s.pos, s.pos_lo, dt * vel, dt * vel_lo)
+    return s.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)
+
+
+@partial(jax.jit, static_argnames=("dt",))
+def _staged_close(s: NBodyState, acc, potential, dt: float) -> NBodyState:
+    from .integrators import _accumulate
+
+    vel, vel_lo = _accumulate(s.vel, s.vel_lo, 0.5 * dt * acc)
+    return s.replace(vel=vel, vel_lo=vel_lo, acc=acc, potential=potential,
+                     time=s.time + dt, step=s.step + 1)
+
+
+_snapshot_jit = None
+
+
 def _staged_force_kwargs(cfg: SimConfig) -> dict:
     kw = dict(G_grav=cfg.G, eps2=cfg.eps2, levels=cfg.tree_levels,
               ws=cfg.tree_ws, order=cfg.tree_order, near=cfg.tree_near,
@@ -432,7 +461,6 @@ def rollout_staged(
     (0 means every near pair was summed exactly for the whole run,
     closing ADVICE r1 #3's gap for the staged path)."""
     from ..ops.tree import tree_acc_potential
-    from .integrators import _accumulate
 
     if cfg.integrator != "kdk" or cfg.collisions != "none":
         raise ValueError(
@@ -446,41 +474,34 @@ def rollout_staged(
         raise ValueError(
             f"steps={steps} not divisible by record_every={record_every}")
     kw = _staged_force_kwargs(cfg)
-    dt = cfg.dt
+    dt = float(cfg.dt)
+    ds32 = state.vel_lo is not None
 
-    @jax.jit
-    def kick_drift(s: NBodyState) -> NBodyState:
-        vel, vel_lo = _accumulate(s.vel, s.vel_lo, 0.5 * dt * s.acc)
-        if vel_lo is None:
-            pos, pos_lo = _accumulate(s.pos, s.pos_lo, dt * vel)
-        else:
-            pos, pos_lo = _accumulate(s.pos, s.pos_lo, dt * vel,
-                                      dt * vel_lo)
-        return s.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)
-
-    @jax.jit
-    def close(s: NBodyState, acc, potential) -> NBodyState:
-        vel, vel_lo = _accumulate(s.vel, s.vel_lo, 0.5 * dt * acc)
-        return s.replace(vel=vel, vel_lo=vel_lo, acc=acc,
-                         potential=potential,
-                         time=s.time + dt, step=s.step + 1)
-
-    snap = jax.jit(_snapshot)
+    global _snapshot_jit
+    if _snapshot_jit is None:
+        _snapshot_jit = jax.jit(_snapshot)
+    snap = _snapshot_jit
     records: list = []
     max_overflow = 0
     for i in range(steps):
-        state = kick_drift(state)
+        state = _staged_kick_drift(state, dt, ds32)
         a_f, u_f, _ = tree_acc_potential(state.pos, state.mass,
                                          state.alive, _phase="far", **kw)
         a_n, u_n, ovf = tree_acc_potential(state.pos, state.mass,
                                            state.alive, _phase="near",
                                            **kw)
         max_overflow = max(max_overflow, int(ovf))
-        state = close(state, a_f + a_n, u_f + u_n)
+        state = _staged_close(state, a_f + a_n, u_f + u_n, dt)
         if record_every and (i + 1) % record_every == 0:
             records.append(snap(state))
     if not record_every:
         return state, None, max_overflow
+    if not records:
+        # steps=0: same empty-Trajectory contract as the compiled rollout
+        z = snap(state)
+        stacked = {k: jnp.zeros((0,) + v.shape, v.dtype)
+                   for k, v in z.items()}
+        return state, Trajectory(**stacked), max_overflow
     stacked = {k: jnp.stack([r[k] for r in records])
                for k in records[0]}
     return state, Trajectory(**stacked), max_overflow

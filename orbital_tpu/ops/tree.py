@@ -105,7 +105,8 @@ if _SKIP:
 
 __all__ = ["tree_acc_potential", "tree_acc_potential_staged",
            "tree_sharded_force", "tree_occupancy_probe", "tree_class_probe",
-           "tree_column_probe", "tree_pairs_probe", "tree_stencil"]
+           "tree_column_probe", "tree_pairs_probe", "tree_pairs_budgets",
+           "tree_stencil"]
 
 
 def tree_stencil(ws: int) -> list[tuple[int, int, int]]:
@@ -1675,6 +1676,34 @@ def tree_pairs_probe(
         g["chunk_valid"].astype(jnp.int32), oct_of, num_segments=n_octaves)
     total = jnp.sum(g["chunk_valid"].astype(jnp.int32))
     return total, per_oct
+
+
+def tree_pairs_budgets(
+    pos,
+    alive=None,
+    *,
+    levels: int,
+    ws: int = 1,
+    chunk: int = 32,
+    box=None,
+    headroom: float = 1.5,
+) -> tuple[int, tuple]:
+    """Host-side ``(max_chunks, pair_entries)`` sizing for
+    ``near="pairs"``: one :func:`tree_pairs_probe` call, trailing zero
+    octaves trimmed, ``headroom``-scaled and alignment-rounded. The ONE
+    place the probe counts become static budgets — simulate(), bench,
+    and the viewer service all call it, so the margin policy cannot
+    drift between entry points."""
+    total, per_oct = tree_pairs_probe(pos, alive, levels=levels, ws=ws,
+                                      chunk=chunk, box=box)
+    per = [int(v) for v in np.asarray(per_oct)]
+    while per and per[-1] == 0:
+        per.pop()
+    entries = tuple(
+        (max(32, -(-int(v * headroom) // 32) * 32) if v else 0)
+        for v in per)
+    max_chunks = max(256, -(-int(int(total) * headroom) // 256) * 256)
+    return max_chunks, entries
 
 
 @partial(jax.jit, static_argnames=("levels",))

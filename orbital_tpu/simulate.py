@@ -186,21 +186,13 @@ def simulate(
         # near="columns", per-CHUNK-OCTAVE under near="pairs" — probe at
         # the matching granularity
         if tree_near == "pairs":
-            from .ops.tree import tree_pairs_probe
+            from .ops.tree import tree_pairs_budgets
 
-            total, per_oct = tree_pairs_probe(
+            kch, entries = tree_pairs_budgets(
                 state.pos, state.alive, levels=tree_levels, ws=tree_ws,
                 chunk=cfg.tree_chunk, box=cfg.pm_box_arrays())
-            per = [int(v) for v in np.asarray(per_oct)]
-            while per and per[-1] == 0:
-                per.pop()
-            entries = tuple(
-                (max(32, -(-int(v * 1.5) // 32) * 32) if v else 0)
-                for v in per)
-            cfg = cfg.replace(
-                tree_max_chunks=max(
-                    256, -(-int(int(total) * 1.5) // 256) * 256),
-                tree_pair_entries=entries)
+            cfg = cfg.replace(tree_max_chunks=kch,
+                              tree_pair_entries=entries)
         elif tree_near == "columns":
             occ, ncells, nbig, nfront, nchunks = tree_column_probe(
                 state.pos, state.alive, levels=tree_levels, ws=tree_ws,
