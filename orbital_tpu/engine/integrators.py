@@ -16,6 +16,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..ops import collisions as coll
@@ -424,6 +425,167 @@ def make_step_fn(
         )
         return _apply_collisions(cfg, state, contacts)
 
+    def hermite_block_rungs(state: NBodyState) -> NBodyState:
+        """Multi-rung block-timestep Hermite (``cfg.hermite_rungs`` = R
+        levels): each fast body is granted a POWER-OF-TWO substep rung by
+        sorted-dt position quota — the fastest ``F >> (R-1)`` bodies step
+        every fine step, the next quota every 2nd, ..., the last quota
+        every ``2^(R-1)``-th — so the substep force bill is the SUM of
+        rung-prefix evaluations instead of m x F: a lone hard binary no
+        longer drags every merely-fast body to ITS rate.
+
+        Static-shape mechanics: fast bodies are dt-sorted, so the active
+        set at fine step s is always a PREFIX (every rung finer than the
+        coarsest active one is active too); ``lax.switch`` over the
+        active level runs one statically-shaped
+        :func:`~orbital_tpu.ops.forces.accel_jerk_subset` per fine step.
+        The fine count m is rounded UP to a power of two (rung periods
+        must divide it); bodies whose granted period exceeds m fall back
+        to the closing macro step for this macro step. Quota grants are
+        by position, not need: a body can be granted a coarser rung than
+        its Aarseth dt wants, which (like overflowing ``fast_cap``)
+        degrades accuracy, never correctness — the dt-sorted order
+        guarantees any under-granted body is slower than every body
+        granted a finer rung. Same macro-boundary collision caveat as
+        the single-rung scheme."""
+        from ..ops.forces import accel_jerk_subset
+
+        n = state.n_bodies
+        F = min(cfg.hermite_fast_cap, n)
+        L = cfg.hermite_rungs
+        sub_chunk = (cfg.chunk if n > 4096 and n % cfg.chunk == 0 else 0)
+        r0 = state.pos_full()
+        v0 = state.vel_full()
+        a0 = state.acc
+        j0 = state.jerk
+        eta = cfg.adaptive_eta
+
+        a_mag = jnp.linalg.norm(a0, axis=-1)
+        j_mag = jnp.linalg.norm(j0, axis=-1) + 1e-30
+        dt_i = jnp.where(state.alive, eta * jnp.sqrt(a_mag / j_mag),
+                         jnp.inf)
+        idx_f = jnp.argsort(dt_i)[:F]
+        fast_sel = dt_i[idx_f] < dt                       # [F]
+        any_fast = jnp.any(fast_sel)
+        dt_f_min = jnp.min(jnp.where(fast_sel, dt_i[idx_f], jnp.inf))
+        # fine count: the needed substeps rounded UP to a power of two
+        need = jnp.where(any_fast,
+                         jnp.ceil(dt / jnp.clip(dt_f_min, cfg.dt_min, dt)),
+                         1.0)
+        log2_ms = int(np.log2(cfg.hermite_max_substeps))
+        e = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(need, 1.0))),
+                     0.0, float(log2_ms)).astype(jnp.int32)
+        m = jnp.left_shift(jnp.int32(1), e)
+        h = dt / m.astype(r0.dtype)
+
+        # static rung per sorted-fast position (quota halving): position
+        # p < F >> (L-1) is rung 0 (every fine step), then doubling
+        pos_p = np.arange(F)
+        rung_np = np.zeros(F, np.int32)
+        for r in range(1, L):
+            rung_np += (pos_p >= (F >> (L - r))).astype(np.int32)
+        period = jnp.asarray(1 << rung_np)                # [F] static
+        T = [max(1, F >> (L - 1 - r)) for r in range(L)]  # prefix sizes
+        T[-1] = F
+
+        ride = fast_sel & (period <= m)                   # [F]
+        rf0, vf0 = r0[idx_f], v0[idx_f]
+        af0 = a0[idx_f].astype(r0.dtype)
+        jf0 = j0[idx_f].astype(r0.dtype)
+        per_f = period.astype(r0.dtype)
+
+        def substep(s, carry):
+            rl, vl, al, jl, tl = carry
+            tau = s.astype(r0.dtype) * h
+            # coarsest active rung at fine step s (finer ones included)
+            level = jnp.zeros((), jnp.int32)
+            for r in range(1, L):
+                level = level + ((s % (1 << r)) == 0).astype(jnp.int32)
+
+            def branch(Tr, _s=None):
+                def go(carry):
+                    rl, vl, al, jl, tl = carry
+                    # sources at tau: macro polynomials, with substepping
+                    # fast rows riding their own carry polynomials
+                    rs = (r0 + tau * v0 + (0.5 * tau * tau) * a0
+                          + (tau ** 3 / 6.0) * j0)
+                    vs = v0 + tau * a0 + (0.5 * tau * tau) * j0
+                    dlt = (tau - tl)[:, None]
+                    rpf = (rl + dlt * vl + (0.5 * dlt * dlt) * al
+                           + (dlt ** 3 / 6.0) * jl)
+                    vpf = vl + dlt * al + (0.5 * dlt * dlt) * jl
+                    rd = ride[:, None]
+                    rs = rs.at[idx_f].set(jnp.where(rd, rpf, rs[idx_f]))
+                    vs = vs.at[idx_f].set(jnp.where(rd, vpf, vs[idx_f]))
+                    a1, j1 = accel_jerk_subset(
+                        idx_f[:Tr], rs, vs, state.mass, state.alive,
+                        G=cfg.G, eps2=cfg.eps2, chunk=sub_chunk)
+                    a1 = a1.astype(r0.dtype)
+                    j1 = j1.astype(r0.dtype)
+                    act = ride[:Tr] & ((s % period[:Tr]) == 0)
+                    he = (per_f[:Tr] * h)[:, None]
+                    dv = (0.5 * he) * (al[:Tr] + a1) \
+                        + (he * he / 12.0) * (jl[:Tr] - j1)
+                    v1 = vl[:Tr] + dv
+                    dr = (0.5 * he) * (vl[:Tr] + v1) \
+                        + (he * he / 12.0) * (al[:Tr] - a1)
+                    am = act[:, None]
+                    rl = rl.at[:Tr].set(jnp.where(am, rl[:Tr] + dr,
+                                                  rl[:Tr]))
+                    vl = vl.at[:Tr].set(jnp.where(am, v1, vl[:Tr]))
+                    al = al.at[:Tr].set(jnp.where(am, a1, al[:Tr]))
+                    jl = jl.at[:Tr].set(jnp.where(am, j1, jl[:Tr]))
+                    tl = tl.at[:Tr].set(jnp.where(act, tau, tl[:Tr]))
+                    return (rl, vl, al, jl, tl)
+                return go
+
+            return lax.switch(level, [branch(t) for t in T],
+                              (rl, vl, al, jl, tl))
+
+        tl0 = jnp.zeros((F,), r0.dtype)
+        carry0 = (rf0, vf0, af0, jf0, tl0)
+        rl, vl, al, jl, _ = lax.cond(
+            any_fast,
+            lambda c: lax.fori_loop(1, m + 1, substep, c),
+            lambda c: c,
+            carry0)
+        upd = ride[:, None]
+
+        # macro step: one full-system evaluation at t+dt with the
+        # substepped bodies' FINAL positions as sources
+        rp = r0 + dt * v0 + (0.5 * dt * dt) * a0 + (dt ** 3 / 6.0) * j0
+        vp = v0 + dt * a0 + (0.5 * dt * dt) * j0
+        rp = rp.at[idx_f].set(jnp.where(upd, rl, rp[idx_f]))
+        vp = vp.at[idx_f].set(jnp.where(upd, vl, vp[idx_f]))
+        contacts = None
+        if accel_jerk_detect_fn is not None and cfg.collisions != "none":
+            a1, j1, potential, contacts = accel_jerk_detect_fn(
+                rp, vp, state.mass, state.radius, state.alive)
+        else:
+            a1, j1, potential = accel_jerk_fn(rp, vp, state.mass,
+                                              state.alive)
+        dv = (0.5 * dt) * (a0 + a1) + (dt * dt / 12.0) * (j0 - j1)
+        vel, vel_lo = _accumulate(state.vel, state.vel_lo, dv)
+        v1 = vel if vel_lo is None else vel + vel_lo
+        dr = (0.5 * dt) * (v0 + v1) + (dt * dt / 12.0) * (a0 - a1)
+        pos, pos_lo = _accumulate(state.pos, state.pos_lo, dr)
+
+        pos = pos.at[idx_f].set(jnp.where(upd, rl.astype(pos.dtype),
+                                          pos[idx_f]))
+        vel = vel.at[idx_f].set(jnp.where(upd, vl.astype(vel.dtype),
+                                          vel[idx_f]))
+        if pos_lo is not None:
+            z = jnp.zeros_like(pos_lo[idx_f])
+            pos_lo = pos_lo.at[idx_f].set(jnp.where(upd, z, pos_lo[idx_f]))
+            vel_lo = vel_lo.at[idx_f].set(jnp.where(upd, z, vel_lo[idx_f]))
+
+        state = state.replace(
+            pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo,
+            acc=a1, jerk=j1, potential=potential,
+            time=state.time + dt, step=state.step + 1,
+        )
+        return _apply_collisions(cfg, state, contacts)
+
     def euler(state: NBodyState) -> NBodyState:
         # v(t+dt) = v(t) + a(t) dt; r(t+dt) = r(t) + v(t+dt) dt
         # (reference Object.update, core/physics.py:315-332), then refresh
@@ -447,6 +609,8 @@ def make_step_fn(
         return _apply_collisions(cfg, state, contacts)
 
     if cfg.integrator == "hermite" and cfg.hermite_fast_cap > 0:
+        if cfg.hermite_rungs > 1:
+            return hermite_block_rungs
         return hermite_block
     return {"kdk": kdk, "euler": euler, "rk4": rk4, "hermite": hermite,
             "yoshida4": yoshida4}[cfg.integrator]

@@ -77,6 +77,7 @@ def simulate(
     dt_min: float = 0.0,
     hermite_fast_cap: int = 0,
     hermite_max_substeps: int = 64,
+    hermite_rungs: int = 1,
     unit_profile: UnitProfile = STANDARD,
     rescale: Optional[Rescale] = None,
 ) -> SimResult:
@@ -146,6 +147,7 @@ def simulate(
         dt_min=dt_min / rescale.time if dt_min else 0.0,
         hermite_fast_cap=hermite_fast_cap,
         hermite_max_substeps=hermite_max_substeps,
+        hermite_rungs=hermite_rungs,
     )
     state = make_state(arrays.pos, arrays.vel, arrays.mass, arrays.radius,
                        precision=precision, rescale=rescale)

@@ -124,6 +124,15 @@ class SimConfig:
             budgets; size with ops.tree.tree_pairs_probe
             (simulate(force_impl="tree", tree_near="pairs") probes
             automatically).
+        hermite_rungs: block-timestep Hermite substep LEVELS. 1 (the
+            default) substeps every fast body at the single rate the
+            fastest needs. R > 1 grants power-of-two rungs by
+            sorted-dt position quota (the fastest fast_cap/2^(R-1)
+            bodies substep every fine step, the next quota every 2nd,
+            ...), so substep force cost scales with the sum of rung
+            sizes instead of m x fast_cap. Requires hermite_fast_cap,
+            adaptive_eta, and a power-of-two hermite_max_substeps
+            >= 2^(R-1).
     """
 
     dt: float
@@ -155,6 +164,7 @@ class SimConfig:
     tree_pair_entries: tuple = ()
     hermite_fast_cap: int = 0
     hermite_max_substeps: int = 64
+    hermite_rungs: int = 1
 
     def __post_init__(self):
         if self.collisions not in ("none", "bounce", "merge"):
@@ -182,6 +192,22 @@ class SimConfig:
                     "criterion classifies fast bodies)")
         if self.hermite_max_substeps < 1:
             raise ValueError("hermite_max_substeps must be >= 1")
+        if self.hermite_rungs < 1:
+            raise ValueError("hermite_rungs must be >= 1")
+        if self.hermite_rungs > 1:
+            if self.hermite_fast_cap <= 0:
+                raise ValueError("hermite_rungs > 1 requires "
+                                 "hermite_fast_cap (block timesteps)")
+            ms = self.hermite_max_substeps
+            if ms & (ms - 1):
+                raise ValueError(
+                    "hermite_rungs > 1 requires a power-of-two "
+                    f"hermite_max_substeps, got {ms}")
+            if (1 << (self.hermite_rungs - 1)) > ms:
+                raise ValueError(
+                    f"hermite_rungs={self.hermite_rungs} needs "
+                    f"hermite_max_substeps >= 2^(rungs-1) = "
+                    f"{1 << (self.hermite_rungs - 1)}, got {ms}")
         if not (2 <= self.tree_levels <= 8):
             raise ValueError(f"tree_levels must be in [2, 8], got {self.tree_levels}")
         if self.ring_block_impl not in ("auto", "pallas", "dense"):

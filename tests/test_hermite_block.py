@@ -146,3 +146,66 @@ def test_simulate_block_hermite_passthrough():
     sep = np.linalg.norm(res.pos[-1, 0] - res.pos[-1, 1])
     assert abs(sep - s_b) / s_b < 0.05
     assert res.config.hermite_fast_cap == 2
+
+def test_multirung_binary_survives_macro_dt():
+    """hermite_rungs=3: the binary (finest rung) is tracked through 16
+    orbits while the ring bodies stay on the fine reference — the
+    multi-rung scheme keeps the single-rung scheme's accuracy class."""
+    pos, vel, mass, T_b = _binary_in_ring()
+    s_b = np.linalg.norm(pos[0] - pos[1])
+    dt_macro = T_b / 4.0
+    steps = 64
+
+    cfg = ot.SimConfig(dt=dt_macro, G=1.0, eps2=1e-10,
+                       integrator="hermite", adaptive_eta=0.02,
+                       dt_min=dt_macro / 4096, hermite_fast_cap=8,
+                       hermite_max_substeps=256, hermite_rungs=3)
+    st = make_state(pos, vel, mass, precision="f64")
+    fin, _ = ot.rollout_jit(ot.init_forces(st, cfg), cfg, steps)
+    p_blk = np.asarray(fin.pos_full())
+
+    st = make_state(pos, vel, mass, precision="f64")
+    cfg_ref = ot.SimConfig(dt=dt_macro / 64, G=1.0, eps2=1e-10,
+                           integrator="hermite")
+    fin, _ = ot.rollout_jit(ot.init_forces(st, cfg_ref), cfg_ref,
+                            steps * 64)
+    p_ref = np.asarray(fin.pos_full())
+
+    assert abs(np.linalg.norm(p_blk[0] - p_blk[1]) - s_b) / s_b < 1e-2
+    assert np.abs(p_blk[2:] - p_ref[2:]).max() < 1e-6
+
+
+def test_multirung_matches_plain_when_all_slow():
+    """With nothing under the macro dt, the multi-rung stepper is the
+    plain Hermite step, bit-comparable to fast_cap=0."""
+    rng = np.random.default_rng(2)
+    n = 24
+    pos = rng.normal(size=(n, 3)) * 5.0
+    vel = rng.normal(size=(n, 3)) * 0.01
+    mass = np.full(n, 1e-6)
+    base = dict(dt=1e-3, G=1.0, eps2=1e-4, integrator="hermite")
+    outs = {}
+    for rungs in (0, 3):
+        cfg = ot.SimConfig(adaptive_eta=0.1 if rungs else None,
+                           dt_min=1e-9 if rungs else 0.0,
+                           hermite_fast_cap=8 if rungs else 0,
+                           hermite_max_substeps=64,
+                           hermite_rungs=max(1, rungs), **base)
+        st = make_state(pos, vel, mass, precision="f64")
+        fin, _ = ot.rollout_jit(ot.init_forces(st, cfg), cfg, 10)
+        outs[rungs] = np.asarray(fin.pos_full())
+    np.testing.assert_allclose(outs[3], outs[0], rtol=1e-12, atol=1e-15)
+
+
+def test_multirung_config_validation():
+    with pytest.raises(ValueError, match="power-of-two"):
+        ot.SimConfig(dt=1.0, G=1.0, eps2=1.0, integrator="hermite",
+                     adaptive_eta=0.1, dt_min=1e-6, hermite_fast_cap=4,
+                     hermite_max_substeps=100, hermite_rungs=2)
+    with pytest.raises(ValueError, match="hermite_fast_cap"):
+        ot.SimConfig(dt=1.0, G=1.0, eps2=1.0, integrator="hermite",
+                     adaptive_eta=0.1, hermite_rungs=2)
+    with pytest.raises(ValueError, match="2\\^\\(rungs-1\\)"):
+        ot.SimConfig(dt=1.0, G=1.0, eps2=1.0, integrator="hermite",
+                     adaptive_eta=0.1, dt_min=1e-6, hermite_fast_cap=4,
+                     hermite_max_substeps=4, hermite_rungs=4)
