@@ -768,7 +768,7 @@ def tree_acc_potential(
     if near == "pairs":
         idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow = \
             _near_pairs(
-                pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
+                sc, _pack_rows, n, M, ws, eps2, G,
                 origin, h, max_chunks, chunk, pair_entries, cell_block,
                 _n_parts, _part_index)
     elif near == "columns":
@@ -1285,7 +1285,7 @@ def _pairs_geometry(sc, n, M, ws, C, K_ch):
                 j_lo=j_lo, cnt=cnt, S_ch=jnp.sum(cnt, axis=-1))
 
 
-def _near_pairs(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
+def _near_pairs(sc, _pack_rows, n, M, ws, eps2, G,
                 origin, h, max_chunks, chunk, pair_entries, cell_block,
                 _n_parts, _part_index):
     """Near field at CHUNK-PAIR granularity: every column is cut into
