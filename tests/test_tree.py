@@ -833,3 +833,46 @@ def test_simulate_routes_large_tree_to_staged(gauss_blob, monkeypatch):
     assert calls.get("staged")
     assert r.pos.shape[0] == 2 and np.isfinite(r.pos).all()
     assert np.isfinite(r.energy).all()
+
+@pytest.mark.slow
+def test_tree_pairs_pathological_distributions(rng):
+    """Chunk-pair geometry survives its adversarial shapes: every body
+    in ONE tall column (maximum S, deepest octave, z-trim at its most
+    load-bearing), and a near-boundary lattice with exactly one body per
+    cell (octave 0 everywhere, every run length 1). Both must match the
+    cells-mode near field to f32 rounding with zero overflow."""
+    levels = 4
+    M = 2 ** levels
+
+    # one tall column: x, y fixed mid-cell; z spans the box
+    n1 = 512
+    z = np.linspace(-0.95, 0.95, n1)
+    pos1 = np.stack([np.full(n1, 0.01), np.full(n1, 0.02), z],
+                    axis=1).astype(np.float32)
+    # lattice: one body per cell over an 8^3 block (jittered off centers)
+    g = np.arange(8)
+    xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+    cc = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+    pos2 = (-1.0 + (cc + 0.5) * (2.0 / M)
+            + rng.uniform(-0.2, 0.2, (512, 3)) * (2.0 / M)
+            ).astype(np.float32)
+
+    for pos in (pos1, pos2):
+        n = len(pos)
+        mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+        occ, nc = tree_occupancy_probe(pos, levels=levels)
+        a_c, U_c, ov_c = tree_acc_potential(
+            pos, mass, G_grav=1.0, eps2=1e-4, levels=levels, ws=1,
+            capacity=int(occ) + 8, max_cells=int(nc) + 32, near="cells")
+        total, entries = _pairs_budgets(pos, levels)
+        a_p, U_p, ov_p = tree_acc_potential(
+            pos, mass, G_grav=1.0, eps2=1e-4, levels=levels, ws=1,
+            max_chunks=total, pair_entries=entries, near="pairs")
+        assert int(ov_c) == 0 and int(ov_p) == 0
+        # 512 bodies sharing one column make O(n)-term f32 sums whose
+        # order differs between sweeps: tolerance is rounding-sized
+        # (~5e-6 relative); a missed pair at eps2=1e-4 would be O(1e2)
+        scale = np.sqrt(np.mean(np.sum(np.asarray(a_c) ** 2, -1)))
+        np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_c),
+                                   atol=1e-5 * scale)
+        assert float(U_p) == pytest.approx(float(U_c), rel=1e-6)
