@@ -64,7 +64,7 @@ def main() -> None:
     pos, vel, mass = make_plummer(n)
     levels_list = ([int(x) for x in args.levels.split(",") if x]
                    or ([5, 6, 7] if n <= 1 << 17 else [6, 7, 8]))
-    cap_bound = {"cells": 4096, "columns": 16384}
+    cap_bound = {"cells": 4096, "columns": 16384, "pairs": 1 << 30}
 
     for near in args.near.split(","):
         for levels in levels_list:
@@ -74,7 +74,7 @@ def main() -> None:
                                       tree_order=args.order, dt=1e-4,
                                       G=1.0, eps2=1e-6,
                                       track_potential=False)
-                if cfg.tree_capacity > cap_bound[near]:
+                if near != "pairs" and cfg.tree_capacity > cap_bound[near]:
                     emit({"name": tag, "skipped":
                           f"capacity {cfg.tree_capacity} over bound"})
                     continue
@@ -83,14 +83,19 @@ def main() -> None:
                 step = make_step_fn(cfg, resolve_force_fn(cfg, n))
                 sec = bench_chained(step, state, iters=args.iters,
                                     iters_hi=3 * args.iters)
-                emit({"name": tag, "n": n, "near": near, "levels": levels,
-                      "order": args.order,
-                      "ms_per_eval": round(sec * 1e3, 3),
-                      "body_steps_per_s": round(n / sec, 1),
-                      "capacity": cfg.tree_capacity,
-                      "max_cells": cfg.tree_max_cells,
-                      "max_big": cfg.tree_max_big,
-                      "max_frontier": cfg.tree_max_frontier})
+                rec = {"name": tag, "n": n, "near": near, "levels": levels,
+                       "order": args.order,
+                       "ms_per_eval": round(sec * 1e3, 3),
+                       "body_steps_per_s": round(n / sec, 1)}
+                if near == "pairs":
+                    rec.update(max_chunks=cfg.tree_max_chunks,
+                               pair_entries=list(cfg.tree_pair_entries))
+                else:
+                    rec.update(capacity=cfg.tree_capacity,
+                               max_cells=cfg.tree_max_cells,
+                               max_big=cfg.tree_max_big,
+                               max_frontier=cfg.tree_max_frontier)
+                emit(rec)
             except Exception as e:  # noqa: BLE001
                 emit({"name": tag, "error": str(e)[:300]})
                 if "UNAVAILABLE" in str(e):
