@@ -272,3 +272,36 @@ def test_tree_probed_budgets_on_tpu():
     assert int(ov_ref) == 0 and int(ov) == 0
     np.testing.assert_array_equal(np.asarray(a), np.asarray(a_ref))
     assert float(U) == float(U_ref)
+
+
+def test_tree_pairs_on_tpu():
+    """Chunk-pair near field (tree_near='pairs', z-trimmed octave runs)
+    matches the cells sweep on hardware with zero overflow — and the
+    compiled program actually runs at a realistic 65k shape (compile
+    limits are the platform risk for the multi-octave switch)."""
+    from orbital_tpu.ops.tree import (tree_acc_potential,
+                                      tree_occupancy_probe,
+                                      tree_pairs_budgets)
+
+    rng = np.random.default_rng(11)
+    n = 65536
+    u = rng.uniform(0.01, 0.99, n)
+    r = 1.0 / np.sqrt(u ** (-2.0 / 3.0) - 1.0)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pos = (r[:, None] * v).astype(np.float32)
+    mass = np.full(n, 1.0 / n, np.float32)
+
+    occ, nc = tree_occupancy_probe(pos, levels=7)
+    a_c, U_c, ov_c = tree_acc_potential(
+        pos, mass, G_grav=1.0, eps2=1e-6, levels=7, ws=1,
+        capacity=int(occ) + 8, max_cells=int(nc) + 64, near="cells")
+    kch, entries = tree_pairs_budgets(pos, levels=7)
+    a_p, U_p, ov_p = tree_acc_potential(
+        pos, mass, G_grav=1.0, eps2=1e-6, levels=7, ws=1,
+        max_chunks=kch, pair_entries=entries, near="pairs")
+    assert int(ov_c) == 0 and int(ov_p) == 0
+    scale = float(np.sqrt(np.mean(np.sum(np.asarray(a_c) ** 2, -1))))
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_c),
+                               atol=1e-4 * scale)
+    assert float(U_p) == pytest.approx(float(U_c), rel=1e-5)
