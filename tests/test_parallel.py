@@ -539,6 +539,7 @@ def test_sharded_tree_columns_force_matches_single_device(rng):
                                rtol=1e-6, atol=1e-7)
     assert float(U) == pytest.approx(float(U_ref), rel=1e-6)
 
+@pytest.mark.slow
 def test_sharded_tree_pairs_force_matches_single_device(rng):
     """The chunk-pair near field (near='pairs') composes with the sharded
     tree exactly like the cell/column sweeps: disjoint per-octave
@@ -571,6 +572,7 @@ def test_sharded_tree_pairs_force_matches_single_device(rng):
                                rtol=1e-6, atol=1e-7)
     assert float(U) == pytest.approx(float(U_ref), rel=1e-6)
 
+@pytest.mark.slow
 def test_ensemble_rollout_tree_pairs(rng):
     """tree_near='pairs' under the plain vmapped ensemble_rollout: the
     chunk-pair machinery (cumsums, dense maps, take_along_axis) batches

@@ -622,6 +622,7 @@ def test_segment_bounds_matches_searchsorted(rng):
         np.testing.assert_array_equal(
             np.asarray(last), np.searchsorted(keys, keys, side="right"))
 
+@pytest.mark.slow
 def test_far_field_layout_parity(rng):
     """The NHWC far-field path (channels-last conv + transpose-free
     pack/unpack) matches the NCHW path to f32 contraction rounding, both
@@ -668,7 +669,11 @@ def _pairs_budgets(pos, levels, ws=1, chunk=32, alive=None, margin=4):
     return int(total) + margin, e
 
 
-@pytest.mark.parametrize("ws,chunk", [(1, 32), (1, 64), (2, 32)])
+@pytest.mark.parametrize(
+    "ws,chunk",
+    [(1, 32),
+     pytest.param(1, 64, marks=pytest.mark.slow),
+     pytest.param(2, 32, marks=pytest.mark.slow)])
 def test_tree_pairs_match_cells(rng, ws, chunk):
     """near="pairs" (chunk-pair sweep, octave-padded j widths) computes
     the SAME near field as near="cells": accelerations and potential
@@ -692,6 +697,7 @@ def test_tree_pairs_match_cells(rng, ws, chunk):
     assert float(U_p) == pytest.approx(float(U_c), rel=1e-6)
 
 
+@pytest.mark.slow
 def test_tree_pairs_overflow_counted(rng):
     """Starved chunk-table, starved octave, and missing-octave budgets
     each count the excluded bodies instead of silently dropping them."""
@@ -713,6 +719,7 @@ def test_tree_pairs_overflow_counted(rng):
     assert int(ov3) > 0
 
 
+@pytest.mark.slow
 def test_tree_pairs_dead_bodies_inert(rng):
     """Masked bodies exert no force, feel no force, and the masked run is
     bit-identical to running on the alive subset (same box, same order)."""
