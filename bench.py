@@ -250,6 +250,18 @@ def tree_cfg_probed(pos, levels: int, **kw):
             force_impl="tree", tree_levels=levels, tree_ws=ws,
             tree_near="pairs", tree_chunk=chunk, tree_max_chunks=kch,
             tree_pair_entries=entries, **kw)
+    if near == "kernel":
+        from orbital_tpu.ops.tree_near_wl import tree_wl_budgets
+
+        rj = kw.pop("tree_wl_rj", 8 if (8 * chunk) % 128 == 0
+                    else -(-128 // chunk))
+        kch, wle = tree_wl_budgets(
+            jnp.asarray(pos, jnp.float32), levels=levels, ws=ws,
+            chunk=chunk, rj=rj, box=pbox)
+        return ot.SimConfig(
+            force_impl="tree", tree_levels=levels, tree_ws=ws,
+            tree_near="kernel", tree_chunk=chunk, tree_max_chunks=kch,
+            tree_wl_entries=wle, tree_wl_rj=rj, **kw)
     nchunks = 0
     if near == "columns":
         cap, occ, nbig, nfront, nchunks = tree_column_probe(
@@ -280,6 +292,9 @@ def _tree_kw_from_cfg(cfg):
     if cfg.tree_near == "pairs":
         kw.update(chunk=cfg.tree_chunk,
                   pair_entries=tuple(cfg.tree_pair_entries))
+    elif cfg.tree_near == "kernel":
+        kw.update(chunk=cfg.tree_chunk, wl_entries=cfg.tree_wl_entries,
+                  wl_rj=cfg.tree_wl_rj)
     else:
         kw.update(capacity=cfg.tree_capacity, max_cells=cfg.tree_max_cells,
                   max_big=cfg.tree_max_big,

@@ -134,6 +134,7 @@ def resolve_force_fn(cfg: SimConfig, n: int) -> ForceFn:
                 max_chunks=cfg.tree_max_chunks, near=cfg.tree_near,
                 chunk=cfg.tree_chunk,
                 pair_entries=tuple(cfg.tree_pair_entries),
+                wl_entries=cfg.tree_wl_entries, wl_rj=cfg.tree_wl_rj,
                 with_potential=cfg.track_potential, box=cfg.pm_box_arrays())
             return acc, U
         return fn
@@ -418,6 +419,9 @@ def _staged_force_kwargs(cfg: SimConfig) -> dict:
     if cfg.tree_near == "pairs":
         kw.update(chunk=cfg.tree_chunk,
                   pair_entries=tuple(cfg.tree_pair_entries))
+    elif cfg.tree_near == "kernel":
+        kw.update(chunk=cfg.tree_chunk, wl_entries=cfg.tree_wl_entries,
+                  wl_rj=cfg.tree_wl_rj)
     else:
         kw.update(capacity=cfg.tree_capacity, max_cells=cfg.tree_max_cells,
                   max_big=cfg.tree_max_big,

@@ -499,7 +499,8 @@ def _lookup_slot(sorted_ids, query):
          static_argnames=("G_grav", "eps2", "levels", "capacity", "ws",
                           "max_cells", "cell_block", "with_potential",
                           "order", "max_big", "max_frontier", "max_chunks",
-                          "near", "chunk", "pair_entries", "_phase",
+                          "near", "chunk", "pair_entries", "wl_entries",
+                          "wl_rj", "wl_group", "_phase",
                           "_n_parts", "_psum_axis"))
 def tree_acc_potential(
     pos: jax.Array,
@@ -521,6 +522,9 @@ def tree_acc_potential(
     near: str = "cells",
     chunk: int = 32,
     pair_entries: tuple = (),
+    wl_entries: int = 0,
+    wl_rj: int = 8,
+    wl_group: int = 8,
     box=None,
     _phase: str = "both",
     _n_parts: int = 1,
@@ -560,13 +564,27 @@ def tree_acc_potential(
             pairs on concentrated cores) with < 2x octave rounding;
             budgets are ``max_chunks`` + ``pair_entries`` from
             :func:`tree_pairs_probe` (capacity / max_cells / max_big /
-            max_frontier are ignored).
-        chunk: ``near="pairs"`` chunk row size (bodies per packed row on
-            both sweep sides).
+            max_frontier are ignored). ``"kernel"`` runs the same
+            chunk-pair sweep through a Pallas worklist kernel whose i/j
+            sides are contiguous DMA streams instead of ~50 ns/row XLA
+            gathers (ops/tree_near_wl.py); budgets are ``max_chunks`` +
+            ``wl_entries`` from
+            :func:`orbital_tpu.ops.tree_near_wl.tree_wl_budgets`.
+        chunk: ``near="pairs"/"kernel"`` chunk row size (bodies per
+            packed row on both sweep sides).
         pair_entries: ``near="pairs"`` static per-octave i-chunk budgets
             (octave o holds chunks whose 9-neighborhood j-chunk total is
             at most (2ws+1)^2 * 2**o). Size with
             :func:`tree_pairs_probe`.
+        wl_entries: ``near="kernel"`` static worklist budget (total
+            RJ-row j-blocks across all i-chunks). Size with
+            :func:`orbital_tpu.ops.tree_near_wl.tree_wl_budgets`.
+        wl_rj: ``near="kernel"`` j-block height in chunk rows
+            (``wl_rj * chunk`` must be a multiple of 128 — the kernel's
+            lane width).
+        wl_group: ``near="kernel"`` worklist entries processed per grid
+            step (compute per step scales with it; the worklist is padded
+            to a multiple).
         max_chunks: static budget for the column big sweep's i-side
             CHUNK list (``near="columns"`` only): big columns are swept
             in 32-row i-chunks, so the big sweep costs
@@ -594,12 +612,17 @@ def tree_acc_potential(
         raise ValueError("ws must be 1 or 2")
     if order not in (1, 2):
         raise ValueError("order must be 1 (monopole+dipole) or 2 (+quad)")
-    if near not in ("cells", "columns", "pairs"):
-        raise ValueError("near must be 'cells', 'columns', or 'pairs'")
+    if near not in ("cells", "columns", "pairs", "kernel"):
+        raise ValueError(
+            "near must be 'cells', 'columns', 'pairs', or 'kernel'")
     if near == "pairs" and not pair_entries:
         raise ValueError(
             "near='pairs' needs per-octave i-chunk budgets: pass "
             "pair_entries sized with tree_pairs_probe")
+    if near == "kernel" and wl_entries <= 0:
+        raise ValueError(
+            "near='kernel' needs a worklist budget: pass wl_entries "
+            "sized with ops.tree_near_wl.tree_wl_budgets")
     if levels < 2 or levels > 8:
         raise ValueError("levels must be in [2, 8]")
     n = pos.shape[0]
@@ -765,7 +788,15 @@ def tree_acc_potential(
                                         mode="drop")
         return P
 
-    if near == "pairs":
+    if near == "kernel":
+        from orbital_tpu.ops.tree_near_wl import _near_wl
+        idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow = \
+            _near_wl(
+                sc, pos_srt, m_srt, sort_idx, n, M, ws, eps2, G,
+                max_chunks, chunk, wl_entries, wl_rj, wl_group,
+                _n_parts, _part_index, _pairs_geometry,
+                _vma=_psum_axis)
+    elif near == "pairs":
         idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow = \
             _near_pairs(
                 sc, _pack_rows, n, M, ws, eps2, G,
@@ -1446,6 +1477,8 @@ def tree_sharded_force(
     near: str = "cells",
     chunk: int = 32,
     pair_entries: tuple = (),
+    wl_entries: int = 0,
+    wl_rj: int = 8,
     with_potential: bool = True,
     box=None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -1479,6 +1512,7 @@ def tree_sharded_force(
         capacity=capacity, ws=ws, max_cells=max_cells, order=order,
         max_big=max_big, max_frontier=max_frontier, max_chunks=max_chunks,
         near=near, chunk=chunk, pair_entries=tuple(pair_entries),
+        wl_entries=wl_entries, wl_rj=wl_rj,
         with_potential=with_potential, box=box,
         _n_parts=n_shards, _part_index=part, _psum_axis=axis_name)
     # U is numerically identical on every device (replicated far phase +

@@ -169,6 +169,7 @@ def _mesh_force_fn(cfg: SimConfig, axis: str, n_shards: int):
                 max_frontier=cfg.tree_max_frontier,
                 max_chunks=cfg.tree_max_chunks, chunk=cfg.tree_chunk,
                 pair_entries=tuple(cfg.tree_pair_entries),
+                wl_entries=cfg.tree_wl_entries, wl_rj=cfg.tree_wl_rj,
                 with_potential=cfg.track_potential, box=pm_box)
         return force
 

@@ -73,6 +73,7 @@ def simulate(
     tree_order: int = 1,
     tree_near: str = "columns",
     tree_chunk: int = 32,
+    tree_wl_rj: int = 8,
     adaptive_eta: Optional[float] = None,
     dt_min: float = 0.0,
     hermite_fast_cap: int = 0,
@@ -143,6 +144,7 @@ def simulate(
         tree_ws=tree_ws,
         tree_near=tree_near,
         tree_chunk=tree_chunk,
+        tree_wl_rj=tree_wl_rj,
         adaptive_eta=adaptive_eta,
         dt_min=dt_min / rescale.time if dt_min else 0.0,
         hermite_fast_cap=hermite_fast_cap,
@@ -195,6 +197,14 @@ def simulate(
                 chunk=cfg.tree_chunk, box=cfg.pm_box_arrays())
             cfg = cfg.replace(tree_max_chunks=kch,
                               tree_pair_entries=entries)
+        elif tree_near == "kernel":
+            from .ops.tree_near_wl import tree_wl_budgets
+
+            kch, wle = tree_wl_budgets(
+                state.pos, state.alive, levels=tree_levels, ws=tree_ws,
+                chunk=cfg.tree_chunk, rj=cfg.tree_wl_rj,
+                box=cfg.pm_box_arrays())
+            cfg = cfg.replace(tree_max_chunks=kch, tree_wl_entries=wle)
         elif tree_near == "columns":
             occ, ncells, nbig, nfront, nchunks = tree_column_probe(
                 state.pos, state.alive, levels=tree_levels, ws=tree_ws,
@@ -205,7 +215,7 @@ def simulate(
                 state.pos, state.alive, levels=tree_levels, ws=tree_ws,
                 box=cfg.pm_box_arrays())
             unit_cap = 8 ** tree_levels
-        if tree_near != "pairs":
+        if tree_near not in ("pairs", "kernel"):
             kcells = min(state.n_bodies, unit_cap,
                          -(-int(int(ncells) * 1.5) // 1024) * 1024)
             # probe-sized class-list budgets (1.5x headroom, /256-aligned):
@@ -221,7 +231,7 @@ def simulate(
             # i-side chunk list for the big sweep, same 1.5x headroom
             cfg = cfg.replace(tree_max_chunks=max(
                 256, -(-int(int(nchunks) * 1.5) // 256) * 256))
-        if tree_capacity == "auto" and tree_near != "pairs":
+        if tree_capacity == "auto" and tree_near not in ("pairs", "kernel"):
             cap = max(16, -(-int(int(occ) * 1.5) // 8) * 8)
             cap_bound = 16384 if tree_near == "columns" else 4096
             if cap > cap_bound:
@@ -273,6 +283,15 @@ def simulate(
             grown = (int(total_f) > cfg.tree_max_chunks or any(
                 v and (o >= len(ent) or v > ent[o])
                 for o, v in enumerate(per_f)))
+        elif cfg.tree_near == "kernel":
+            from .ops.tree_near_wl import tree_wl_probe as _fin_wl
+
+            total_f, entries_f = _fin_wl(
+                final.pos, final.alive, levels=cfg.tree_levels,
+                ws=cfg.tree_ws, chunk=cfg.tree_chunk, rj=cfg.tree_wl_rj,
+                box=cfg.pm_box_arrays())
+            grown = (int(total_f) > cfg.tree_max_chunks
+                     or int(entries_f) > cfg.tree_wl_entries)
         else:
             if cfg.tree_near == "columns":
                 from .ops.tree import tree_column_probe as _fin_probe

@@ -124,6 +124,12 @@ class SimConfig:
             budgets; size with ops.tree.tree_pairs_probe
             (simulate(force_impl="tree", tree_near="pairs") probes
             automatically).
+        tree_wl_entries: tree_near="kernel" static worklist budget
+            (total RJ-row j-blocks); size with
+            ops.tree_near_wl.tree_wl_budgets (simulate() probes
+            automatically).
+        tree_wl_rj: tree_near="kernel" j-block height in chunk rows
+            (tree_wl_rj * tree_chunk must be a multiple of 128).
         hermite_rungs: block-timestep Hermite substep LEVELS. 1 (the
             default) substeps every fast body at the single rate the
             fastest needs. R > 1 grants power-of-two rungs by
@@ -162,6 +168,8 @@ class SimConfig:
     tree_near: str = "cells"
     tree_chunk: int = 32
     tree_pair_entries: tuple = ()
+    tree_wl_entries: int = 0
+    tree_wl_rj: int = 8
     hermite_fast_cap: int = 0
     hermite_max_substeps: int = 64
     hermite_rungs: int = 1
@@ -176,9 +184,14 @@ class SimConfig:
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
         if self.tree_ws not in (1, 2):
             raise ValueError(f"tree_ws must be 1 or 2, got {self.tree_ws}")
-        if self.tree_near not in ("cells", "columns", "pairs"):
-            raise ValueError(f"tree_near must be 'cells', 'columns', or "
-                             f"'pairs', got {self.tree_near}")
+        if self.tree_near not in ("cells", "columns", "pairs", "kernel"):
+            raise ValueError(f"tree_near must be 'cells', 'columns', "
+                             f"'pairs', or 'kernel', got {self.tree_near}")
+        if self.tree_near == "kernel" and \
+                (self.tree_wl_rj * self.tree_chunk) % 128 != 0:
+            raise ValueError(
+                "tree_near='kernel' needs tree_wl_rj * tree_chunk to be a "
+                f"multiple of 128 (got {self.tree_wl_rj}*{self.tree_chunk})")
         if self.tree_order not in (1, 2):
             raise ValueError(
                 f"tree_order must be 1 or 2, got {self.tree_order}")

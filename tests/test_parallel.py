@@ -411,6 +411,38 @@ def test_sharded_tree_force_matches_single_device(rng):
 
 
 @pytest.mark.slow
+def test_sharded_tree_kernel_force_matches_single_device(rng):
+    """tree_sharded_force with near='kernel': each device runs its
+    1/n_shards slice of the Pallas worklist (interpret mode on CPU) and
+    the psum reassembles the single-device near field exactly."""
+    from jax.sharding import PartitionSpec as P
+    from orbital_tpu.ops.tree import tree_acc_potential, tree_sharded_force
+    from orbital_tpu.ops.tree_near_wl import tree_wl_budgets
+
+    st = _plummer_state(rng)
+    cfg = _tree_cfg(st)
+    kch, wle = tree_wl_budgets(st.pos, st.alive, levels=cfg.tree_levels,
+                               ws=cfg.tree_ws, chunk=32, rj=4)
+    kw = dict(G_grav=cfg.G, eps2=cfg.eps2, levels=cfg.tree_levels,
+              ws=cfg.tree_ws, near="kernel", chunk=32, max_chunks=kch,
+              wl_entries=wle, wl_rj=4)
+    a_ref, U_ref, ovf = tree_acc_potential(st.pos, st.mass, st.alive, **kw)
+    assert int(ovf) == 0
+
+    mesh = make_mesh()
+    f = jax.jit(jax.shard_map(
+        lambda p, m, a: tree_sharded_force(
+            p, m, a, axis_name="body", n_shards=8, **kw),
+        mesh=mesh, in_specs=(P("body", None), P("body"), P("body")),
+        out_specs=(P("body", None), P()),
+    ))
+    a, U = f(st.pos, st.mass, st.alive)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=1e-6, atol=1e-7)
+    assert float(U) == pytest.approx(float(U_ref), rel=1e-6)
+
+
+@pytest.mark.slow
 def test_sharded_tree_step_matches_unsharded(rng):
     """A full sharded KDK step with force_impl='tree' equals the
     single-device tree step (VERDICT r1 next-round #4)."""
