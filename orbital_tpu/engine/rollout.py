@@ -429,11 +429,47 @@ def _staged_force_kwargs(cfg: SimConfig) -> dict:
     return kw
 
 
-def init_forces_staged(state: NBodyState, cfg: SimConfig) -> NBodyState:
+def _staged_sharded_phase_fns(cfg: SimConfig, mesh, shard_axis: str):
+    """Jitted shard_map programs for the tree's far and near phases over a
+    body-sharded mesh — the multi-chip analog of the two host dispatches in
+    :func:`rollout_staged`. Each returns ``(acc_shard, U, overflow)``."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.tree import tree_sharded_force
+
+    kw = _staged_force_kwargs(cfg)
+    n_shards = mesh.shape[shard_axis]
+
+    def mk(phase):
+        def f(p, m, a):
+            return tree_sharded_force(
+                p, m, a, axis_name=shard_axis, n_shards=n_shards,
+                _phase=phase, with_overflow=True, **kw)
+
+        return jax.jit(jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(shard_axis, None), P(shard_axis), P(shard_axis)),
+            out_specs=(P(shard_axis, None), P(), P())))
+
+    return mk("far"), mk("near")
+
+
+def init_forces_staged(state: NBodyState, cfg: SimConfig,
+                       mesh=None, shard_axis: str = "body") -> NBodyState:
     """:func:`init_forces` via the tree's two-program staged evaluation
     (companion of :func:`rollout_staged` — the single-program tree force
     this platform's compile helper rejects at N >= 512k, levels=8 is
-    exactly what ``init_forces`` would build)."""
+    exactly what ``init_forces`` would build). With ``mesh`` the two
+    phases run sharded (see :func:`rollout_staged`) and the state is
+    placed on the mesh."""
+    if mesh is not None:
+        from ..parallel.sharded import shard_state
+
+        state = shard_state(mesh, state, shard_axis)
+        far_fn, near_fn = _staged_sharded_phase_fns(cfg, mesh, shard_axis)
+        a_f, u_f, _ = far_fn(state.pos, state.mass, state.alive)
+        a_n, u_n, _ = near_fn(state.pos, state.mass, state.alive)
+        return state.replace(acc=a_f + a_n, potential=u_f + u_n)
     from ..ops.tree import tree_acc_potential_staged
 
     acc, potential, _ = tree_acc_potential_staged(
@@ -446,6 +482,8 @@ def rollout_staged(
     cfg: SimConfig,
     steps: int,
     record_every: int = 0,
+    mesh=None,
+    shard_axis: str = "body",
 ) -> tuple[NBodyState, Optional[Trajectory], int]:
     """Host-driven KDK rollout on the tree's STAGED two-program force.
 
@@ -457,6 +495,16 @@ def rollout_staged(
     included) but dispatches the far and near force phases as separate
     programs from the host — ~3 dispatches/step of tunnel RTT, noise
     against the seconds-per-eval regime large-N trees live in.
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a ``shard_axis`` body
+    axis) the same loop runs MULTI-CHIP: the state lives body-sharded on
+    the mesh, the kick/drift stays elementwise on local shards, and each
+    phase dispatch is one shard_map program (``ops.tree.
+    tree_sharded_force(_phase=...)`` — replicated conv far field;
+    near-field sweeps split 1/n_devices per device + one psum). This is
+    the supported path for the tree's own regime (N >= 512k) on a pod:
+    the single-program sharded step hits the same compile-helper limit
+    the staged split exists for.
 
     Requires ``integrator='kdk'``, ``collisions='none'``, and
     ``force_impl='tree'``. Returns ``(final, trajectory | None,
@@ -480,6 +528,17 @@ def rollout_staged(
     kw = _staged_force_kwargs(cfg)
     dt = float(cfg.dt)
     ds32 = state.vel_lo is not None
+    if mesh is not None:
+        from ..parallel.sharded import shard_state
+
+        state = shard_state(mesh, state, shard_axis)
+        far_fn, near_fn = _staged_sharded_phase_fns(cfg, mesh, shard_axis)
+    else:
+        def far_fn(p, m, a):
+            return tree_acc_potential(p, m, a, _phase="far", **kw)
+
+        def near_fn(p, m, a):
+            return tree_acc_potential(p, m, a, _phase="near", **kw)
 
     global _snapshot_jit
     if _snapshot_jit is None:
@@ -489,11 +548,8 @@ def rollout_staged(
     max_overflow = 0
     for i in range(steps):
         state = _staged_kick_drift(state, dt, ds32)
-        a_f, u_f, _ = tree_acc_potential(state.pos, state.mass,
-                                         state.alive, _phase="far", **kw)
-        a_n, u_n, ovf = tree_acc_potential(state.pos, state.mass,
-                                           state.alive, _phase="near",
-                                           **kw)
+        a_f, u_f, _ = far_fn(state.pos, state.mass, state.alive)
+        a_n, u_n, ovf = near_fn(state.pos, state.mass, state.alive)
         max_overflow = max(max_overflow, int(ovf))
         state = _staged_close(state, a_f + a_n, u_f + u_n, dt)
         if record_every and (i + 1) % record_every == 0:

@@ -1481,10 +1481,17 @@ def tree_sharded_force(
     wl_rj: int = 8,
     with_potential: bool = True,
     box=None,
-) -> tuple[jax.Array, jax.Array]:
+    _phase: str = "both",
+    with_overflow: bool = False,
+) -> tuple:
     """Tree force for use INSIDE ``shard_map`` over a body-sharded mesh:
     local (pos, mass, alive) shards in, local acc shard + replicated total
     potential out (the ForceFn contract of ``parallel.sharded``).
+    ``_phase`` stages the evaluation exactly like
+    :func:`tree_acc_potential_staged` (the sharded large-N rollout runs
+    "far" and "near" as separate programs); ``with_overflow=True`` appends
+    the replicated near-field overflow count to the return tuple (the
+    staged host loop checks it every step).
 
     Scaling contract: the body arrays are all_gathered over ``axis_name``
     (ICI; a few MB/array at tree-regime N), so the deposit/pyramid/far-
@@ -1507,13 +1514,13 @@ def tree_sharded_force(
     pos_g, mass_g = g(pos), g(mass)
     alive_g = g(alive) if alive is not None else None
     part = lax.axis_index(axis_name)
-    acc, U, _ = tree_acc_potential(
+    acc, U, ovf = tree_acc_potential(
         pos_g, mass_g, alive_g, G_grav=G_grav, eps2=eps2, levels=levels,
         capacity=capacity, ws=ws, max_cells=max_cells, order=order,
         max_big=max_big, max_frontier=max_frontier, max_chunks=max_chunks,
         near=near, chunk=chunk, pair_entries=tuple(pair_entries),
         wl_entries=wl_entries, wl_rj=wl_rj,
-        with_potential=with_potential, box=box,
+        with_potential=with_potential, box=box, _phase=_phase,
         _n_parts=n_shards, _part_index=part, _psum_axis=axis_name)
     # U is numerically identical on every device (replicated far phase +
     # psum'd near phase) but built from all_gathered values, so shard_map's
@@ -1521,7 +1528,13 @@ def tree_sharded_force(
     # mean-psum states it explicitly
     U = lax.psum(U, axis_name) / float(n_shards)
     off = part * block
-    return lax.dynamic_slice_in_dim(acc, off, block, axis=0), U
+    acc_local = lax.dynamic_slice_in_dim(acc, off, block, axis=0)
+    if not with_overflow:
+        return acc_local, U
+    # the overflow counters come from replicated machinery (budgets are
+    # censused over the full gathered worklist/cell lists, not the local
+    # slice), so they are identical on every device — pmax states it
+    return acc_local, U, lax.pmax(ovf, axis_name)
 
 
 def tree_acc_potential_staged(

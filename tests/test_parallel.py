@@ -631,3 +631,38 @@ def test_ensemble_rollout_tree_pairs(rng):
     np.testing.assert_allclose(np.asarray(finals.pos[0]),
                                np.asarray(fin0.pos),
                                rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_staged_rollout_matches_unsharded(rng):
+    """rollout_staged(mesh=...): the multi-chip large-N tree path — every
+    phase dispatch a shard_map program (replicated far conv, partitioned
+    near sweeps + psum), kick/drift elementwise on local shards — must
+    reproduce the host-driven unsharded staged rollout, overflow checks
+    included."""
+    from orbital_tpu.engine.rollout import init_forces_staged, rollout_staged
+    from orbital_tpu.ops.tree import tree_pairs_budgets
+
+    st = _plummer_state(rng, n=128)
+    kch, entries = tree_pairs_budgets(st.pos, st.alive, levels=3)
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=1e-3, force_impl="tree",
+                       tree_levels=3, tree_near="pairs",
+                       tree_max_chunks=kch, tree_pair_entries=entries,
+                       collisions="none")
+
+    st0 = init_forces_staged(st, cfg)
+    fin_ref, traj_ref, ovf_ref = rollout_staged(st0, cfg, 8, record_every=4)
+
+    mesh = make_mesh()
+    st1 = init_forces_staged(st, cfg, mesh=mesh)
+    fin_s, traj_s, ovf_s = rollout_staged(st1, cfg, 8, record_every=4,
+                                          mesh=mesh)
+    assert ovf_s == ovf_ref == 0
+    np.testing.assert_allclose(np.asarray(fin_s.pos), np.asarray(fin_ref.pos),
+                               rtol=0, atol=1e-6)
+    assert float(fin_s.potential) == pytest.approx(
+        float(fin_ref.potential), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(traj_s.pos),
+                               np.asarray(traj_ref.pos), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(traj_s.energy),
+                               np.asarray(traj_ref.energy), rtol=1e-5)
