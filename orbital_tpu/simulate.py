@@ -81,12 +81,21 @@ def simulate(
     hermite_rungs: int = 1,
     unit_profile: UnitProfile = STANDARD,
     rescale: Optional[Rescale] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    shard_axis: str = "body",
 ) -> SimResult:
     """Simulate a scene and return its recorded trajectory in physical units.
 
     ``scene`` may be a Keplerian :class:`System`, an ``ObjectCollection`` /
     list of ``Object``, or prebuilt :class:`SceneArrays`. ``record_every``
     defaults to ~100 evenly spaced records.
+
+    ``mesh`` runs the rollout MULTI-CHIP over a ``jax.sharding.Mesh`` with
+    a ``shard_axis`` body axis (N must divide across its devices): exact
+    forces become the ppermute ring, pm/p3m/tree keep their mesh solvers
+    (``parallel.sharded.make_sharded_rollout``), and the large-N staged
+    tree path dispatches each phase as one shard_map program
+    (``engine.rollout.rollout_staged(mesh=...)``).
 
     Approximate-force budgets (``force_impl="tree"`` / ``"p3m"``): static
     capacities are sized from the INITIAL distribution (1.5x headroom) and
@@ -245,6 +254,10 @@ def simulate(
               and cfg.collisions == "none"
               and cfg.tree_levels >= _STAGED_MIN_LEVELS
               and state.n_bodies >= _STAGED_MIN_N)
+    if mesh is not None and state.n_bodies % mesh.shape[shard_axis]:
+        raise ValueError(
+            f"N={state.n_bodies} must divide across the mesh's "
+            f"{mesh.shape[shard_axis]} '{shard_axis}' shards")
     if staged:
         # the single-program tree step trips this platform's remote
         # compile helper at levels=8, N >= 512k; the host-driven
@@ -252,8 +265,10 @@ def simulate(
         # near-field overflow every step)
         from .engine.rollout import init_forces_staged, rollout_staged
 
-        state = init_forces_staged(state, cfg)
-        final, traj, ovf = rollout_staged(state, cfg, steps, record_every)
+        state = init_forces_staged(state, cfg, mesh=mesh,
+                                   shard_axis=shard_axis)
+        final, traj, ovf = rollout_staged(state, cfg, steps, record_every,
+                                          mesh=mesh, shard_axis=shard_axis)
         if ovf:
             import warnings
 
@@ -262,6 +277,15 @@ def simulate(
                 "rollout: budgets sized from the initial distribution "
                 "were outgrown mid-run; re-run in shorter segments.",
                 RuntimeWarning, stacklevel=2)
+    elif mesh is not None:
+        # compiled multi-chip rollout: one shard_map(scan(step)) program —
+        # ring forces for exact kernels, mesh solvers for pm/p3m/tree
+        from .parallel.sharded import make_sharded_rollout, shard_state
+
+        state = init_forces(state, cfg)
+        roll = make_sharded_rollout(cfg, mesh, state, steps, record_every,
+                                    axis=shard_axis)
+        final, traj = roll(shard_state(mesh, state, shard_axis))
     else:
         state = init_forces(state, cfg)
         final, traj = rollout_jit(state, cfg, steps, record_every)

@@ -666,3 +666,30 @@ def test_sharded_staged_rollout_matches_unsharded(rng):
                                np.asarray(traj_ref.pos), rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(traj_s.energy),
                                np.asarray(traj_ref.energy), rtol=1e-5)
+
+
+def test_simulate_mesh_matches_single_device(rng):
+    """simulate(mesh=...): the one-call API's multi-chip route (compiled
+    shard_map(scan(step)) rollout, ring forces) must reproduce the
+    single-device rollout on the same scene."""
+    n = 64
+    pos = rng.normal(size=(n, 3))
+    vel = rng.normal(size=(n, 3)) * 0.1
+    mass = rng.uniform(0.5, 1.5, n)
+
+    from orbital_tpu.models.scene import SceneArrays
+
+    scene = SceneArrays(pos=pos, vel=vel, mass=mass,
+                        radius=np.full(n, 1e-3),
+                        names=[f"b{i}" for i in range(n)])
+    import dataclasses as _dc
+
+    kw = dict(steps=20, dt=1e-3, softening=1e-2, record_every=10,
+              precision="f64",
+              unit_profile=_dc.replace(ot.STANDARD, G=1.0))
+    ref = ot.simulate(scene, **kw)
+    out = ot.simulate(scene, mesh=make_mesh(), **kw)
+    np.testing.assert_allclose(out.pos, ref.pos, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(out.energy, ref.energy, rtol=1e-10)
+    np.testing.assert_allclose(out.ang_mom, ref.ang_mom, rtol=1e-9,
+                               atol=1e-12)

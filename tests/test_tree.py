@@ -1034,3 +1034,41 @@ def test_tree_kernel_pathological_distributions(rng):
         np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_c),
                                    atol=1e-5 * scale)
         assert float(U_k) == pytest.approx(float(U_c), rel=1e-6)
+
+
+@pytest.mark.slow
+def test_simulate_routes_staged_mesh(gauss_blob, monkeypatch):
+    """simulate(mesh=...) in the staged regime threads the mesh through
+    rollout_staged (each tree phase one shard_map program) and matches the
+    unsharded route bit-for-bit at f32."""
+    import sys
+
+    import orbital_tpu.simulate  # noqa: F401
+    from orbital_tpu.parallel.mesh import make_mesh
+    sim_mod = sys.modules["orbital_tpu.simulate"]
+
+    pos, mass = gauss_blob
+    objs = [ot.Object(mass=float(m) * 1e4, radius=1e-3,
+                      velocity=np.zeros(3),
+                      coordinates=ot.Coordinates(*p.tolist()))
+            for m, p in zip(mass[:128], pos[:128])]
+    monkeypatch.setattr(sim_mod, "_STAGED_MIN_LEVELS", 4)
+    monkeypatch.setattr(sim_mod, "_STAGED_MIN_N", 64)
+    kw = dict(steps=10, dt=1e-4, softening=1e-2, force_impl="tree",
+              tree_levels=4, tree_near="pairs", precision="f32",
+              record_every=5)
+    ref = ot.simulate(objs, **kw)
+
+    calls = {}
+    from orbital_tpu.engine import rollout as ro
+    orig = ro.rollout_staged
+
+    def spy(*a, **k):
+        calls["mesh"] = k.get("mesh")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ro, "rollout_staged", spy)
+    out = ot.simulate(objs, mesh=make_mesh(), **kw)
+    assert calls.get("mesh") is not None
+    np.testing.assert_allclose(out.pos, ref.pos, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(out.energy, ref.energy, rtol=1e-6)
