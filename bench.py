@@ -253,8 +253,12 @@ def tree_cfg_probed(pos, levels: int, **kw):
     if near == "kernel":
         from orbital_tpu.ops.tree_near_wl import tree_wl_budgets
 
+        # kernel constraint: rj*chunk % 128 == 0 — default rj=8 when
+        # valid, else the smallest rj that restores lane alignment
+        import math
+
         rj = kw.pop("tree_wl_rj", 8 if (8 * chunk) % 128 == 0
-                    else -(-128 // chunk))
+                    else 128 // math.gcd(chunk, 128))
         kch, wle = tree_wl_budgets(
             jnp.asarray(pos, jnp.float32), levels=levels, ws=ws,
             chunk=chunk, rj=rj, box=pbox)

@@ -10,6 +10,7 @@ between rollout calls, never inside the compiled step.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Optional
 
@@ -429,10 +430,14 @@ def _staged_force_kwargs(cfg: SimConfig) -> dict:
     return kw
 
 
+@functools.lru_cache(maxsize=8)
 def _staged_sharded_phase_fns(cfg: SimConfig, mesh, shard_axis: str):
     """Jitted shard_map programs for the tree's far and near phases over a
     body-sharded mesh — the multi-chip analog of the two host dispatches in
-    :func:`rollout_staged`. Each returns ``(acc_shard, U, overflow)``."""
+    :func:`rollout_staged`. Each returns ``(acc_shard, U, overflow)``.
+    Memoized on (cfg, mesh, axis) — both frozen/hashable — so
+    ``init_forces_staged`` + ``rollout_staged`` (and segmented reruns)
+    share one pair of compiled programs instead of re-tracing."""
     from jax.sharding import PartitionSpec as P
 
     from ..ops.tree import tree_sharded_force

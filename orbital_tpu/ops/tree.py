@@ -1673,6 +1673,29 @@ def tree_column_probe(
     return out
 
 
+def _probe_sorted_cells(pos, alive, levels: int, box):
+    """Shared probe preamble (pairs/kernel budget sizers): alive-masked
+    finest-level binning with the dead-body sentinel sort — the SAME box
+    fit and boundary clipping as the sweeps, so budget accounting cannot
+    drift from the kernels' own geometry. Returns ``(sc, n, M)``."""
+    n = pos.shape[0]
+    M = 2 ** levels
+    M3 = M * M * M
+    pos32 = pos.astype(jnp.float32)
+    alive_b = (jnp.ones((n,), bool) if alive is None else alive.astype(bool))
+    if box is None:
+        center, half = _bounding_cube(pos32, alive_b.astype(jnp.float32),
+                                      M, None)
+    else:
+        center = jnp.asarray(box[0], jnp.float32)
+        half = jnp.asarray(box[1], jnp.float32)
+    h = 2.0 * half / M
+    cc = jnp.clip(jnp.floor((pos32 - (center - half)) / h).astype(jnp.int32),
+                  0, M - 1)
+    cell_id = (cc[:, 0] * M + cc[:, 1]) * M + cc[:, 2]
+    return jnp.sort(jnp.where(alive_b, cell_id, M3)), n, M
+
+
 @partial(jax.jit, static_argnames=("levels", "ws", "chunk", "n_octaves"))
 def tree_pairs_probe(
     pos: jax.Array,
@@ -1693,25 +1716,9 @@ def tree_pairs_probe(
     j-chunk total <= (2ws+1)^2 * 2**o), so budgets can never drift from
     the sweep's own accounting. Costs one argsort. Trim trailing zero
     octaves on the host before passing ``pair_entries``."""
-    n = pos.shape[0]
-    M = 2 ** levels
-    M2, M3 = M * M, M * M * M
+    sc, n, M = _probe_sorted_cells(pos, alive, levels, box)
     C = int(chunk)
-    pos32 = pos.astype(jnp.float32)
-    alive_b = (jnp.ones((n,), bool) if alive is None else alive.astype(bool))
-    if box is None:
-        center, half = _bounding_cube(pos32, alive_b.astype(jnp.float32),
-                                      M, None)
-    else:
-        center = jnp.asarray(box[0], jnp.float32)
-        half = jnp.asarray(box[1], jnp.float32)
-    h = 2.0 * half / M
-    cc = jnp.clip(jnp.floor((pos32 - (center - half)) / h).astype(jnp.int32),
-                  0, M - 1)
-    cell_id = (cc[:, 0] * M + cc[:, 1]) * M + cc[:, 2]
-    cell_id = jnp.where(alive_b, cell_id, M3)
-    sc = jnp.sort(cell_id)
-    K_safe = -(-n // C) + min(n, M2)  # every column adds <= 1 partial
+    K_safe = -(-n // C) + min(n, M * M)  # every column adds <= 1 partial
     g = _pairs_geometry(sc, n, M, ws, C, K_safe)
     base_w = (2 * ws + 1) ** 2
     oct_of = jnp.zeros((K_safe,), jnp.int32)

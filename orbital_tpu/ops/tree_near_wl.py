@@ -56,7 +56,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -348,26 +347,11 @@ def tree_wl_probe(pos, alive=None, *, levels: int = 6, ws: int = 1,
     kernel (same box fit, dead-body handling, chunking, z-trimmed runs,
     RJ rounding, and dedup), so the budgets can never drift from the
     sweep's own accounting. Costs one sort."""
-    from orbital_tpu.ops.tree import _bounding_cube, _pairs_geometry
+    from orbital_tpu.ops.tree import _pairs_geometry, _probe_sorted_cells
 
-    n = pos.shape[0]
-    M = 2 ** levels
-    M2, M3 = M * M, M * M * M
+    sc, n, M = _probe_sorted_cells(pos, alive, levels, box)
     c = int(chunk)
-    pos32 = pos.astype(f32)
-    alive_b = (jnp.ones((n,), bool) if alive is None
-               else alive.astype(bool))
-    if box is None:
-        center, half = _bounding_cube(pos32, alive_b.astype(f32), M, None)
-    else:
-        center = jnp.asarray(box[0], f32)
-        half = jnp.asarray(box[1], f32)
-    h = 2.0 * half / M
-    cc = jnp.clip(jnp.floor((pos32 - (center - half)) / h).astype(i32),
-                  0, M - 1)
-    cell_id = (cc[:, 0] * M + cc[:, 1]) * M + cc[:, 2]
-    sc = jnp.sort(jnp.where(alive_b, cell_id, M3))
-    k_safe = -(-n // c) + min(n, M2)
+    k_safe = -(-n // c) + min(n, M * M)
     kpad = -(-(k_safe + 1) // int(rj)) * int(rj)
     g = _pairs_geometry(sc, n, M, ws, c, k_safe)
     _, n_blk = _wl_runs(g, int(rj), k_safe, kpad)

@@ -927,8 +927,8 @@ def test_tree_kernel_match_cells(rng, ws, chunk, rj):
 @pytest.mark.slow
 def test_tree_kernel_overflow_counted(rng):
     """Starved worklist and starved chunk-table budgets each count the
-    excluded bodies instead of silently dropping them, and block
-    rounding never double-counts (U exactly matches cells mode)."""
+    excluded bodies instead of silently dropping them. (No-double-count
+    parity vs cells mode is covered by test_tree_kernel_match_cells.)"""
     n, levels = 1024, 4
     pos = (rng.normal(0, 1, (n, 3))
            * rng.uniform(0.05, 1.0, (n, 1))).astype(np.float32)
