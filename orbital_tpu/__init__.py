@@ -21,7 +21,7 @@ from .models.constants import (  # noqa: F401
 )
 from .models.body import Body, System  # noqa: F401
 from .models.datasets import solar_system, solar_system_v2  # noqa: F401
-from .models.kepler import solve_kepler  # noqa: F401
+from .models.kepler import solve_kepler, state_to_elements  # noqa: F401
 from .models.objects import (  # noqa: F401
     Coordinates,
     Object,
@@ -43,6 +43,7 @@ __all__ = [
     "ASTRO", "J2000_JD", "STANDARD", "IntegratorParams", "UnitProfile",
     "UnitSystem", "get_unit_profile",
     "Body", "System", "solar_system", "solar_system_v2", "solve_kepler",
+    "state_to_elements",
     "Coordinates", "Object", "ObjectCollection", "collide_spheres",
     "pairwise_accelerations", "set_circular_orbit",
     "moment_of_inertia", "random_angular_velocity",

@@ -213,6 +213,58 @@ class Body:
         v = R @ np.array([vx_op, vy_op])
         return r.tolist(), v.tolist()
 
+    # -- state vectors -> elements -------------------------------------------
+
+    @classmethod
+    def from_state(
+        cls,
+        name: str,
+        position,
+        velocity,
+        mass: Kilograms | SolarMasses,
+        radius: Meters | AU,
+        parent: "Body",
+    ) -> "Body":
+        """Build a Keplerian ``Body`` from an inertial state vector.
+
+        The inverse of :meth:`get_state` (the reference only ships the
+        forward direction, core/body.py:184-249): ``position`` (m) and
+        ``velocity`` (m/s) are relative to ``parent``, and the osculating
+        elements are extracted with :func:`~orbital_tpu.models.kepler.
+        state_to_elements` using the parent's GM. The orbit must be bound
+        (elliptic) — a ValueError is raised otherwise. Degenerate states
+        follow the standard conventions (equatorial -> Omega = 0,
+        circular -> omega = 0), under which ``get_state()`` round-trips
+        the input state.
+        """
+        from .kepler import state_to_elements
+
+        mu = G * _to_kg(parent.mass).value
+        a, e, inc, long_node, arg_peri, mean_anom = state_to_elements(
+            np.asarray(position, dtype=np.float64),
+            np.asarray(velocity, dtype=np.float64),
+            mu,
+        )
+        if a <= 0.0:
+            raise ValueError(
+                f"state for {name!r} is not a bound orbit (a = {a:.6g} m); "
+                "Body.from_state only supports elliptic orbits"
+            )
+        return cls(
+            name=name,
+            a=Meters(a),
+            e=float(e),
+            I=Radians(inc),
+            L=None,
+            M=Radians(mean_anom),
+            long_peri=None,
+            long_node=Radians(long_node),
+            arg_peri=Radians(arg_peri),
+            mass=mass,
+            radius=radius,
+            parent=parent,
+        )
+
     # -- (de)serialization ---------------------------------------------------
 
     def to_dict(self) -> dict:

@@ -167,3 +167,152 @@ def test_device_kepler_matches_host():
         r, v = b.get_state()
         np.testing.assert_allclose(np.asarray(pos)[i], r, rtol=1e-10, atol=1e-4)
         np.testing.assert_allclose(np.asarray(vel)[i], v, rtol=1e-10, atol=1e-10)
+
+
+def _wrap_angle_diff(x, y):
+    """Smallest signed difference between two angles."""
+    return (np.asarray(x) - np.asarray(y) + np.pi) % (2 * np.pi) - np.pi
+
+
+def test_state_to_elements_roundtrip_host_and_device():
+    """elements -> state -> elements recovers the inputs (both versions)."""
+    import jax.numpy as jnp
+
+    from orbital_tpu.models.kepler import state_to_elements as s2e_host
+    from orbital_tpu.ops.kepler import elements_to_state
+    from orbital_tpu.ops.kepler import state_to_elements as s2e_dev
+
+    rng = np.random.default_rng(7)
+    n = 64
+    a = rng.uniform(0.5, 40.0, n) * 1.495978707e11
+    e = rng.uniform(0.01, 0.9, n)
+    inc = rng.uniform(0.01, math.pi - 0.01, n)
+    ln = rng.uniform(0.0, 2 * math.pi, n)
+    ap = rng.uniform(0.0, 2 * math.pi, n)
+    Ma = rng.uniform(0.0, 2 * math.pi, n)
+    mu = np.full(n, 1.32712440018e20)
+
+    pos, vel = elements_to_state(a, e, inc, ln, ap, Ma, mu)
+    pos, vel = np.asarray(pos), np.asarray(vel)
+
+    for impl, (a2, e2, i2, ln2, ap2, Ma2) in (
+        ("host", s2e_host(pos, vel, mu)),
+        ("device", tuple(np.asarray(x) for x in s2e_dev(
+            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mu)))),
+    ):
+        np.testing.assert_allclose(a2, a, rtol=1e-8, err_msg=impl)
+        np.testing.assert_allclose(e2, e, atol=1e-9, err_msg=impl)
+        np.testing.assert_allclose(i2, inc, atol=1e-9, err_msg=impl)
+        np.testing.assert_allclose(_wrap_angle_diff(ln2, ln), 0.0,
+                                   atol=1e-8, err_msg=impl)
+        np.testing.assert_allclose(_wrap_angle_diff(ap2, ap), 0.0,
+                                   atol=1e-7, err_msg=impl)
+        np.testing.assert_allclose(_wrap_angle_diff(Ma2, Ma), 0.0,
+                                   atol=1e-7, err_msg=impl)
+
+
+def test_state_to_elements_recovers_dataset():
+    """Every dataset body's get_state() inverts to an equivalent element
+    set: a/e/cos(I) match exactly, and re-converting the extracted elements
+    reproduces the state. (Raw angle comparison would be wrong — element
+    sets aren't unique: e.g. Earth's J2000 I = -0.00001531 deg normalizes
+    to ~2*pi, which the canonical i in [0, pi] represents as +eps with the
+    node/periapsis shifted by pi.)"""
+    from orbital_tpu.models.kepler import state_to_elements
+    from orbital_tpu.ops.kepler import elements_to_state
+
+    sys_ = solar_system_v2(moons=True)
+    sys_.standardize_units(mass_unit="kilograms", distance_unit="meters",
+                           angle_unit="radians", time_unit="seconds")
+    for b in sys_:
+        if b.parent is None:
+            continue
+        r, v = b.get_state()
+        els = state_to_elements(r, v, b.parent.mu)
+        a2, e2, i2 = els[0], els[1], els[2]
+        assert a2 == pytest.approx(b.a.value, rel=1e-9), b.name
+        assert e2 == pytest.approx(b.e, abs=1e-10), b.name
+        assert math.cos(i2) == pytest.approx(math.cos(b.I.value),
+                                             abs=1e-12), b.name
+        assert 0.0 <= i2 <= math.pi, b.name
+        pos, vel = elements_to_state(*(np.array([x]) for x in els),
+                                     np.array([b.parent.mu]))
+        r_scale = np.linalg.norm(r)
+        np.testing.assert_allclose(np.asarray(pos)[0], r, rtol=0,
+                                   atol=1e-7 * r_scale, err_msg=b.name)
+        np.testing.assert_allclose(np.asarray(vel)[0], v, rtol=0,
+                                   atol=1e-7 * np.linalg.norm(v),
+                                   err_msg=b.name)
+
+
+def test_state_to_elements_degenerate_conventions():
+    """Circular / equatorial / retrograde states stay finite, follow the
+    documented conventions, and round-trip through elements_to_state."""
+    from orbital_tpu.models.kepler import state_to_elements
+    from orbital_tpu.ops.kepler import elements_to_state
+
+    mu = 1.32712440018e20
+    R = 1.495978707e11
+    v_circ = math.sqrt(mu / R)
+
+    # circular equatorial prograde, body at +x moving +y: all angles 0
+    a, e, inc, ln, ap, Ma = state_to_elements(
+        [R, 0.0, 0.0], [0.0, v_circ, 0.0], mu)
+    assert a == pytest.approx(R, rel=1e-12)
+    assert e == pytest.approx(0.0, abs=1e-12)
+    assert inc == pytest.approx(0.0, abs=1e-12)
+    assert ln == 0.0 and ap == 0.0
+    assert Ma == pytest.approx(0.0, abs=1e-12)
+
+    # quarter-orbit later (+y moving -x): mean argument of latitude pi/2
+    _, _, _, _, _, Ma2 = state_to_elements(
+        [0.0, R, 0.0], [-v_circ, 0.0, 0.0], mu)
+    assert Ma2 == pytest.approx(math.pi / 2, rel=1e-12)
+
+    # retrograde equatorial (i = pi), slightly eccentric: round-trips
+    r0 = np.array([R, 0.0, 0.0])
+    v0 = np.array([0.0, -1.1 * v_circ, 0.0])
+    els = state_to_elements(r0, v0, mu)
+    assert els[2] == pytest.approx(math.pi, abs=1e-12)
+    pos, vel = elements_to_state(*(np.array([x]) for x in els),
+                                 np.array([mu]))
+    np.testing.assert_allclose(np.asarray(pos)[0], r0, rtol=1e-9, atol=1.0)
+    np.testing.assert_allclose(np.asarray(vel)[0], v0, rtol=1e-9, atol=1e-6)
+
+    # polar circular orbit (node well-defined, periapsis not)
+    r1 = [0.0, 0.0, R]
+    v1 = [-v_circ, 0.0, 0.0]  # h = r x v = (0, -R*v, 0): node at -y... compute
+    a1, e1, i1, ln1, ap1, Ma1 = state_to_elements(r1, v1, mu)
+    assert i1 == pytest.approx(math.pi / 2, abs=1e-12)
+    assert ap1 == 0.0 and e1 == pytest.approx(0.0, abs=1e-12)
+    pos1, vel1 = elements_to_state(*(np.array([x]) for x in
+                                     (a1, e1, i1, ln1, ap1, Ma1)),
+                                   np.array([mu]))
+    np.testing.assert_allclose(np.asarray(pos1)[0], r1, rtol=1e-9, atol=1.0)
+    np.testing.assert_allclose(np.asarray(vel1)[0], v1, rtol=1e-9, atol=1e-6)
+
+
+def test_body_from_state():
+    """Body.from_state inverts Body.get_state on a real dataset body and
+    rejects unbound orbits."""
+    sys_ = solar_system_v2(moons=True)
+    sys_.standardize_units(mass_unit="kilograms", distance_unit="meters",
+                           angle_unit="radians", time_unit="seconds")
+    by_name = {b.name: b for b in sys_}
+    luna, earth = by_name["Luna"], by_name["Earth"]
+    r, v = luna.get_state()
+    rebuilt = Body.from_state("Luna2", r, v, mass=luna.mass,
+                              radius=luna.radius, parent=earth)
+    assert rebuilt.a.value == pytest.approx(luna.a.value, rel=1e-9)
+    assert rebuilt.e == pytest.approx(luna.e, abs=1e-10)
+    assert rebuilt.I.value == pytest.approx(luna.I.value, abs=1e-10)
+    # derived quantities come out consistent too
+    assert rebuilt.T.value == pytest.approx(luna.T.value, rel=1e-9)
+    r2, v2 = rebuilt.get_state()
+    np.testing.assert_allclose(r2, r, rtol=1e-8)
+    np.testing.assert_allclose(v2, v, rtol=1e-8)
+
+    v_esc = math.sqrt(2 * 6.67430e-11 * earth.mass.value / np.linalg.norm(r))
+    with pytest.raises(ValueError, match="not a bound orbit"):
+        Body.from_state("hyper", r, np.array([v_esc * 1.1, 0.0, 0.0]),
+                        mass=luna.mass, radius=luna.radius, parent=earth)
