@@ -63,6 +63,27 @@ def _apply_collisions(
         return jax.lax.cond(contacts > 0,
                             lambda s: _apply_collisions(cfg, s),
                             lambda s: s, state)
+    if cfg.collisions == "resolve":
+        # absorb / fragment / bounce outcome model (reference
+        # resolve_collision, core/physics.py:361-388). Dense [N, N] only —
+        # a small-scene parity model. The fragmentation roll folds the
+        # step counter into frag_seed, so rollouts are reproducible and
+        # each step draws a fresh pair matrix.
+        if state.n_bodies > _DENSE_BOUNCE_MAX_N:
+            raise ValueError(
+                f"collisions='resolve' is a dense small-scene model "
+                f"(N <= {_DENSE_BOUNCE_MAX_N}); got N = {state.n_bodies}")
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.frag_seed),
+                                 state.step)
+        pos, vel, mass, radius, alive = coll.resolve_outcomes(
+            state.pos_full(), state.vel_full(), state.mass, state.radius,
+            state.alive, key, restitution=cfg.restitution,
+        )
+        zeros = None if state.pos_lo is None else jnp.zeros_like(state.pos_lo)
+        return state.replace(
+            pos=pos, vel=vel, mass=mass, radius=radius, alive=alive,
+            pos_lo=zeros, vel_lo=zeros,
+        )
     if cfg.collisions == "bounce":
         if state.n_bodies > _DENSE_BOUNCE_MAX_N:
             from ..ops.pallas_collisions import bounce_deltas_pallas

@@ -27,9 +27,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["bounce_deltas", "merge_groups", "collision_roots",
-           "collision_roots_chunked", "count_contacts_dense",
-           "count_contacts_chunked"]
+__all__ = ["bounce_deltas", "merge_groups", "resolve_outcomes",
+           "collision_roots", "collision_roots_chunked",
+           "count_contacts_dense", "count_contacts_chunked"]
 
 
 def _pair_geometry(pos, radius, alive):
@@ -193,6 +193,117 @@ def collision_roots_chunked(pos, radius, alive, *, chunk: int = 512):
     for _ in range(n_rounds):
         root = root[root]
     return root
+
+
+@partial(jax.jit, static_argnames=("restitution",))
+def resolve_outcomes(pos, vel, mass, radius, alive, key, *,
+                     restitution: float = 1.0):
+    """Collision *outcome model* as one simultaneous masked round.
+
+    Device-native version of the reference's ``resolve_collision``
+    (core/physics.py:361-388; host parity in ``models.objects``): for each
+    touching pair of live bodies
+
+      * mass ratio > 10 -> **absorption**: the smaller body is removed and
+        the larger gains its mass and volume-additive radius. Matching the
+        reference exactly, the absorber's position/velocity do NOT change
+        (the reference's absorb branch transfers mass only — momentum is
+        deliberately not conserved there).
+      * else, with the logistic fragmentation probability
+        p = sigmoid(5 (E_coll/E_thresh - 1)), E_coll = mu v_rel^2 / 2,
+        E_thresh = (m1+m2) 1e3 / 2 -> **fragmentation**: both bodies are
+        removed (debris generation is not modeled, as in the reference).
+      * else -> **elastic bounce** with ``restitution`` (the reference
+        falls through to ``collide_spheres``).
+
+    Sequential-sweep differences (documented, same spirit as ``merge``):
+    outcomes classify from the PRE-round state in one round with priority
+    fragmentation > absorption > bounce per body; a small body touching
+    several >10x absorbers donates its mass to the single largest one.
+
+    ``key`` is a JAX PRNG key; the fragmentation draw is one uniform per
+    unordered pair (symmetrized), so outcomes are reproducible per key.
+
+    Returns ``(pos, vel, mass, radius, alive)`` updated. Dense [N, N]
+    memory — this is a small-scene parity model (the engine rejects it
+    above the dense ceiling).
+    """
+    n = pos.shape[0]
+    (nx, ny, nz), dist, touching = _pair_geometry(pos, radius, alive)
+    idx = jnp.arange(n)
+
+    m_i, m_j = mass[:, None], mass[None, :]
+    m_big = jnp.maximum(m_i, m_j)
+    m_small = jnp.minimum(m_i, m_j)
+    m_small_safe = jnp.where(m_small > 0.0, m_small, 1.0)
+    absorb = touching & (m_small > 0.0) & (m_big > 10.0 * m_small_safe)
+
+    # symmetric per-pair uniform draw for the fragmentation roll
+    u_raw = jax.random.uniform(key, (n, n), dtype=pos.dtype)
+    upper = idx[:, None] < idx[None, :]
+    u = jnp.where(upper, u_raw, u_raw.T)
+
+    dv = vel[:, None, :] - vel[None, :, :]
+    v_rel2 = jnp.sum(dv * dv, axis=-1)
+    m_sum = m_i + m_j
+    m_sum_safe = jnp.where(m_sum > 0.0, m_sum, 1.0)
+    mu_red = m_i * m_j / m_sum_safe
+    e_coll = 0.5 * mu_red * v_rel2
+    e_thresh = 0.5 * m_sum * 1e3
+    p_frag = jax.nn.sigmoid(
+        5.0 * (e_coll / jnp.where(e_thresh > 0.0, e_thresh, 1.0) - 1.0))
+    frag = touching & ~absorb & (u < p_frag)
+
+    # --- fragmentation: both endpoints of any frag pair die -------------
+    frag_dead = jnp.any(frag, axis=1)
+
+    # --- absorption: smaller side dies into its LARGEST live absorber ---
+    # (ratio > 10 is strict, so the pair's smaller body is unique)
+    is_smaller = absorb & (m_i < m_j) & ~frag_dead[:, None] & ~frag_dead[None, :]
+    absorbed_dead = jnp.any(is_smaller, axis=1)
+    # one-hot choice of absorber by mass (ties broken by lowest index)
+    absorber = jnp.argmax(jnp.where(is_smaller, m_j, -1.0), axis=1)
+    donate = jnp.where(absorbed_dead, mass, 0.0)
+    donate_r3 = jnp.where(absorbed_dead, radius**3, 0.0)
+    gained_m = jax.ops.segment_sum(donate, absorber, num_segments=n)
+    gained_r3 = jax.ops.segment_sum(donate_r3, absorber, num_segments=n)
+
+    dead = frag_dead | absorbed_dead
+    new_mass = jnp.where(dead, 0.0, mass + gained_m)
+    new_radius = jnp.where(dead, 0.0, jnp.cbrt(radius**3 + gained_r3))
+    new_alive = alive & ~dead
+
+    # --- elastic bounce for the remaining touching pairs ----------------
+    survive_pair = ~dead[:, None] & ~dead[None, :]
+    dv_n = dv[..., 0] * nx + dv[..., 1] * ny + dv[..., 2] * nz
+    active = touching & ~absorb & ~frag & survive_pair & (dv_n < 0.0)
+    inv_m = jnp.where(mass > 0.0, 1.0 / jnp.where(mass > 0.0, mass, 1.0), 0.0)
+    inv_m_sum = inv_m[:, None] + inv_m[None, :]
+    e = min(max(float(restitution), 0.0), 1.0)
+    j_mag = jnp.where(active, -(1.0 + e) * dv_n / inv_m_sum, 0.0)
+    scale_v = j_mag * inv_m[:, None]
+    dvel = jnp.stack([jnp.sum(scale_v * nx, axis=1),
+                      jnp.sum(scale_v * ny, axis=1),
+                      jnp.sum(scale_v * nz, axis=1)], axis=-1)
+    overlap = radius[:, None] + radius[None, :] - dist
+    corr = jnp.where(active & (overlap > 0.0), overlap / inv_m_sum, 0.0)
+    scale_r = corr * inv_m[:, None]
+    dpos = jnp.stack([jnp.sum(scale_r * nx, axis=1),
+                      jnp.sum(scale_r * ny, axis=1),
+                      jnp.sum(scale_r * nz, axis=1)], axis=-1)
+
+    # park dead bodies far away (same spread-out scheme as merge_groups)
+    fidx = idx.astype(pos.dtype)
+    live_mag = jnp.max(jnp.abs(pos) * new_alive[:, None].astype(pos.dtype))
+    far = 1e8 * (1.0 + live_mag)
+    if pos.dtype == jnp.float32:
+        far = jnp.minimum(far, 1e17)
+    far_pos = jnp.stack(
+        [far * (1.0 + 1e-3 * fidx), jnp.full(n, 1.0, pos.dtype) * far,
+         jnp.full(n, 1.0, pos.dtype) * far], axis=-1)
+    new_pos = jnp.where(dead[:, None], far_pos, pos + dpos)
+    new_vel = jnp.where(dead[:, None], 0.0, vel + dvel)
+    return new_pos, new_vel, new_mass, new_radius, new_alive
 
 
 @partial(jax.jit, static_argnames=("chunk",))

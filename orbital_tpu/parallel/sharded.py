@@ -334,6 +334,10 @@ def _build_local_step(cfg: SimConfig, n_shards: int, n_bodies: int,
                       use_mesh_solver: bool):
     """The per-device step closure shared by :func:`make_sharded_step` and
     :func:`make_sharded_rollout` — runs INSIDE shard_map on local shards."""
+    if cfg.collisions == "resolve":
+        raise NotImplementedError(
+            "collisions='resolve' is a dense small-scene model and does "
+            "not compose with body sharding; use 'bounce'/'merge'/'none'")
     axis = cfg.shard_axis
     if use_mesh_solver:
         # mesh solvers across the mesh: local deposit + one psum of the
@@ -519,6 +523,10 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
             "merge under the vmapped ensemble turns the contact-gated "
             "gather into an every-step select; use make_sharded_step per "
             "member, or 'bounce'/'none' here")
+    if cfg.collisions == "resolve":
+        raise NotImplementedError(
+            "collisions='resolve' is a dense small-scene model and does "
+            "not compose with body sharding; use 'bounce'/'none' here")
     n_body_shards = mesh.shape[body_axis]
     n_bodies = state_example.pos.shape[-2]
     if n_bodies % n_body_shards != 0:

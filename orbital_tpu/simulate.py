@@ -63,6 +63,7 @@ def simulate(
     integrator: str = "kdk",
     collisions: str = "none",
     restitution: float = 1.0,
+    frag_seed: int = 0,
     force_impl: str = "auto",
     pm_grid: int = 64,
     p3m_capacity: Union[int, str] = "auto",
@@ -143,6 +144,7 @@ def simulate(
         integrator=integrator,
         collisions=collisions,
         restitution=restitution,
+        frag_seed=frag_seed,
         force_impl=force_impl,
         pm_grid=pm_grid,
         p3m_capacity=64 if p3m_capacity == "auto" else int(p3m_capacity),

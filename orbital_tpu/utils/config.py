@@ -26,7 +26,10 @@ class SimConfig:
         G: gravitational constant (internal units; 1.0 under natural rescale).
         eps2: squared softening length (internal units).
         restitution: coefficient of restitution for bounce collisions.
-        collisions: "none" | "bounce" | "merge".
+        collisions: "none" | "bounce" | "merge" | "resolve" (the
+            reference's absorb/fragment/bounce outcome model,
+            ``ops.collisions.resolve_outcomes``; small-scene dense sweep,
+            fragmentation rolls drawn per step from ``frag_seed``).
         integrator: "kdk" (leapfrog, reference: core/engine.py:65-97) |
             "euler" (semi-implicit, reference: core/physics.py:315-332) |
             "rk4" (classical 4th order; 4 force evals/step) |
@@ -139,6 +142,8 @@ class SimConfig:
             sizes instead of m x fast_cap. Requires hermite_fast_cap,
             adaptive_eta, and a power-of-two hermite_max_substeps
             >= 2^(R-1).
+        frag_seed: PRNG seed for collisions="resolve" fragmentation rolls
+            (folded with the step counter — outcomes are reproducible).
     """
 
     dt: float
@@ -173,9 +178,10 @@ class SimConfig:
     hermite_fast_cap: int = 0
     hermite_max_substeps: int = 64
     hermite_rungs: int = 1
+    frag_seed: int = 0
 
     def __post_init__(self):
-        if self.collisions not in ("none", "bounce", "merge"):
+        if self.collisions not in ("none", "bounce", "merge", "resolve"):
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
         if self.integrator not in ("kdk", "euler", "rk4", "hermite",
                                    "yoshida4"):

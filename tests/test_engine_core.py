@@ -193,6 +193,112 @@ def test_merge_chain_transitive():
     np.testing.assert_allclose(p[0], [1.5, 0, 0])
 
 
+def test_resolve_absorb():
+    """Mass ratio > 10: the smaller body is absorbed — larger gains mass
+    and volume-additive radius but keeps its velocity/position (reference
+    resolve_collision semantics, core/physics.py:361-388)."""
+    import jax
+
+    pos = np.array([[0.0, 0, 0], [1.5, 0, 0], [50.0, 0, 0]])
+    vel = np.array([[0.5, 0, 0], [-0.5, 0, 0], [0.0, 0, 0]])
+    mass = np.array([100.0, 1.0, 4.0])
+    radius = np.array([1.0, 1.0, 1.0])
+    alive = np.ones(3, bool)
+    p, v, m, r, a = (np.asarray(x) for x in coll.resolve_outcomes(
+        pos, vel, mass, radius, alive, jax.random.PRNGKey(0)))
+    assert list(a) == [True, False, True]
+    assert m[0] == pytest.approx(101.0)
+    assert r[0] == pytest.approx(2 ** (1 / 3))
+    # absorber state untouched (mass transfer only, as in the reference)
+    np.testing.assert_array_equal(p[0], pos[0])
+    np.testing.assert_array_equal(v[0], vel[0])
+    assert m[1] == 0.0 and r[1] == 0.0
+    # bystander bit-identical
+    np.testing.assert_array_equal(p[2], pos[2])
+
+
+def test_resolve_fragment_high_energy():
+    """Comparable masses at huge relative speed: fragmentation probability
+    saturates at 1 — both bodies are removed for any key."""
+    import jax
+
+    pos = np.array([[0.0, 0, 0], [1.5, 0, 0]])
+    vel = np.array([[500.0, 0, 0], [-500.0, 0, 0]])
+    mass = np.array([2.0, 3.0])
+    radius = np.array([1.0, 1.0])
+    alive = np.ones(2, bool)
+    for seed in (0, 1, 123):
+        _, _, m, _, a = (np.asarray(x) for x in coll.resolve_outcomes(
+            pos, vel, mass, radius, alive, jax.random.PRNGKey(seed)))
+        assert list(a) == [False, False]
+        assert m.sum() == 0.0
+
+
+def test_resolve_bounce_low_energy():
+    """Comparable masses at low speed: falls through to the elastic
+    bounce, matching bounce_deltas exactly."""
+    import jax
+
+    pos = np.array([[0.0, 0, 0], [1.5, 0, 0]])
+    vel = np.array([[0.1, 0, 0], [-0.1, 0, 0]])
+    mass = np.array([5.0, 5.0])
+    radius = np.array([1.0, 1.0])
+    alive = np.ones(2, bool)
+    # p_frag = sigmoid(-5) ~ 0.0067; PRNGKey(0)'s draws exceed it (checked)
+    p, v, m, r, a = (np.asarray(x) for x in coll.resolve_outcomes(
+        pos, vel, mass, radius, alive, jax.random.PRNGKey(0)))
+    assert list(a) == [True, True]
+    dpos, dvel = coll.bounce_deltas(pos, vel, mass, radius, alive,
+                                    restitution=1.0)
+    np.testing.assert_allclose(p, pos + np.asarray(dpos), atol=1e-12)
+    np.testing.assert_allclose(v, vel + np.asarray(dvel), atol=1e-12)
+    np.testing.assert_array_equal(m, mass)
+
+
+def test_resolve_fragmentation_statistics():
+    """At E_coll == E_thresh the fragmentation probability is exactly 1/2:
+    the per-key outcome frequency must match."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    # equal unit masses: mu = 1/2, E_thresh = 1e3; v_rel^2 = 4e3 gives
+    # E_coll = 1e3 exactly
+    v_half = math.sqrt(4e3) / 2.0
+    pos = jnp.asarray([[0.0, 0, 0], [1.5, 0, 0]])
+    vel = jnp.asarray([[v_half, 0, 0], [-v_half, 0, 0]])
+    mass = jnp.ones(2)
+    radius = jnp.ones(2)
+    alive = jnp.ones(2, bool)
+
+    keys = jax.random.split(jax.random.PRNGKey(42), 512)
+    frag = jax.vmap(
+        lambda k: ~coll.resolve_outcomes(pos, vel, mass, radius, alive, k)[4][0]
+    )(keys)
+    frac = float(np.asarray(frag).mean())
+    assert 0.40 < frac < 0.60
+
+
+def test_resolve_collisions_in_rollout():
+    """collisions='resolve' under the scanned rollout: a 15x mass ratio
+    contact resolves as absorption, reproducibly."""
+    pos = np.array([[0.0, 0, 0], [5.0, 0, 0]])
+    vel = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
+    mass = np.array([30.0, 2.0])
+    radius = np.array([1.0, 1.0])
+    st = make_state(pos, vel, mass, radius, precision="f64")
+    cfg = ot.SimConfig(dt=0.05, G=1e-20, collisions="resolve", frag_seed=3)
+    st = ot.init_forces(st, cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 200)
+    alive = np.asarray(fin.alive)
+    assert alive.tolist() == [True, False]
+    assert float(np.asarray(fin.mass)[0]) == pytest.approx(32.0)
+    # absorber keeps its pre-contact velocity (reference absorb semantics)
+    np.testing.assert_allclose(np.asarray(fin.vel)[0], [1.0, 0, 0],
+                               atol=1e-9)
+
+
 def test_bounce_collisions_in_rollout_conserve_momentum():
     pos = np.array([[0.0, 0, 0], [5.0, 0, 0]])
     vel = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
