@@ -173,6 +173,33 @@ def test_ensemble_rollout(rng):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_ensemble_rollout_resolve_collisions(rng):
+    """collisions='resolve' under the vmapped ensemble: the per-step
+    fragmentation key (frag_seed folded with the member's step counter)
+    must trace under vmap, and each member must resolve independently."""
+    # two bodies per member on an absorption course (mass ratio 16 > 10)
+    E = 4
+    pos = np.tile(np.array([[0.0, 0, 0], [5.0, 0, 0]]), (E, 1, 1))
+    vel = np.tile(np.array([[1.0, 0, 0], [-1.0, 0, 0]]), (E, 1, 1))
+    # member 3's bodies start far apart: no contact within the run
+    pos[3, 1, 0] = 500.0
+    mass = np.tile(np.array([32.0, 2.0]), (E, 1))
+    radius = np.ones((E, 2))
+    base = make_state(pos[0], vel[0], mass[0], radius[0], precision="f64")
+    states = jax.vmap(
+        lambda p, v, m, r: base.replace(pos=p, vel=v, mass=m, radius=r)
+    )(jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+      jnp.asarray(radius))
+    cfg = ot.SimConfig(dt=0.05, G=1e-20, collisions="resolve", frag_seed=1)
+    finals, _ = ensemble_rollout(states, cfg, 200, record_every=50)
+    alive = np.asarray(finals.alive)
+    m_fin = np.asarray(finals.mass)
+    assert alive[:3].tolist() == [[True, False]] * 3
+    np.testing.assert_allclose(m_fin[:3, 0], 34.0)
+    assert alive[3].tolist() == [True, True]
+    np.testing.assert_allclose(m_fin[3], [32.0, 2.0])
+
+
 def test_ring_force_various_shard_counts(cluster_state):
     """Force results are shard-count invariant (2, 4, 8 devices)."""
     from jax.sharding import PartitionSpec as P
