@@ -338,27 +338,78 @@ def _unpack_fields(out, n_fields):
     return tuple(g[..., ch].reshape(-1) for ch in range(n_fields))
 
 
+# How per-level conv outputs are combined into finest-grid expansions:
+#   "push" — level-by-level pushdown: the running expansion is Taylor-
+#            shifted one level at a time (parent centers -> child centers,
+#            static +-h/2 octant deltas) and each level's conv output is
+#            added at its own grid. Traffic-optimal: total writes are
+#            ~(8/7) nf M^3 because every level below the finest is grid-
+#            size m^3 << M^3.
+#   "lazy" — every level's conv output is shifted straight to the FINEST
+#            cell centers and accumulated there. One truncation order
+#            more accurate per hop chain (no compounding of dropped
+#            terms), but each of the `levels-2` accumulations is an
+#            M^3-sized elementwise pass: measured slower on v5e at l8
+#            (512k far phase 582 ms lazy vs 455 ms pushdown-era).
+# Both paths share _taylor_shift, which keeps the FULL available Taylor
+# terms at each hop (the round-4 pushdown dropped phi's J:delta^2/2 term
+# at order 1 — the main accuracy delta the lazy landing measured).
+# Module flag (not a jit cache key — clear_cache() between flips).
+_FAR_COMBINE = "push"
+
+
+def _taylor_shift(up, d, dx, dy, dz, order):
+    """Shift field expansions by delta = (dx, dy, dz) (target center -
+    source center): returns the same channel tuple re-expanded about the
+    shifted centers, keeping every term available at this order.
+
+    ``up`` maps a flat channel to its broadcast-ready view; ``dx/dy/dz``
+    are broadcast-ready per-axis delta arrays. Channel layout: A (3),
+    J (6: xx yy zz xy xz yz), [order 2: H (18)], phi."""
+    A = [up(d[k]) for k in range(3)]
+    J = [up(d[3 + q]) for q in range(6)]
+    phi = up(d[-1])
+    Ax_c = A[0] + J[0] * dx + J[3] * dy + J[4] * dz
+    Ay_c = A[1] + J[3] * dx + J[1] * dy + J[5] * dz
+    Az_c = A[2] + J[4] * dx + J[5] * dy + J[2] * dz
+    phi_c = phi - (A[0] * dx + A[1] * dy + A[2] * dz) - 0.5 * (
+        J[0] * dx * dx + J[1] * dy * dy + J[2] * dz * dz
+        + 2.0 * (J[3] * dx * dy + J[4] * dx * dz + J[5] * dy * dz))
+    if order == 1:
+        return (Ax_c, Ay_c, Az_c) + tuple(J) + (phi_c,)
+    H = [up(d[9 + t]) for t in range(18)]
+
+    def hquad(i):
+        b = i * 6
+        return (H[b + 0] * dx * dx + H[b + 1] * dy * dy
+                + H[b + 2] * dz * dz
+                + 2.0 * (H[b + 3] * dx * dy + H[b + 4] * dx * dz
+                         + H[b + 5] * dy * dz))
+
+    Ax_c = Ax_c + 0.5 * hquad(0)
+    Ay_c = Ay_c + 0.5 * hquad(1)
+    Az_c = Az_c + 0.5 * hquad(2)
+    # J_(ij) += H_i(jk) delta_k (fully symmetric H)
+    Jxx_c = J[0] + H[0] * dx + H[3] * dy + H[4] * dz
+    Jyy_c = J[1] + H[9] * dx + H[7] * dy + H[11] * dz
+    Jzz_c = J[2] + H[16] * dx + H[17] * dy + H[14] * dz
+    Jxy_c = J[3] + H[3] * dx + H[1] * dy + H[5] * dz
+    Jxz_c = J[4] + H[4] * dx + H[5] * dy + H[2] * dz
+    Jyz_c = J[5] + H[10] * dx + H[11] * dy + H[8] * dz
+    return ((Ax_c, Ay_c, Az_c, Jxx_c, Jyy_c, Jzz_c, Jxy_c, Jxz_c,
+             Jyz_c) + tuple(H) + (phi_c,))
+
+
 def _far_field(chans, levels, ws, half, origin, G, eps2, order):
     """Conv far field over all levels. Returns F flat finest-grid field
     channels [M^3] (order 1: Ax..Az, Jxx..Jyz, phi; order 2 inserts the
     18 Hessian channels before phi) — expansions about FINEST cell
-    centers.
-
-    Levels are combined LAZILY at the finest grid: every level's conv
-    output is Taylor-shifted straight from its own cell centers to the
-    finest cell centers in one broadcast-sum per output channel. The
-    former level-by-level pushdown materialized tens of grid-sized
-    intermediates at the finest transition (measured ~310 ms of the
-    482 ms far-grid phase at N=1M, levels=8); the per-axis shift
-    vectors here are tiny (delta depends only on the within-block
-    offset, (j + 0.5 - r/2) h_fin), so XLA can fuse the whole
-    combination into near-minimal HBM traffic. Shifting each level
-    directly is also one truncation order more accurate than the
-    chained re-expansion (no compounding of dropped terms)."""
+    centers. Level combination strategy: see ``_FAR_COMBINE``."""
     f32 = jnp.float32
     M = 2 ** levels
     nf = _N_FLD[order]
-    dFs = {}
+    h_fin = 2.0 * half / M
+    acc = None           # lazy: finest-grid accumulator; push: running F
     for lev in range(2, levels + 1):
         m = 2 ** lev
         h_lev = 2.0 * half / m
@@ -381,65 +432,50 @@ def _far_field(chans, levels, ws, half, origin, G, eps2, order):
                             + mflat * cc[i] * cc[j])
         packed = _octant_pack(moms, m)
         out = _level_conv(packed, ws, h_lev, G, eps2, order)
-        dFs[lev] = _unpack_fields(out, nf)
+        dF = _unpack_fields(out, nf)
 
-    # combine: F_fin = sum_lev shift(dF_lev, c_fin - c_lev). The 6-d view
-    # (m, r, m, r, m, r) of a flat [M^3] x-major grid is a free reshape,
-    # and delta is constant within each r-block, so each level's term is
-    # small-array reads + broadcasts only.
-    h_fin = 2.0 * half / M
-    acc = [jnp.zeros((M * M * M,), f32) for _ in range(nf)]
-    for lev in range(2, levels + 1):
-        d = dFs[lev]
-        if lev == levels:
-            acc = [a + c for a, c in zip(acc, d)]
+        if _FAR_COMBINE == "push":
+            if acc is None:
+                acc = dF
+                continue
+            # acc holds levels < lev about level lev-1 centers ([s^3]
+            # flats, s = m/2): shift to this level's child centers
+            # (delta = +-h_lev/2 per axis) and add this level's term.
+            s = m // 2
+
+            def up(c, _s=s):
+                return c.reshape(_s, 1, _s, 1, _s, 1)
+
+            sides = jnp.asarray([-1.0, 1.0], f32) * (0.5 * h_lev)
+            dx = sides.reshape(1, 2, 1, 1, 1, 1)
+            dy = sides.reshape(1, 1, 1, 2, 1, 1)
+            dz = sides.reshape(1, 1, 1, 1, 1, 2)
+            shifted = _taylor_shift(up, acc, dx, dy, dz, order)
+            tgt = (s, 2, s, 2, s, 2)
+            acc = tuple(jnp.broadcast_to(p, tgt).reshape(-1) + c
+                        for p, c in zip(shifted, dF))
             continue
-        m = 2 ** lev
+
+        # lazy: shift this level's term straight to the finest centers.
+        # The 6-d view (m, r, m, r, m, r) of a flat [M^3] x-major grid is
+        # a free reshape, and delta is constant within each r-block.
+        if acc is None:
+            acc = [jnp.zeros((M * M * M,), f32) for _ in range(nf)]
+        if lev == levels:
+            acc = [a + c for a, c in zip(acc, dF)]
+            continue
         r = M // m
 
-        def up(c):
-            return c.reshape(m, 1, m, 1, m, 1)
+        def up(c, _m=m):
+            return c.reshape(_m, 1, _m, 1, _m, 1)
 
-        def dl(axis):
-            dv = (jnp.arange(r, dtype=f32) + 0.5 - 0.5 * r) * h_fin
+        def dl(axis, _r=r):
+            dv = (jnp.arange(_r, dtype=f32) + 0.5 - 0.5 * _r) * h_fin
             shape = [1, 1, 1, 1, 1, 1]
-            shape[2 * axis + 1] = r
+            shape[2 * axis + 1] = _r
             return dv.reshape(shape)
 
-        dx, dy, dz = dl(0), dl(1), dl(2)
-        A = [up(d[k]) for k in range(3)]
-        J = [up(d[3 + q]) for q in range(6)]  # xx yy zz xy xz yz
-        phi = up(d[-1])
-        Ax_c = A[0] + J[0] * dx + J[3] * dy + J[4] * dz
-        Ay_c = A[1] + J[3] * dx + J[1] * dy + J[5] * dz
-        Az_c = A[2] + J[4] * dx + J[5] * dy + J[2] * dz
-        phi_c = phi - (A[0] * dx + A[1] * dy + A[2] * dz) - 0.5 * (
-            J[0] * dx * dx + J[1] * dy * dy + J[2] * dz * dz
-            + 2.0 * (J[3] * dx * dy + J[4] * dx * dz + J[5] * dy * dz))
-        if order == 1:
-            shifted = (Ax_c, Ay_c, Az_c) + tuple(J) + (phi_c,)
-        else:
-            H = [up(d[9 + t]) for t in range(18)]
-
-            def hquad(i):
-                b = i * 6
-                return (H[b + 0] * dx * dx + H[b + 1] * dy * dy
-                        + H[b + 2] * dz * dz
-                        + 2.0 * (H[b + 3] * dx * dy + H[b + 4] * dx * dz
-                                 + H[b + 5] * dy * dz))
-
-            Ax_c = Ax_c + 0.5 * hquad(0)
-            Ay_c = Ay_c + 0.5 * hquad(1)
-            Az_c = Az_c + 0.5 * hquad(2)
-            # J_(ij) += H_i(jk) delta_k (fully symmetric H)
-            Jxx_c = J[0] + H[0] * dx + H[3] * dy + H[4] * dz
-            Jyy_c = J[1] + H[9] * dx + H[7] * dy + H[11] * dz
-            Jzz_c = J[2] + H[16] * dx + H[17] * dy + H[14] * dz
-            Jxy_c = J[3] + H[3] * dx + H[1] * dy + H[5] * dz
-            Jxz_c = J[4] + H[4] * dx + H[5] * dy + H[2] * dz
-            Jyz_c = J[5] + H[10] * dx + H[11] * dy + H[8] * dz
-            shifted = ((Ax_c, Ay_c, Az_c, Jxx_c, Jyy_c, Jzz_c, Jxy_c,
-                        Jxz_c, Jyz_c) + tuple(H) + (phi_c,))
+        shifted = _taylor_shift(up, dF, dl(0), dl(1), dl(2), order)
         tgt = (m, r, m, r, m, r)
         acc = [a + jnp.broadcast_to(s_, tgt).reshape(-1)
                for a, s_ in zip(acc, shifted)]

@@ -655,6 +655,45 @@ def test_far_field_layout_parity(rng):
         T._FAR_NHWC = saved
         T.tree_acc_potential.clear_cache()
 
+
+@pytest.mark.slow
+def test_far_field_combine_parity(rng):
+    """The 'push' level combination (level-by-level pushdown with FULL
+    Taylor terms per hop) matches the 'lazy' one (per-level shift
+    straight to the finest grid) to f32 rounding on forces, both orders.
+    The chained re-expansion only compounds terms BEYOND the kept order,
+    so with the full shift the paths differ at rounding, not truncation
+    (measured 7e-8 RMS on a 2048-body blob). Module flags are not jit
+    cache keys — clear_cache between flips."""
+    import orbital_tpu.ops.tree as T
+
+    pos = rng.normal(0, 0.3, (256, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, 256).astype(np.float32)
+    saved = T._FAR_COMBINE
+    try:
+        for order in (1, 2):
+            outs = {}
+            for mode in ("push", "lazy"):
+                T._FAR_COMBINE = mode
+                T.tree_acc_potential.clear_cache()
+                a, pe, ov = tree_acc_potential(
+                    pos, mass, G_grav=1.0, eps2=1e-4, levels=4, ws=1,
+                    capacity=128, max_cells=256, order=order,
+                    with_potential=True)
+                assert int(ov) == 0
+                outs[mode] = (np.asarray(a), np.asarray(pe))
+            scale = np.sqrt(np.mean(np.sum(outs["lazy"][0] ** 2, -1)))
+            np.testing.assert_allclose(outs["push"][0], outs["lazy"][0],
+                                       atol=2e-6 * scale)
+            # potential keeps a small compounding term (hop-chained
+            # re-expansion); same accuracy class, not bit-equal
+            assert float(outs["push"][1]) == pytest.approx(
+                float(outs["lazy"][1]), rel=1e-3)
+    finally:
+        T._FAR_COMBINE = saved
+        T.tree_acc_potential.clear_cache()
+
+
 def _pairs_budgets(pos, levels, ws=1, chunk=32, alive=None, margin=4):
     import jax.numpy as jnp
 
