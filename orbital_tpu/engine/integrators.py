@@ -78,6 +78,9 @@ def _apply_collisions(
         pos, vel, mass, radius, alive = coll.resolve_outcomes(
             state.pos_full(), state.vel_full(), state.mass, state.radius,
             state.alive, key, restitution=cfg.restitution,
+            debris_k=cfg.debris_k, debris_max_pairs=cfg.debris_max_pairs,
+            debris_energy_frac=cfg.debris_energy_frac,
+            debris_sep=cfg.debris_sep,
         )
         zeros = None if state.pos_lo is None else jnp.zeros_like(state.pos_lo)
         return state.replace(

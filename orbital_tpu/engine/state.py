@@ -165,10 +165,15 @@ def make_state(
     precision: Precision = "f32",
     rescale: Optional[Rescale] = None,
     pad_to: int = 1,
+    spare: int = 0,
     time: float = 0.0,
 ) -> NBodyState:
     """Build device state from host f64 arrays (already in *physical* units;
     pass ``rescale`` to convert to internal units on the way in).
+
+    ``spare`` allocates that many extra DEAD slots (beyond ``pad_to``
+    alignment) for bodies created at runtime — debris fragments from
+    ``collisions="resolve"`` with ``debris_k > 0`` spawn into them.
 
     ``acc``/``potential`` are zero-initialized; the engine performs the
     initial force evaluation (reference seeds accelerations in the
@@ -188,7 +193,9 @@ def make_state(
         else np.zeros(n)
     )
 
-    n_pad = pad_count(n, pad_to)
+    if spare < 0:
+        raise ValueError(f"spare must be >= 0, got {spare}")
+    n_pad = pad_count(n + int(spare), pad_to)
     alive = np.zeros(n_pad, dtype=bool)
     alive[:n] = True
     if n_pad != n:

@@ -195,9 +195,15 @@ def collision_roots_chunked(pos, radius, alive, *, chunk: int = 512):
     return root
 
 
-@partial(jax.jit, static_argnames=("restitution",))
+@partial(jax.jit, static_argnames=("restitution", "debris_k",
+                                   "debris_max_pairs", "debris_energy_frac",
+                                   "debris_sep"))
 def resolve_outcomes(pos, vel, mass, radius, alive, key, *,
-                     restitution: float = 1.0):
+                     restitution: float = 1.0,
+                     debris_k: int = 0,
+                     debris_max_pairs: int = 4,
+                     debris_energy_frac: float = 0.3,
+                     debris_sep: float = 1.0):
     """Collision *outcome model* as one simultaneous masked round.
 
     Device-native version of the reference's ``resolve_collision``
@@ -212,9 +218,28 @@ def resolve_outcomes(pos, vel, mass, radius, alive, key, *,
       * else, with the logistic fragmentation probability
         p = sigmoid(5 (E_coll/E_thresh - 1)), E_coll = mu v_rel^2 / 2,
         E_thresh = (m1+m2) 1e3 / 2 -> **fragmentation**: both bodies are
-        removed (debris generation is not modeled, as in the reference).
+        removed (by default debris generation is not modeled, as in the
+        reference — its fragment branch at core/physics.py:378-383 removes
+        both bodies with a "fragment generation not implemented" note).
       * else -> **elastic bounce** with ``restitution`` (the reference
         falls through to ``collide_spheres``).
+
+    **Debris generation** (``debris_k > 0``) goes beyond the reference:
+    each fragmenting pair spawns ``debris_k`` fragments into slots that
+    were DEAD at entry (allocate spare capacity with
+    ``make_state(..., spare=...)``). Per pair the fragments share the
+    pair's total mass equally (mass exactly conserved), carry the pair's
+    total momentum exactly (zero-sum spread velocities), keep the pair's
+    total volume (radius = ((r1^3+r2^3)/K)^(1/3)), and receive
+    ``debris_energy_frac`` of the collision kinetic energy as spread KE
+    about the center of mass (the rest is dissipated — fragmentation is
+    inelastic). They are placed ``debris_sep * (r1+r2)`` from the pair's
+    center of mass along their spread directions. Static budgets: at most
+    ``debris_max_pairs`` pairs spawn per round (fragmenting bodies are
+    matched mutually-first; unmatched chain members and pairs beyond the
+    budget or beyond the free-slot supply die WITHOUT debris, i.e. fall
+    back to reference semantics). The spread directions derive from
+    ``key``, independent of the fragmentation roll.
 
     Sequential-sweep differences (documented, same spirit as ``merge``):
     outcomes classify from the PRE-round state in one round with priority
@@ -303,6 +328,64 @@ def resolve_outcomes(pos, vel, mass, radius, alive, key, *,
          jnp.full(n, 1.0, pos.dtype) * far], axis=-1)
     new_pos = jnp.where(dead[:, None], far_pos, pos + dpos)
     new_vel = jnp.where(dead[:, None], 0.0, vel + dvel)
+    if debris_k <= 0:
+        return new_pos, new_vel, new_mass, new_radius, new_alive
+
+    # --- debris spawn into entry-dead slots (static budgets) ------------
+    K = int(debris_k)
+    B = min(int(debris_max_pairs), n // K)
+    if B <= 0:
+        return new_pos, new_vel, new_mass, new_radius, new_alive
+    # mutually-first matching of fragmenting bodies into unordered pairs
+    # (frag is symmetric; chain members that aren't each other's first
+    # partner die without debris — reference fallback)
+    partner = jnp.argmax(frag, axis=1)
+    mutual = frag_dead & (partner[partner] == idx) & (idx < partner)
+    order = jnp.argsort(~mutual)          # stable: matched rows first
+    pi = order[:B]
+    pj = partner[pi]
+    pair_ok = mutual[pi]
+    # slot allocation: first B*K entry-dead slots, K consecutive per pair;
+    # a pair spawns only if ALL its K slots are genuinely free (partial
+    # spawns would break conservation)
+    free = ~alive
+    slots = jnp.argsort(~free)[:B * K].reshape(B, K)
+    spawn = pair_ok & jnp.all(free[slots], axis=1)
+
+    m1, m2 = mass[pi], mass[pj]
+    mt = m1 + m2
+    mt_safe = jnp.where(mt > 0.0, mt, 1.0)
+    x_com = (m1[:, None] * pos[pi] + m2[:, None] * pos[pj]) / mt_safe[:, None]
+    v_com = (m1[:, None] * vel[pi] + m2[:, None] * vel[pj]) / mt_safe[:, None]
+    # zero-sum spread directions: momentum is conserved exactly
+    d = jax.random.normal(jax.random.fold_in(key, 1), (B, K, 3),
+                          dtype=pos.dtype)
+    e_vec = d - jnp.mean(d, axis=1, keepdims=True)
+    m_f = mt / K
+    e2sum = jnp.sum(e_vec * e_vec, axis=(1, 2))
+    ke = debris_energy_frac * e_coll[pi, pj]
+    s = jnp.sqrt(2.0 * ke / (jnp.where(e2sum > 0.0, e2sum, 1.0)
+                             * jnp.where(m_f > 0.0, m_f, 1.0)))
+    s = jnp.where(e2sum > 0.0, s, 0.0)
+    v_frag = v_com[:, None, :] + s[:, None, None] * e_vec
+    e_norm = jnp.sqrt(jnp.sum(e_vec * e_vec, axis=-1, keepdims=True))
+    u_vec = e_vec / jnp.where(e_norm > 0.0, e_norm, 1.0)
+    sep = debris_sep * (radius[pi] + radius[pj])
+    x_frag = x_com[:, None, :] + sep[:, None, None] * u_vec
+    r_f = jnp.cbrt((radius[pi] ** 3 + radius[pj] ** 3) / K)
+
+    flat = slots.reshape(-1)
+    okf = jnp.repeat(spawn, K)
+    mKf = jnp.broadcast_to(m_f[:, None], (B, K)).reshape(-1)
+    rKf = jnp.broadcast_to(r_f[:, None], (B, K)).reshape(-1)
+    new_mass = new_mass.at[flat].set(jnp.where(okf, mKf, new_mass[flat]))
+    new_radius = new_radius.at[flat].set(
+        jnp.where(okf, rKf, new_radius[flat]))
+    new_alive = new_alive.at[flat].set(okf | new_alive[flat])
+    new_pos = new_pos.at[flat].set(
+        jnp.where(okf[:, None], x_frag.reshape(-1, 3), new_pos[flat]))
+    new_vel = new_vel.at[flat].set(
+        jnp.where(okf[:, None], v_frag.reshape(-1, 3), new_vel[flat]))
     return new_pos, new_vel, new_mass, new_radius, new_alive
 
 

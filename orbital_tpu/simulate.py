@@ -64,6 +64,11 @@ def simulate(
     collisions: str = "none",
     restitution: float = 1.0,
     frag_seed: int = 0,
+    debris_k: int = 0,
+    debris_max_pairs: int = 4,
+    debris_energy_frac: float = 0.3,
+    debris_sep: float = 1.0,
+    spare: int = 0,
     force_impl: str = "auto",
     pm_grid: int = 64,
     p3m_capacity: Union[int, str] = "auto",
@@ -90,6 +95,11 @@ def simulate(
     ``scene`` may be a Keplerian :class:`System`, an ``ObjectCollection`` /
     list of ``Object``, or prebuilt :class:`SceneArrays`. ``record_every``
     defaults to ~100 evenly spaced records.
+
+    ``collisions="resolve"`` with ``debris_k > 0`` enables the debris
+    model (fragmenting pairs spawn ``debris_k`` conserving fragments
+    instead of vanishing); pass ``spare`` dead slots for them to occupy
+    (see ``ops.collisions.resolve_outcomes``).
 
     ``mesh`` runs the rollout MULTI-CHIP over a ``jax.sharding.Mesh`` with
     a ``shard_axis`` body axis (N must divide across its devices): exact
@@ -145,6 +155,10 @@ def simulate(
         collisions=collisions,
         restitution=restitution,
         frag_seed=frag_seed,
+        debris_k=debris_k,
+        debris_max_pairs=debris_max_pairs,
+        debris_energy_frac=debris_energy_frac,
+        debris_sep=debris_sep,
         force_impl=force_impl,
         pm_grid=pm_grid,
         p3m_capacity=64 if p3m_capacity == "auto" else int(p3m_capacity),
@@ -163,7 +177,7 @@ def simulate(
         hermite_rungs=hermite_rungs,
     )
     state = make_state(arrays.pos, arrays.vel, arrays.mass, arrays.radius,
-                       precision=precision, rescale=rescale)
+                       precision=precision, rescale=rescale, spare=spare)
     if force_impl == "p3m" and p3m_capacity == "auto":
         # size the per-cell capacity from the actual initial density in ONE
         # cheap pass (the short-range sum silently loses overflowed pairs;

@@ -144,6 +144,19 @@ class SimConfig:
             >= 2^(R-1).
         frag_seed: PRNG seed for collisions="resolve" fragmentation rolls
             (folded with the step counter — outcomes are reproducible).
+        debris_k: collisions="resolve" debris model — fragments spawned
+            per fragmenting pair into entry-dead slots (allocate with
+            make_state(spare=...)). 0 (default) reproduces the reference:
+            fragmenting bodies are removed without debris
+            (core/physics.py:378-383). See ops.collisions.resolve_outcomes
+            for the conservation guarantees.
+        debris_max_pairs: static per-step budget of fragmenting pairs
+            that may spawn debris (pairs beyond it fall back to plain
+            removal).
+        debris_energy_frac: fraction of each pair's collision kinetic
+            energy retained as fragment spread KE (the rest dissipates).
+        debris_sep: fragment placement distance in units of (r1 + r2)
+            from the pair's center of mass.
     """
 
     dt: float
@@ -179,8 +192,17 @@ class SimConfig:
     hermite_max_substeps: int = 64
     hermite_rungs: int = 1
     frag_seed: int = 0
+    debris_k: int = 0
+    debris_max_pairs: int = 4
+    debris_energy_frac: float = 0.3
+    debris_sep: float = 1.0
 
     def __post_init__(self):
+        if self.debris_k < 0:
+            raise ValueError(f"debris_k must be >= 0, got {self.debris_k}")
+        if not 0.0 <= self.debris_energy_frac <= 1.0:
+            raise ValueError("debris_energy_frac must be in [0, 1], got "
+                             f"{self.debris_energy_frac}")
         if self.collisions not in ("none", "bounce", "merge", "resolve"):
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
         if self.integrator not in ("kdk", "euler", "rk4", "hermite",

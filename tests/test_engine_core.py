@@ -299,6 +299,82 @@ def test_resolve_collisions_in_rollout():
                                atol=1e-9)
 
 
+def test_resolve_debris_spawn_conserves():
+    """debris_k > 0: a fragmenting pair spawns K fragments into entry-dead
+    slots conserving mass, momentum, and total volume exactly, with spread
+    KE = debris_energy_frac * E_coll about the pair's center of mass."""
+    import jax
+
+    # two certain-fragmentation bodies (as in the high-energy test) plus
+    # four parked dead slots for the debris
+    pos = np.array([[0.0, 0, 0], [1.5, 0, 0],
+                    [1e6, 0, 0], [1e6, 1, 0], [1e6, 2, 0], [1e6, 3, 0]])
+    vel = np.array([[500.0, 0, 0], [-500.0, 0, 0],
+                    [0.0, 0, 0], [0.0, 0, 0], [0.0, 0, 0], [0.0, 0, 0]])
+    mass = np.array([2.0, 3.0, 0.0, 0.0, 0.0, 0.0])
+    radius = np.array([1.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+    alive = np.array([True, True, False, False, False, False])
+    eta = 0.3
+    p, v, m, r, a = (np.asarray(x) for x in coll.resolve_outcomes(
+        pos, vel, mass, radius, alive, jax.random.PRNGKey(7),
+        debris_k=4, debris_energy_frac=eta))
+    # originals dead; all four spare slots now carry fragments
+    assert list(a) == [False, False, True, True, True, True]
+    np.testing.assert_allclose(m[2:], 5.0 / 4)
+    np.testing.assert_allclose(m.sum(), 5.0)
+    # momentum: p_tot = 2*500 - 3*500 = -500 along x, exactly conserved
+    np.testing.assert_allclose((m[:, None] * v).sum(axis=0), [-500.0, 0, 0],
+                               rtol=1e-12, atol=1e-11)
+    # volume-additive radii split K ways
+    np.testing.assert_allclose(r[2:] ** 3 * 4, 2.0, rtol=1e-12)
+    # spread KE about the COM velocity = eta * E_coll (mu v_rel^2 / 2)
+    v_com = np.array([-100.0, 0, 0])
+    ke = 0.5 * (m[2:, None] * (v[2:] - v_com) ** 2).sum()
+    e_coll = 0.5 * (2.0 * 3.0 / 5.0) * 1000.0 ** 2
+    np.testing.assert_allclose(ke, eta * e_coll, rtol=1e-10)
+
+
+def test_resolve_debris_without_free_slots_matches_reference():
+    """No entry-dead slots: debris_k falls back to plain removal — output
+    identical to the debris_k=0 (reference) semantics."""
+    import jax
+
+    pos = np.array([[0.0, 0, 0], [1.5, 0, 0]])
+    vel = np.array([[500.0, 0, 0], [-500.0, 0, 0]])
+    mass = np.array([2.0, 3.0])
+    radius = np.array([1.0, 1.0])
+    alive = np.ones(2, bool)
+    key = jax.random.PRNGKey(0)
+    base = coll.resolve_outcomes(pos, vel, mass, radius, alive, key)
+    deb = coll.resolve_outcomes(pos, vel, mass, radius, alive, key,
+                                debris_k=3)
+    for x, y in zip(base, deb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_resolve_debris_in_rollout():
+    """Debris under the scanned rollout: a certain-fragmentation impact
+    with spare=4 capacity and debris_k=2 leaves two co-moving fragments
+    carrying the pair's exact mass and momentum."""
+    pos = np.array([[-2.5, 0, 0], [2.5, 0, 0]])
+    vel = np.array([[500.0, 0, 0], [-500.0, 0, 0]])
+    mass = np.array([2.0, 3.0])
+    radius = np.array([1.0, 1.0])
+    st = make_state(pos, vel, mass, radius, precision="f64", spare=4)
+    assert st.n_bodies == 6
+    cfg = ot.SimConfig(dt=1e-3, G=1e-20, collisions="resolve", frag_seed=5,
+                       debris_k=2, debris_energy_frac=0.0)
+    st = ot.init_forces(st, cfg)
+    fin, _ = ot.rollout_jit(st, cfg, 10)
+    a = np.asarray(fin.alive)
+    m = np.asarray(fin.mass)
+    v = np.asarray(fin.vel)
+    assert not a[0] and not a[1] and a.sum() == 2
+    np.testing.assert_allclose(m.sum(), 5.0)
+    # zero spread KE: both fragments move at exactly the COM velocity
+    np.testing.assert_allclose(v[a], [[-100.0, 0, 0]] * 2, atol=1e-9)
+
+
 def test_bounce_collisions_in_rollout_conserve_momentum():
     pos = np.array([[0.0, 0, 0], [5.0, 0, 0]])
     vel = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
