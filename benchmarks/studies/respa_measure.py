@@ -1,0 +1,99 @@
+"""RESPA (multirate) stepper at the headline config: ms/substep and
+10k-substep |dE/E| at N = 65536 for a (K, rc) sweep — the VERDICT-r2 #1
+measurement (beat the exact kernel at 65k inside the 1e-6 drift budget).
+
+Per-config JSONL persistence (/tmp/studies_r3/respa.jsonl + mirrored to
+benchmarks/respa_sweep.jsonl when run from the repo) so partial sweeps
+survive tunnel outages — the bench.py process-notes contract.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+OUT = os.environ.get("RESPA_OUT", "/tmp/studies_r3/respa.jsonl")
+
+
+def emit(rec):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    for fp in (OUT, "/root/repo/benchmarks/respa_sweep.jsonl"):
+        try:
+            with open(fp, "a") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+
+
+def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
+    import jax
+
+    import orbital_tpu as ot
+    from bench import energy_hybrid, make_cluster
+    from orbital_tpu.engine.multirate import (make_respa_macro,
+                                              respa_rollout_jit)
+    from orbital_tpu.engine.rollout import init_forces, resolve_force_fn
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.ops.neighbor import neighbor_budgets
+    from orbital_tpu.utils.timing import bench_chained
+
+    pos, vel, mass, eps2 = make_cluster(65536)
+    rc = rc_mult * float(np.sqrt(eps2))
+    cell = cell_mult * rc
+    m_grid, k_ch, w_blk = neighbor_budgets(pos, cell=cell, chunk=32, rj=4)
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, integrator="respa",
+                       respa_k=k, respa_rc=rc, respa_cell=cell,
+                       respa_m=m_grid, respa_max_chunks=k_ch,
+                       respa_w_blk=w_blk, respa_impl=impl)
+    state = init_forces(make_state(pos, vel, mass, precision="ds32"), cfg)
+    fn = resolve_force_fn(cfg, state.n_bodies)
+    macro = make_respa_macro(cfg, fn)
+    rec = dict(k=k, rc=round(rc, 5), cell=round(cell, 5), m_grid=m_grid,
+               k_ch=k_ch, w_blk=w_blk)
+    try:
+        del jax  # only the backend import side effect is needed
+        sec = bench_chained(lambda s: macro(s)[0], state,
+                            iters=2, iters_hi=5, repeats=2)
+        rec["ms_per_substep"] = round(1e3 * sec / k, 4)
+        rec["body_steps_per_s"] = round(65536 * k / sec, 1)
+    except Exception as e:  # noqa: BLE001
+        rec["rate_error"] = str(e)[:200]
+        emit(rec)
+        return
+    if drift_steps:
+        try:
+            E0 = energy_hybrid(state, eps2)
+            # chunk so one XLA program stays under the worker watchdog
+            per_chunk_macros = max(1, int(20.0 / max(sec, 1e-3)))
+            chunk_sub = per_chunk_macros * k
+            final, done = state, 0
+            ovf = skin = 0
+            while done < drift_steps:
+                n_sub = min(chunk_sub, drift_steps - done)
+                n_sub = (n_sub // k) * k or k
+                final, _, d = respa_rollout_jit(final, cfg, n_sub)
+                ovf = max(ovf, int(d["overflow"]))
+                skin = max(skin, int(d["skin_violation"]))
+                done += n_sub
+            E1 = energy_hybrid(final, eps2)
+            rec["drift"] = abs((E1 - E0) / E0)
+            rec["drift_steps"] = done
+            rec["overflow"] = ovf
+            rec["skin_violation"] = skin
+        except Exception as e:  # noqa: BLE001
+            rec["drift_error"] = str(e)[:200]
+    emit(rec)
+
+
+if __name__ == "__main__":
+    # rate-first pass (cheap) across the K ladder, then drift on the
+    # promising rungs; rc = 5 eps, cell = 2 rc (skin = rc)
+    for k in (8, 16, 32):
+        run(k, rc_mult=5.0, drift_steps=0)
+    for k in (8, 16, 32):
+        run(k, rc_mult=5.0, drift_steps=10000)
+    # sensitivity: tighter switch (cheaper near, rougher far)
+    run(16, rc_mult=3.0, drift_steps=10000)

@@ -1,0 +1,310 @@
+"""Multirate (RESPA / Ahmad-Cohen-style) leapfrog: held far force, exact
+switched near force every substep.
+
+The headline exact kernel is at its VPU arithmetic ceiling (DESIGN.md §1),
+and its per-step cost is dominated by the O(N^2) far field — which at the
+benchmark's time step changes ~100x more slowly than the close-encounter
+dynamics the step size actually resolves. The classic collisional-N-body
+answer (Ahmad & Cohen 1973 neighbor scheme; NBODY6) recast as the
+symplectic impulse-MTS / r-RESPA splitting (Tuckerman, Berne & Martyna
+1992) is to integrate the two on different clocks:
+
+    V_far(K dt / 2) . [ V_near(dt/2) D(dt) V_near(dt/2) ]^K . V_far(K dt/2)
+
+``V_near`` is the smooth switched short-range force of ``ops/neighbor.py``
+(S(r) = 1 below r1, 0 above rc); ``V_far = V_total - V_near`` needs ONE
+exact O(N^2) evaluation (the shipped Pallas kernel, which stays the single
+source of truth for total forces) per K substeps — the far force is applied
+as boundary impulses and HELD (not extrapolated) in between, which keeps
+the composition symplectic: both split Hamiltonians are fixed and smooth,
+so long-horizon energy error stays bounded exactly as for plain KDK,
+governed by (K dt) on the smooth far part and dt on the near part.
+
+Per macro window (K substeps):
+  1. freeze the neighbor geometry at the sync positions (skin margin
+     covers all motion inside the window — violations are counted);
+  2. pack state into chunk-slot space ONCE; the whole inner loop is
+     elementwise f32/ds32 arithmetic plus the Pallas near sweep — no
+     per-substep gathers, scatters, sorts, or host round-trips;
+  3. close with one exact force evaluation at the end positions;
+     ``a_far = a_total - a_near`` at identical positions, so the split
+     is exact by construction and ``state.acc`` keeps its plain-KDK
+     meaning (total acceleration at the state's positions).
+
+Bodies dropped by the (probed, counted) geometry budgets fall back to
+ballistic motion on the held TOTAL acceleration for that window — counted,
+never silent, and impossible when budgets come from ``neighbor_budgets``.
+
+Collisions (when enabled) are detected/resolved at MACRO boundaries riding
+the closing exact evaluation — the same macro-boundary contract as the
+block-timestep Hermite (engine/integrators.py). Reference semantics
+unchanged: core/physics.py:125-159 (forces), 510-535 (collision sweep).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.neighbor import (SENTINEL_POS, near_acc_slots, neighbor_geometry,
+                            pack_slots, unpack_slots)
+from ..ops.neighbor_pallas import near_acc_slots_pallas
+from ..utils.config import SimConfig
+from .dsfloat import ds_add
+from .rollout import Trajectory, _snapshot
+from .state import NBodyState
+
+__all__ = ["make_respa_macro", "respa_rollout", "respa_rollout_jit"]
+
+f32 = jnp.float32
+
+
+def _resolve_sweep(cfg: SimConfig, dtype):
+    impl = cfg.respa_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if dtype != jnp.float32:
+        impl = "xla"  # Pallas path is f32-only; f64 is the CPU golden path
+    kw = dict(r1=cfg.respa_r1 if cfg.respa_r1 > 0 else 0.5 * cfg.respa_rc,
+              rc=cfg.respa_rc, G=cfg.G, eps2=cfg.eps2,
+              chunk=cfg.respa_chunk, rj=cfg.respa_rj)
+    if impl == "pallas":
+        return partial(near_acc_slots_pallas, **kw)
+    if impl == "pallas_interpret":
+        return partial(near_acc_slots_pallas, interpret=True, **kw)
+    return partial(near_acc_slots, **kw)
+
+
+def make_respa_macro(
+    cfg: SimConfig,
+    force_fn: Callable,
+    force_detect_fn: Optional[Callable] = None,
+) -> Callable[[NBodyState], tuple[NBodyState, dict]]:
+    """Build the jittable macro-step: ``state -> (state', diag)`` advancing
+    ``cfg.respa_k`` substeps of ``cfg.dt``. ``diag`` carries the window's
+    ``overflow`` (dropped-body count) and ``skin_violation`` (1 if any
+    body moved further than the skin margin guarantees coverage for —
+    near pairs may then have been missed; enlarge ``respa_cell`` or lower
+    ``respa_k``). ``state.step`` advances by K (each substep is a real
+    KDK step at dt), ``state.acc``/``potential`` stay the exact total
+    force caches, so diagnostics and downstream consumers see plain-KDK
+    semantics at macro boundaries."""
+    K = int(cfg.respa_k)
+    dt = cfg.dt
+    delta = K * dt
+    C, RJ = cfg.respa_chunk, cfg.respa_rj
+    K_ch, W_blk = cfg.respa_max_chunks, cfg.respa_w_blk
+    n_slots = (K_ch + RJ) * C
+    valid_below = K_ch * C
+    skin_half = 0.5 * (cfg.respa_cell - cfg.respa_rc)
+    if skin_half <= 0:
+        raise ValueError("respa_cell must exceed respa_rc (skin > 0)")
+    if cfg.eps2 <= 0:
+        raise ValueError("integrator='respa' requires softening > 0 "
+                         "(self-pairs vanish through the softened rsqrt)")
+    fuse_detect = force_detect_fn is not None and cfg.collisions != "none"
+
+    def _pad(a):
+        return jnp.pad(a, ((0, n_slots - valid_below),) + ((0, 0),) * (a.ndim - 1))
+
+    def macro(state: NBodyState) -> tuple[NBodyState, dict]:
+        ds = state.pos_lo is not None
+        sweep = _resolve_sweep(cfg, state.pos.dtype)
+        geom = neighbor_geometry(
+            state.pos, state.alive, cell=cfg.respa_cell,
+            m_grid=cfg.respa_m, chunk=C, max_chunks=K_ch, w_blk=W_blk,
+            rj=RJ)
+        slot, jbl = geom["slot"], geom["jbl"]
+        pk = lambda v, fill: pack_slots(slot, v, n_slots, fill)
+
+        with jax.named_scope("respa.pack"):
+            pos3 = [pk(state.pos[:, k], SENTINEL_POS) for k in range(3)]
+            vel3 = [pk(state.vel[:, k], 0.0) for k in range(3)]
+            ms = pk(jnp.where(state.alive, state.mass, 0.0), 0.0)
+            plo3 = ([pk(state.pos_lo[:, k], 0.0) for k in range(3)]
+                    if ds else [None] * 3)
+            vlo3 = ([pk(state.vel_lo[:, k], 0.0) for k in range(3)]
+                    if ds else [None] * 3)
+            acc3 = [pk(state.acc[:, k], 0.0) for k in range(3)]
+        pos0 = pos3
+
+        with jax.named_scope("respa.near0"):
+            a_n0, _ = sweep(*pos3, ms, jbl)
+            a_n0 = _pad(a_n0)
+
+        # opening far half-impulse: a_far = a_total - a_near at the SAME
+        # (sync) positions; state.acc is the previous window's closing
+        # exact evaluation at exactly these positions
+        with jax.named_scope("respa.far_kick"):
+            for k in range(3):
+                inc = (0.5 * delta) * (acc3[k] - a_n0[:, k])
+                if ds:
+                    vel3[k], vlo3[k] = ds_add(vel3[k], vlo3[k], inc)
+                else:
+                    vel3[k] = vel3[k] + inc
+
+        def inner(carry, _):
+            p3, pl3, v3, vl3, an = carry
+            p3, v3 = list(p3), list(v3)
+            pl3, vl3 = list(pl3), list(vl3)
+            for k in range(3):
+                inc = (0.5 * dt) * an[:, k]
+                if ds:
+                    v3[k], vl3[k] = ds_add(v3[k], vl3[k], inc)
+                else:
+                    v3[k] = v3[k] + inc
+            for k in range(3):
+                if ds:
+                    p3[k], pl3[k] = ds_add(p3[k], pl3[k], dt * v3[k])
+                    p3[k], pl3[k] = ds_add(p3[k], pl3[k], dt * vl3[k])
+                else:
+                    p3[k] = p3[k] + dt * v3[k]
+            a_n, _ = sweep(p3[0], p3[1], p3[2], ms, jbl)
+            a_n = _pad(a_n)
+            for k in range(3):
+                inc = (0.5 * dt) * a_n[:, k]
+                if ds:
+                    v3[k], vl3[k] = ds_add(v3[k], vl3[k], inc)
+                else:
+                    v3[k] = v3[k] + inc
+            return (tuple(p3), tuple(pl3), tuple(v3), tuple(vl3), a_n), None
+
+        zlo = (jnp.zeros((n_slots,), state.pos.dtype),) * 3
+        carry0 = (tuple(pos3), tuple(plo3) if ds else zlo,
+                  tuple(vel3), tuple(vlo3) if ds else zlo, a_n0)
+        with jax.named_scope("respa.inner"):
+            (p3, pl3, v3, vl3, a_n_end), _ = lax.scan(
+                inner, carry0, None, length=K)
+
+        with jax.named_scope("respa.skin_check"):
+            d2 = sum((p3[k] - pos0[k]) ** 2 for k in range(3))
+            skin_violation = (jnp.max(d2) > skin_half * skin_half).astype(
+                jnp.int32)
+
+        # unpack; dropped bodies ride the held TOTAL force ballistically
+        with jax.named_scope("respa.unpack"):
+            pos_fb = (state.pos_full() + delta * state.vel_full()
+                      + (0.5 * delta * delta) * state.acc)
+            vel_fb = state.vel_full() + delta * state.acc
+            dropped = slot >= valid_below
+            upk = lambda t, fb: unpack_slots(slot, t, fb, valid_below)
+            pos_hi = jnp.stack(
+                [upk(p3[k], pos_fb[:, k]) for k in range(3)], axis=-1)
+            vel_hi = jnp.stack(
+                [upk(v3[k], vel_fb[:, k]) for k in range(3)], axis=-1)
+            zeros_n = jnp.zeros((state.n_bodies,), state.pos.dtype)
+            if ds:
+                pos_lo = jnp.stack(
+                    [upk(pl3[k], zeros_n) for k in range(3)], axis=-1)
+                vel_lo = jnp.stack(
+                    [upk(vl3[k], zeros_n) for k in range(3)], axis=-1)
+            else:
+                pos_lo = vel_lo = None
+            a_near_end = jnp.stack(
+                [upk(a_n_end[:, k], zeros_n) for k in range(3)], axis=-1)
+
+        contacts = None
+        with jax.named_scope("respa.full_force"):
+            if fuse_detect:
+                acc_tot, potential, contacts = force_detect_fn(
+                    pos_hi, state.mass, state.radius, state.alive)
+            else:
+                acc_tot, potential = force_fn(pos_hi, state.mass,
+                                              state.alive)
+
+        # closing far half-impulse (dropped rows already absorbed their
+        # whole window's total impulse in the ballistic fallback)
+        with jax.named_scope("respa.far_kick2"):
+            kick = jnp.where(dropped[:, None], 0.0,
+                             (0.5 * delta) * (acc_tot - a_near_end))
+            if ds:
+                vel_hi, vel_lo = ds_add(vel_hi, vel_lo, kick)
+            else:
+                vel_hi = vel_hi + kick
+
+        new = state.replace(
+            pos=pos_hi, pos_lo=pos_lo, vel=vel_hi, vel_lo=vel_lo,
+            acc=acc_tot, potential=potential,
+            time=state.time + delta, step=state.step + K,
+        )
+        if cfg.collisions != "none":
+            from .integrators import _apply_collisions
+
+            with jax.named_scope("collisions"):
+                new = _apply_collisions(cfg, new, contacts)
+        diag = dict(
+            overflow=(geom["cap_overflow"]
+                      + jnp.sum(dropped, dtype=jnp.int32)
+                      + geom["w_overflow"]),
+            skin_violation=skin_violation,
+        )
+        return new, diag
+
+    return macro
+
+
+def respa_rollout(
+    state: NBodyState,
+    cfg: SimConfig,
+    steps: int,
+    record_every: int = 0,
+    force_fn: Optional[Callable] = None,
+) -> tuple[NBodyState, Optional[Trajectory], dict]:
+    """Advance ``steps`` SUBSTEPS (must divide by ``cfg.respa_k``) under
+    the multirate stepper; optionally record every ``record_every``-th
+    substep (must be a multiple of K — snapshots exist at macro
+    boundaries, where the state carries exact total-force caches).
+    Returns ``(final, trajectory | None, diag)`` with ``diag`` the
+    window-max of each counter — nonzero ``overflow`` /
+    ``skin_violation`` means near pairs were missed (resize budgets /
+    skin); the contract is counted-never-silent, as everywhere else in
+    this tree."""
+    from .rollout import resolve_force_detect_fn, resolve_force_fn
+
+    K = int(cfg.respa_k)
+    if steps % K:
+        raise ValueError(f"steps={steps} must divide by respa_k={K}")
+    fn = force_fn or resolve_force_fn(cfg, state.n_bodies)
+    fd = (resolve_force_detect_fn(cfg, state.n_bodies)
+          if cfg.collisions != "none" else None)
+    macro = make_respa_macro(cfg, fn, force_detect_fn=fd)
+    n_macros = steps // K
+
+    def step_d(carry, _):
+        s, ovf, skin = carry
+        s, d = macro(s)
+        return (s, jnp.maximum(ovf, d["overflow"]),
+                jnp.maximum(skin, d["skin_violation"])), None
+
+    zero = jnp.zeros((), jnp.int32)
+    if record_every <= 0:
+        (final, ovf, skin), _ = lax.scan(
+            step_d, (state, zero, zero), None, length=n_macros)
+        return final, None, dict(overflow=ovf, skin_violation=skin)
+
+    if record_every % K or steps % record_every:
+        raise ValueError(
+            f"record_every={record_every} must be a multiple of "
+            f"respa_k={K} and divide steps={steps}")
+    per_block = record_every // K
+    n_records = steps // record_every
+
+    def block(carry, _):
+        carry, _ = lax.scan(step_d, carry, None, length=per_block)
+        return carry, _snapshot(carry[0])
+
+    (final, ovf, skin), ys = lax.scan(
+        block, (state, zero, zero), None, length=n_records)
+    return final, Trajectory(**ys), dict(overflow=ovf,
+                                         skin_violation=skin)
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "record_every"))
+def respa_rollout_jit(
+    state: NBodyState, cfg: SimConfig, steps: int, record_every: int = 0
+) -> tuple[NBodyState, Optional[Trajectory], dict]:
+    """jit-wrapped :func:`respa_rollout` (cfg/steps/record_every static)."""
+    return respa_rollout(state, cfg, steps, record_every)

@@ -1,0 +1,142 @@
+"""Pallas TPU kernel for the multirate near-field sweep.
+
+The XLA sweep (``ops.neighbor.near_acc_slots``) pays its j side as row
+gathers (~50 ns/row on this platform, DESIGN.md access-cost table) — at a
+65k-body headline window that is several ms per substep, larger than the
+pair arithmetic itself. This kernel streams both sides contiguously
+instead, the same pipeline trick as the tree's worklist kernel
+(ops/tree_near_wl.py), but with a crucial structural simplification the
+RESPA geometry allows: the grid is ``(i_chunk, j_block_slot)`` and the
+OUTPUT block index depends only on ``i_chunk``, so partial sums accumulate
+in VMEM across the inner grid dimension and the result comes out in SLOT
+ORDER — no per-body segment-sum / scatter anywhere (the inner loop's
+whole data path is elementwise + this kernel).
+
+Layouts (C = chunk, all f32):
+
+  Pbods [n_slots, 4]   slot-major   x y z m      (i side, (C, 4) blocks)
+  PJt   [4, n_slots]   channel-major (Pbods.T)   (j side, (4, RJ*C) blocks)
+  out   [max_chunks*C, 4]  ax ay az pe, slot order
+
+``RJ * C`` must be a multiple of 128 (lane alignment). The j block for
+grid step (i, q) comes from the frozen ``jbl`` table via scalar prefetch;
+sentinel entries point at the all-sentinel block past the chunk table
+(mass 0, position SENTINEL_POS -> S = 0 by value — no masking in-kernel,
+and self-pairs vanish through dx = 0 exactly like the main force kernel,
+ops/pallas_forces.py "mask-free hot path").
+
+Semantic target: the near half of the reference's softened pair force
+(core/physics.py:125-159) under the smooth split of ops/neighbor.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["near_acc_slots_pallas"]
+
+f32 = jnp.float32
+
+
+def _kernel(jbl_ref, ib_ref, jb_ref, out_ref, *, r1: float, rc: float,
+            G: float, eps2: float):
+    q = pl.program_id(1)
+
+    @pl.when(q == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ib = ib_ref[...]                       # (C, 4)
+    jb = jb_ref[...]                       # (4, W)
+    xi, yi, zi = ib[:, 0:1], ib[:, 1:2], ib[:, 2:3]
+    xj, yj, zj, mj = jb[0:1, :], jb[1:2, :], jb[2:3, :], jb[3:4, :]
+
+    dx = xj - xi                           # (C, W)
+    dy = yj - yi
+    dz = zj - zi
+    r2t = dx * dx + dy * dy + dz * dz
+    inv_d = 1.0 / (rc * rc - r1 * r1)
+    s = jnp.clip((rc * rc - r2t) * inv_d, 0.0, 1.0)
+    s2 = s * s
+    S = s * s2 * (10.0 + s * (-15.0 + 6.0 * s))
+    spd = (30.0 * inv_d) * s2 * (1.0 - s) * (1.0 - s)
+    inv_r = lax.rsqrt(r2t + eps2)
+    w = mj * (S * (inv_r * inv_r * inv_r) + (2.0 * spd) * inv_r)
+    ax = jnp.sum(w * dx, axis=1, keepdims=True) * G
+    ay = jnp.sum(w * dy, axis=1, keepdims=True) * G
+    az = jnp.sum(w * dz, axis=1, keepdims=True) * G
+    pe = jnp.sum(mj * inv_r * S, axis=1, keepdims=True)
+    out_ref[...] += jnp.concatenate([ax, ay, az, pe], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(k_ch: int, w_blk: int, n_slots: int, chunk: int, rj: int,
+                r1: float, rc: float, G: float, eps2: float,
+                interpret: bool):
+    c = int(chunk)
+    w = int(rj) * c
+    kernel = functools.partial(_kernel, r1=r1, rc=rc, G=G, eps2=eps2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k_ch, w_blk),
+        in_specs=[
+            pl.BlockSpec((c, 4), lambda i, q, jbl: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, w), lambda i, q, jbl: (0, jbl[i * w_blk + q]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, 4), lambda i, q, jbl: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    pairs = k_ch * w_blk * c * w
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k_ch * c, 4), f32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * pairs,
+            bytes_accessed=k_ch * w_blk * (c * 4 + 4 * w) * 4
+            + k_ch * c * 4 * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )
+
+
+def near_acc_slots_pallas(
+    xs: jax.Array, ys: jax.Array, zs: jax.Array, ms: jax.Array,
+    jbl: jax.Array,
+    *,
+    r1: float, rc: float, G: float, eps2: float,
+    chunk: int = 32, rj: int = 4, interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Drop-in Pallas counterpart of ``ops.neighbor.near_acc_slots``:
+    same slot-space channels in, same ``(acc [K_ch*C, 3], pe [K_ch*C])``
+    out (tested equal; the j-block table is walked identically)."""
+    k_ch, w_blk = jbl.shape
+    c, rjn = int(chunk), int(rj)
+    if (rjn * c) % 128:
+        raise ValueError(
+            f"near kernel needs rj*chunk % 128 == 0 (got {rjn}*{c})")
+    if c % 8:
+        raise ValueError(f"chunk must be a multiple of 8 (got {c})")
+    n_slots = xs.shape[0]
+    pjt = jnp.stack([xs, ys, zs, ms], axis=0)          # [4, n_slots]
+    pbods = pjt.T                                      # [n_slots, 4]
+    call = _build_call(k_ch, w_blk, n_slots, c, rjn,
+                       float(r1), float(rc), float(G), float(eps2),
+                       bool(interpret))
+    out = call(jbl.reshape(-1), pbods, pjt)
+    # self-pair PE correction: zero acceleration through dx = 0, but a
+    # finite m_i * rsqrt(eps2) * S(0) rides the PE sum (S(0) = 1)
+    pe = out[:, 3] - ms[:k_ch * c] * (float(eps2) ** -0.5)
+    return out[:, :3], pe

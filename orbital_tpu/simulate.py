@@ -80,6 +80,11 @@ def simulate(
     tree_near: str = "columns",
     tree_chunk: int = 32,
     tree_wl_rj: int = 8,
+    respa_k: int = 8,
+    respa_rc: float = 0.0,
+    respa_r1: float = 0.0,
+    respa_cell: float = 0.0,
+    respa_impl: str = "auto",
     adaptive_eta: Optional[float] = None,
     dt_min: float = 0.0,
     hermite_fast_cap: int = 0,
@@ -100,6 +105,16 @@ def simulate(
     model (fragmenting pairs spawn ``debris_k`` conserving fragments
     instead of vanishing); pass ``spare`` dead slots for them to occupy
     (see ``ops.collisions.resolve_outcomes``).
+
+    ``integrator="respa"`` runs the multirate stepper (one exact force
+    evaluation per ``respa_k`` leapfrog substeps + a switched short-range
+    force every substep; engine/multirate.py). ``steps`` counts SUBSTEPS
+    and must divide by ``respa_k``. ``respa_rc`` (switch radius) and
+    ``respa_cell`` (neighbor-grid cell) are in scene units; both default
+    from the softening / initial velocities, and the static search
+    budgets are probe-sized from the initial distribution
+    (``ops.neighbor.neighbor_budgets`` — overflow is counted and warned,
+    never silent).
 
     ``mesh`` runs the rollout MULTI-CHIP over a ``jax.sharding.Mesh`` with
     a ``shard_axis`` body axis (N must divide across its devices): exact
@@ -136,6 +151,12 @@ def simulate(
         record_every = max(1, steps // 100)
         while steps % record_every:
             record_every -= 1
+        if integrator == "respa":
+            # snapshots exist at macro boundaries only
+            record_every = (record_every // respa_k) * respa_k
+            while record_every and steps % record_every:
+                record_every -= respa_k
+            record_every = record_every or respa_k
 
     if isinstance(p3m_capacity, str) and p3m_capacity != "auto":
         raise ValueError(
@@ -147,7 +168,55 @@ def simulate(
         # pm_box arrives in scene (physical) units like softening/dt;
         # internal state is rescaled, so the pinned cube must be too
         pm_box = tuple(float(v) / rescale.length for v in pm_box)
+    elif force_impl in ("pm", "p3m"):
+        # AUTO-PIN the mesh cube from the initial extent (2x margin): a
+        # per-step box refit makes the mesh force a time-dependent
+        # Hamiltonian that leapfrog does NOT conserve (measured ~10x worse
+        # drift, DESIGN.md "particle-mesh" section). Escapers are clipped
+        # into edge cells — simulate() warns at end-of-run if any body
+        # left the pinned cube (re-run with an explicit larger pm_box or
+        # in segments). Internal units here, deliberately: the auto
+        # cube derives from the already-rescaled state.
+        p0 = np.asarray(arrays.pos, np.float64) / rescale.length
+        c0 = (p0.max(0) + p0.min(0)) / 2.0
+        half0 = float(np.max(np.abs(p0 - c0))) * 2.0 or 1.0
+        pm_box = (float(c0[0]), float(c0[1]), float(c0[2]), half0)
+    respa_fields = {}
+    if integrator == "respa":
+        if mesh is not None:
+            raise NotImplementedError(
+                "integrator='respa' does not compose with mesh sharding "
+                "yet; run unsharded or use integrator='kdk'")
+        if steps % respa_k:
+            raise ValueError(
+                f"steps={steps} must divide by respa_k={respa_k}")
+        eps2_i = (softening / rescale.length) ** 2
+        if eps2_i <= 0:
+            raise ValueError("integrator='respa' requires softening > 0")
+        rc_i = (respa_rc / rescale.length if respa_rc
+                else 5.0 * eps2_i ** 0.5)
+        pos_i = np.asarray(arrays.pos, np.float64) / rescale.length
+        dt_i = dt / rescale.time
+        if respa_cell:
+            cell_i = respa_cell / rescale.length
+        else:
+            vel_i = np.asarray(arrays.vel, np.float64) / rescale.velocity
+            vmag = np.linalg.norm(vel_i, axis=1)
+            v99 = float(np.quantile(vmag, 0.99)) if vmag.size else 0.0
+            # skin must cover 2 * (per-body motion over one K-window)
+            cell_i = max(2.0 * rc_i, rc_i + 4.0 * respa_k * dt_i * v99)
+        from .ops.neighbor import neighbor_budgets
+
+        m_grid, k_ch, w_blk = neighbor_budgets(pos_i, cell=cell_i,
+                                               chunk=32, rj=4)
+        respa_fields = dict(
+            respa_k=respa_k, respa_rc=rc_i,
+            respa_r1=(respa_r1 / rescale.length if respa_r1 else 0.0),
+            respa_cell=cell_i, respa_m=m_grid, respa_max_chunks=k_ch,
+            respa_w_blk=w_blk, respa_chunk=32, respa_rj=4,
+            respa_impl=respa_impl)
     cfg = SimConfig(
+        **respa_fields,
         dt=dt / rescale.time,
         G=rescale.g_internal(unit_profile.G),
         eps2=(softening / rescale.length) ** 2,
@@ -302,6 +371,22 @@ def simulate(
         roll = make_sharded_rollout(cfg, mesh, state, steps, record_every,
                                     axis=shard_axis)
         final, traj = roll(shard_state(mesh, state, shard_axis))
+    elif cfg.integrator == "respa":
+        from .engine.multirate import respa_rollout_jit
+
+        state = init_forces(state, cfg)
+        final, traj, rdiag = respa_rollout_jit(state, cfg, steps,
+                                               record_every)
+        if int(rdiag["overflow"]) or int(rdiag["skin_violation"]):
+            import warnings
+
+            warnings.warn(
+                f"respa window diagnostics nonzero (overflow="
+                f"{int(rdiag['overflow'])}, skin_violation="
+                f"{int(rdiag['skin_violation'])}): near pairs may have "
+                "been missed — enlarge respa_cell (skin) or re-run in "
+                "segments so budgets re-size.",
+                RuntimeWarning, stacklevel=2)
     else:
         state = init_forces(state, cfg)
         final, traj = rollout_jit(state, cfg, steps, record_every)
@@ -357,6 +442,23 @@ def simulate(
                 "end of the rollout. Re-run in shorter segments so the "
                 "budgets re-size, or pass explicit budgets/levels.",
                 RuntimeWarning, stacklevel=2)
+
+    if force_impl in ("pm", "p3m") and cfg.pm_box is not None:
+        # escape check for the (auto-)pinned mesh cube: escapers get
+        # clipped into edge cells (wrong local density) — surface it
+        center, half = cfg.pm_box_arrays()
+        fp = np.asarray(final.pos, np.float64)
+        esc = int(np.sum(np.any(np.abs(fp - np.asarray(center, np.float64))
+                                > float(half), axis=-1)
+                         & np.asarray(final.alive)))
+        if esc:
+            import warnings
+
+            warnings.warn(
+                f"{esc} bodies left the pinned pm/p3m mesh cube during the "
+                "run (deposits clipped to edge cells). Pass a larger "
+                "pm_box, or re-run in segments so the auto-pinned cube "
+                "re-fits.", RuntimeWarning, stacklevel=2)
 
     return SimResult(
         pos=np.asarray(traj.pos, np.float64) * rescale.length,

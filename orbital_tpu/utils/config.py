@@ -157,6 +157,28 @@ class SimConfig:
             energy retained as fragment spread KE (the rest dissipates).
         debris_sep: fragment placement distance in units of (r1 + r2)
             from the pair's center of mass.
+        respa_k: integrator="respa" substeps per macro window — ONE exact
+            O(N^2) force evaluation per K leapfrog substeps; the smooth
+            switched near force (ops/neighbor.py) is evaluated every
+            substep and the far remainder is applied as symplectic
+            boundary impulses (engine/multirate.py).
+        respa_rc: switch radius — pair forces are integrated on the fast
+            clock below it (S(r) reaches 0 at rc). Internal units.
+        respa_r1: inner switch radius (full near weight below it);
+            0 = rc / 2.
+        respa_cell: neighbor-grid cell size; cell - rc is the SKIN margin
+            that keeps the per-window frozen geometry covering (each body
+            may move skin/2 per window — violations are counted).
+        respa_m: neighbor grid cells per axis (size with
+            ops.neighbor.neighbor_budgets; simulate() probes).
+        respa_max_chunks: static chunk-table budget (probe-sized;
+            overflowing bodies integrate ballistically for the window and
+            are counted).
+        respa_w_blk: static per-chunk j-block budget (probe-sized).
+        respa_chunk / respa_rj: chunk rows and j-block height
+            (rj * chunk must be a multiple of 128).
+        respa_impl: near-sweep backend — "auto" (Pallas on TPU, XLA
+            elsewhere) | "pallas" | "pallas_interpret" | "xla".
     """
 
     dt: float
@@ -196,6 +218,16 @@ class SimConfig:
     debris_max_pairs: int = 4
     debris_energy_frac: float = 0.3
     debris_sep: float = 1.0
+    respa_k: int = 8
+    respa_rc: float = 0.0
+    respa_r1: float = 0.0
+    respa_cell: float = 0.0
+    respa_m: int = 0
+    respa_max_chunks: int = 0
+    respa_w_blk: int = 0
+    respa_chunk: int = 32
+    respa_rj: int = 4
+    respa_impl: str = "auto"
 
     def __post_init__(self):
         if self.debris_k < 0:
@@ -206,8 +238,31 @@ class SimConfig:
         if self.collisions not in ("none", "bounce", "merge", "resolve"):
             raise ValueError(f"bad collisions mode: {self.collisions!r}")
         if self.integrator not in ("kdk", "euler", "rk4", "hermite",
-                                   "yoshida4"):
+                                   "yoshida4", "respa"):
             raise ValueError(f"bad integrator: {self.integrator!r}")
+        if self.integrator == "respa":
+            if self.respa_k < 1:
+                raise ValueError(f"respa_k must be >= 1, got {self.respa_k}")
+            if not self.respa_rc > 0:
+                raise ValueError("integrator='respa' needs respa_rc > 0 "
+                                 "(the near/far switch radius)")
+            if not self.respa_cell > self.respa_rc:
+                raise ValueError(
+                    "respa_cell must exceed respa_rc (the difference is the "
+                    f"skin margin); got cell={self.respa_cell}, "
+                    f"rc={self.respa_rc}")
+            if self.respa_r1 and not (0 < self.respa_r1 < self.respa_rc):
+                raise ValueError("respa_r1 must sit in (0, respa_rc)")
+            if not self.eps2 > 0:
+                raise ValueError("integrator='respa' requires softening > 0")
+            if (self.respa_rj * self.respa_chunk) % 128 or \
+                    self.respa_chunk % 8:
+                raise ValueError(
+                    "respa needs chunk % 8 == 0 and rj*chunk % 128 == 0 "
+                    f"(got rj={self.respa_rj}, chunk={self.respa_chunk})")
+            if self.respa_impl not in ("auto", "pallas", "pallas_interpret",
+                                       "xla"):
+                raise ValueError(f"bad respa_impl: {self.respa_impl!r}")
         if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "pallas_mxu", "pm", "p3m", "tree", "ring"):
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
         if self.tree_ws not in (1, 2):
