@@ -43,8 +43,15 @@ _EXTRA_GROUPS = [
     ("body_steps_per_s_131072", "ms_per_step_131072", "bench_131072_error"),
     ("body_steps_per_s_65536_no_potential", "bench_no_potential_error"),
     ("tree_body_steps_per_s_524288_plummer", "tree_s_per_eval_524288",
-     "tree_body_steps_per_s_1048576_plummer", "tree_s_per_eval_1048576",
+     "tree_overflow_524288", "bench_tree_524288_error",
      "bench_tree_large_error"),
+    ("tree_body_steps_per_s_1048576_plummer", "tree_s_per_eval_1048576",
+     "tree_overflow_1048576", "bench_tree_1048576_error"),
+    ("respa_k16_body_steps_per_s_65536", "respa_k16_drift_65536_10000steps",
+     "respa_k16_overflow", "respa_k16_skin_violation",
+     "respa_k32_body_steps_per_s_65536", "respa_k32_drift_65536_10000steps",
+     "respa_k32_overflow", "respa_k32_skin_violation",
+     "bench_respa_error"),
     ("pm_drift_65536_10000steps", "bench_pm_drift_error"),
     ("tree_drift_65536_1000steps", "bench_tree_drift_error"),
     ("p3m_uniform_drift_65536_4000steps", "bench_p3m_drift_error",
@@ -182,6 +189,53 @@ def bench_hermite(n: int, iters: int = 2) -> float:
                         accel_jerk_fn=resolve_accel_jerk_fn(cfg, n))
     sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
     return n / sec
+
+
+def bench_respa(n: int = 65536, k: int = 16, drift_steps: int = 10000):
+    """Multirate (RESPA) stepper at the headline config: one exact O(N^2)
+    Pallas evaluation per ``k`` leapfrog substeps, the switched Pallas
+    near field every substep (engine/multirate.py). Rate counts SUBSTEPS
+    (each is a real KDK step at the headline dt); drift runs the same
+    10k-step/f64-energy protocol as bench_config. Returns
+    ``(body_steps_per_s, drift, overflow, skin_violation)`` — nonzero
+    counters disqualify the run from headline promotion."""
+    import orbital_tpu as ot
+    from orbital_tpu.engine.multirate import (make_respa_macro,
+                                              respa_rollout_jit)
+    from orbital_tpu.engine.rollout import init_forces, resolve_force_fn
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.ops.neighbor import neighbor_budgets
+    from orbital_tpu.utils.timing import bench_chained
+
+    pos, vel, mass, eps2 = make_cluster(n)
+    rc = 5.0 * float(np.sqrt(eps2))
+    cell = 2.0 * rc
+    m_grid, k_ch, w_blk = neighbor_budgets(pos, cell=cell, chunk=32, rj=4)
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, integrator="respa",
+                       respa_k=k, respa_rc=rc, respa_cell=cell,
+                       respa_m=m_grid, respa_max_chunks=k_ch,
+                       respa_w_blk=w_blk)
+    state = init_forces(make_state(pos, vel, mass, precision="ds32"), cfg)
+    macro = make_respa_macro(cfg, resolve_force_fn(cfg, state.n_bodies))
+    sec = bench_chained(lambda s: macro(s)[0], state, iters=2, iters_hi=5,
+                        repeats=2)
+    rate = n * k / sec
+    drift = None
+    ovf = skin = 0
+    if drift_steps:
+        E0 = energy_hybrid(state, eps2)
+        chunk_sub = max(1, int(20.0 / max(sec, 1e-3))) * k
+        final, done = state, 0
+        while done < drift_steps:
+            n_sub = min(chunk_sub, drift_steps - done)
+            n_sub = (n_sub // k) * k or k
+            final, _, d = respa_rollout_jit(final, cfg, n_sub)
+            float(final.time)
+            ovf = max(ovf, int(d["overflow"]))
+            skin = max(skin, int(d["skin_violation"]))
+            done += n_sub
+        drift = abs((energy_hybrid(final, eps2) - E0) / E0)
+    return rate, drift, ovf, skin
 
 
 def bench_pm(n: int, grid: int = 128, iters: int = 3) -> float:
@@ -481,6 +535,21 @@ def main() -> None:
             pass
 
     _checkpoint_result()
+    # multirate (RESPA) headline candidate: measured EARLY so the alarm
+    # can't starve it; promoted to the headline metric below only if it
+    # beats the exact kernel >= 2x inside the 1e-6 drift budget with
+    # clean overflow/skin counters (VERDICT r2 #1 contract)
+    try:
+        for k_mr in (16, 32):
+            rate_mr, drift_mr, ovf_mr, skin_mr = bench_respa(65536, k=k_mr)
+            extras[f"respa_k{k_mr}_body_steps_per_s_65536"] = round(rate_mr, 1)
+            extras[f"respa_k{k_mr}_drift_65536_10000steps"] = drift_mr
+            extras[f"respa_k{k_mr}_overflow"] = ovf_mr
+            extras[f"respa_k{k_mr}_skin_violation"] = skin_mr
+            _checkpoint_result()
+    except Exception as e:  # noqa: BLE001
+        extras["bench_respa_error"] = str(e)[:200]
+    _checkpoint_result()
     # secondary configs are best-effort: never lose the headline line
     try:
         rate_4k, sps_4k, drift_4k = bench_config(4096, drift_steps=10000, iters=100)
@@ -569,24 +638,31 @@ def main() -> None:
     pos, vel, mass, eps2 = make_cluster(65536)
     box = (0.0, 0.0, 0.0, 8.0)
 
-    try:
-        # the tree's own regime: concentrated large N (VERDICT r1 #3;
-        # P3M is measured-hopeless here — 163k-body densest cell at 1M).
-        # Staged two-program evaluation: single-program l8 at N>=512k
-        # crashes the platform's remote compile helper (ops/tree.py
-        # tree_acc_potential_staged).
-        rate_512k, ovf = bench_tree_staged(524288, levels=8)
-        extras["tree_body_steps_per_s_524288_plummer"] = round(rate_512k, 1)
-        extras["tree_s_per_eval_524288"] = round(524288 / rate_512k, 3)
-        extras["tree_overflow_524288"] = ovf
+    # the tree's own regime: concentrated large N (VERDICT r1 #3;
+    # P3M is measured-hopeless here — 163k-body densest cell at 1M).
+    # Staged two-program evaluation: single-program l8 at N>=512k
+    # crashes the platform's remote compile helper (ops/tree.py
+    # tree_acc_potential_staged). Each rung is independent and retried
+    # ONCE — the platform's remote-compile helper throws transient HTTP
+    # 500s (it ate BOTH large rungs in one round, VERDICT r2 #2) — and
+    # every success checkpoints immediately.
+    for n_large in (524288, 1048576):
+        err = None
+        for _attempt in range(2):
+            try:
+                rate_l, ovf = bench_tree_staged(n_large, levels=8)
+                extras[f"tree_body_steps_per_s_{n_large}_plummer"] = round(
+                    rate_l, 1)
+                extras[f"tree_s_per_eval_{n_large}"] = round(
+                    n_large / rate_l, 3)
+                extras[f"tree_overflow_{n_large}"] = ovf
+                err = None
+                break
+            except Exception as e:  # noqa: BLE001
+                err = str(e)[:200]
+        if err:
+            extras[f"bench_tree_{n_large}_error"] = err
         _checkpoint_result()
-        rate_1m, ovf = bench_tree_staged(1048576, levels=8)
-        extras["tree_body_steps_per_s_1048576_plummer"] = round(rate_1m, 1)
-        extras["tree_s_per_eval_1048576"] = round(1048576 / rate_1m, 3)
-        extras["tree_overflow_1048576"] = ovf
-        _checkpoint_result()
-    except Exception as e:  # noqa: BLE001
-        extras["bench_tree_large_error"] = str(e)[:200]
 
     # conservation extras (VERDICT r1 #7): drift for each approximate
     # family, measured fresh each bench run. PM on the headline cluster
@@ -594,16 +670,19 @@ def main() -> None:
     # horizon (approximate-force drift is fluctuation-dominated and
     # plateaus early — DESIGN.md); P3M on a uniform box (its regime: the
     # concentrated IC is measured-structurally excluded, see ROADMAP).
-    try:
-        cfg_pm = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="pm",
-                              pm_grid=128, pm_box=box)
-        st = ot.init_forces(make_state(pos, vel, mass, precision="f32"),
-                            cfg_pm)
-        extras["pm_drift_65536_10000steps"] = _drift(cfg_pm, st, 10000,
-                                                     eps2, 0.015)
-        _checkpoint_result()
-    except Exception as e:  # noqa: BLE001
-        extras["bench_pm_drift_error"] = str(e)[:200]
+    for _attempt in range(2):  # retried once (transient worker outages)
+        try:
+            cfg_pm = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2,
+                                  force_impl="pm", pm_grid=128, pm_box=box)
+            st = ot.init_forces(make_state(pos, vel, mass, precision="f32"),
+                                cfg_pm)
+            extras["pm_drift_65536_10000steps"] = _drift(cfg_pm, st, 10000,
+                                                         eps2, 0.015)
+            extras.pop("bench_pm_drift_error", None)
+            _checkpoint_result()
+            break
+        except Exception as e:  # noqa: BLE001
+            extras["bench_pm_drift_error"] = str(e)[:200]
     try:
         cfg_tr = tree_cfg_probed(pos, 7, dt=1e-3, G=1.0, eps2=eps2,
                                  tree_near="columns", pm_box=box)
@@ -637,11 +716,36 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         extras["bench_p3m_drift_error"] = str(e)[:200]
 
+    # headline promotion (VERDICT r2 #1): the multirate stepper takes the
+    # headline ONLY with >= 2x the exact rate, drift inside the stated
+    # 1e-6/10k-step budget, and clean overflow/skin counters — otherwise
+    # the exact kernel keeps it and the respa numbers stand as extras
+    metric = ("body-steps/s/chip @ N=65536 (KDK leapfrog, softened "
+              "O(N^2) Pallas gravity, ds32)")
+    value = rate_65k
+    best_k = None
+    for k_mr in (32, 16):
+        r = extras.get(f"respa_k{k_mr}_body_steps_per_s_65536")
+        d = extras.get(f"respa_k{k_mr}_drift_65536_10000steps")
+        if (r and d is not None and d <= 1e-6 and r >= 2.0 * rate_65k
+                and extras.get(f"respa_k{k_mr}_overflow") == 0
+                and extras.get(f"respa_k{k_mr}_skin_violation") == 0
+                and r > value):
+            metric = (f"body-steps/s/chip @ N=65536 (multirate RESPA "
+                      f"K={k_mr} leapfrog: exact O(N^2) Pallas far "
+                      "impulses every K substeps + switched Pallas near "
+                      "field every substep, ds32; |dE/E| over 10k "
+                      "substeps inside the 1e-6 budget)")
+            value = r
+            best_k = k_mr
+    if best_k is not None:
+        extras["exact_body_steps_per_s_65536"] = round(rate_65k, 1)
+        extras["headline_respa_k"] = best_k
     result = {
-        "metric": "body-steps/s/chip @ N=65536 (KDK leapfrog, softened O(N^2) Pallas gravity, ds32)",
-        "value": round(rate_65k, 1),
+        "metric": metric,
+        "value": round(value, 1),
         "unit": "body-steps/s",
-        "vs_baseline": round(rate_65k / BASELINE_65K, 1),
+        "vs_baseline": round(value / BASELINE_65K, 1),
         "extras": extras,
     }
     signal.alarm(0)

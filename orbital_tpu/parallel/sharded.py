@@ -352,14 +352,27 @@ def _build_local_step(cfg: SimConfig, n_shards: int, n_bodies: int,
         from ..engine.integrators import _accumulate
 
         bounce = ring_bounce_fn(cfg, n_shards)
+        contacts = ring_contacts_fn(cfg, n_shards)
 
         def local_step(state: NBodyState) -> NBodyState:
             state = kdk(state)
-            dpos, dvel = bounce(state.pos, state.vel, state.mass,
-                                state.radius, state.alive)
-            pos, pos_lo = _accumulate(state.pos, state.pos_lo, dpos)
-            vel, vel_lo = _accumulate(state.vel, state.vel_lo, dvel)
-            return state.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)
+            # same gating as the single-chip fused-detect path
+            # (integrators._apply_collisions): a cheap sqrt-free detection
+            # ring counts contacts mesh-wide, and the full impulse ring —
+            # ~4x the per-pair arithmetic plus the accumulation passes —
+            # runs only on steps where something actually touches. The
+            # count is psum'd, so every device takes the same branch.
+            cnt = contacts(state.pos, state.radius, state.alive)
+
+            def do_bounce(s: NBodyState) -> NBodyState:
+                dpos, dvel = bounce(s.pos, s.vel, s.mass,
+                                    s.radius, s.alive)
+                pos, pos_lo = _accumulate(s.pos, s.pos_lo, dpos)
+                vel, vel_lo = _accumulate(s.vel, s.vel_lo, dvel)
+                return s.replace(pos=pos, pos_lo=pos_lo, vel=vel,
+                                 vel_lo=vel_lo)
+
+            return lax.cond(cnt > 0, do_bounce, lambda s: s, state)
     elif cfg.collisions == "merge":
         # cross-shard merge: contact chains are global, so when (and only
         # when) the ring contact count is nonzero, all_gather the body
@@ -518,11 +531,6 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
     state onto the mesh.
     """
     cfg, use_mesh_solver = _normalize_sharded_cfg(cfg, body_axis)
-    if cfg.collisions == "merge":
-        raise NotImplementedError(
-            "merge under the vmapped ensemble turns the contact-gated "
-            "gather into an every-step select; use make_sharded_step per "
-            "member, or 'bounce'/'none' here")
     if cfg.collisions == "resolve":
         raise NotImplementedError(
             "collisions='resolve' is a dense small-scene model and does "
@@ -549,6 +557,40 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
             pos, pos_lo = _accumulate(state.pos, state.pos_lo, dpos)
             vel, vel_lo = _accumulate(state.vel, state.vel_lo, dvel)
             return state.replace(pos=pos, pos_lo=pos_lo, vel=vel, vel_lo=vel_lo)
+    elif cfg.collisions == "merge":
+        # merge under the vmapped ensemble: vmap turns lax.cond into
+        # select (both branches execute), so the contact gate of
+        # _build_local_step buys nothing here — the gather + global merge
+        # run UNCONDITIONALLY every step instead, which is correct and
+        # exactly as expensive as the gated version would be under vmap.
+        # Per-member independence is preserved: the all_gather is over the
+        # BODY axis only; vmap batches it across members.
+        from ..ops import collisions as _coll
+
+        merge_chunk = 1024 if n_bodies > 4096 else None
+
+        def one(state: NBodyState) -> NBodyState:
+            state = kdk(state)
+
+            def g(x):
+                return lax.all_gather(x, body_axis, tiled=True)
+
+            p, v, m, r, a = _coll.merge_groups(
+                g(state.pos_full()), g(state.vel_full()), g(state.mass),
+                g(state.radius), g(state.alive), chunk=merge_chunk)
+            block = state.pos.shape[0]
+            off = lax.axis_index(body_axis) * block
+
+            def sl(x):
+                return lax.dynamic_slice_in_dim(x, off, block, axis=0)
+
+            kw = dict(pos=sl(p), vel=sl(v), mass=sl(m), radius=sl(r),
+                      alive=sl(a))
+            if state.pos_lo is not None:
+                # like the unsharded merge: compensation terms reset
+                kw["pos_lo"] = jnp.zeros_like(state.pos_lo)
+                kw["vel_lo"] = jnp.zeros_like(state.vel_lo)
+            return state.replace(**kw)
     else:
         one = kdk
 

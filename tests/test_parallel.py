@@ -720,3 +720,81 @@ def test_simulate_mesh_matches_single_device(rng):
     np.testing.assert_allclose(out.energy, ref.energy, rtol=1e-10)
     np.testing.assert_allclose(out.ang_mom, ref.ang_mom, rtol=1e-9,
                                atol=1e-12)
+
+
+def test_sharded_bounce_skip_parity(rng):
+    """Contact-free steps must take the gated skip branch (VERDICT r2 #8):
+    the sharded bounce step is BIT-equal to the sharded collisions='none'
+    step when nothing touches — the detection ring gates the impulse ring
+    exactly like the single-chip fused-detect path cond-skips the
+    resolution sweep (engine/integrators._apply_collisions)."""
+    from orbital_tpu.parallel.sharded import make_sharded_step, shard_state
+
+    n = 32
+    # bodies on a wide lattice, tiny radii: no pair can ever touch
+    pos = (np.stack(np.meshgrid(*[np.arange(4)] * 3), -1)
+           .reshape(-1, 3)[:n] * 10.0)
+    vel = rng.normal(size=(n, 3)) * 1e-3
+    mass = np.ones(n) / n
+    radius = np.full(n, 1e-3)
+    st = make_state(pos, vel, mass, radius, precision="f32")
+    cfg = ot.SimConfig(dt=1e-2, G=1.0, eps2=1e-4, collisions="bounce",
+                       restitution=0.5)
+    st = ot.init_forces(st, cfg)
+
+    mesh = make_mesh()
+    step_b = make_sharded_step(cfg, mesh, st, axis="body")
+    step_n = make_sharded_step(cfg.replace(collisions="none"), mesh, st,
+                               axis="body")
+    out_b = shard_state(mesh, st, "body")
+    out_n = shard_state(mesh, st, "body")
+    for _ in range(3):
+        out_b = step_b(out_b)
+        out_n = step_n(out_n)
+    np.testing.assert_array_equal(np.asarray(out_b.pos),
+                                  np.asarray(out_n.pos))
+    np.testing.assert_array_equal(np.asarray(out_b.vel),
+                                  np.asarray(out_n.vel))
+
+
+def test_sharded_ensemble_merge(rng):
+    """merge now composes with the vmapped (ensemble x body) mesh
+    (VERDICT r2 #5): the gather + global merge run unconditionally per
+    step (vmap turns the contact gate into select anyway) and must match
+    per-member unsharded merge stepping."""
+    from orbital_tpu.parallel.ensemble import make_ensemble
+    from orbital_tpu.parallel.sharded import make_sharded_ensemble_step
+
+    n, E = 32, 4
+    pos = rng.normal(size=(n, 3)) * 0.6
+    vel = rng.normal(size=(n, 3)) * 0.2
+    mass = rng.uniform(0.5, 1.5, n) / n
+    radius = np.full(n, 0.12)  # dense enough that merges happen
+    base = make_state(pos, vel, mass, radius, precision="f32")
+    cfg = ot.SimConfig(dt=1e-2, G=1.0, eps2=1e-4, collisions="merge")
+    states = make_ensemble(base, E, jax.random.key(3), pos_sigma=1e-3)
+    force = resolve_force_fn(cfg.replace(force_impl="dense"), n)
+    acc, U = jax.vmap(force)(states.pos, states.mass, states.alive)
+    states = states.replace(acc=acc, potential=U)
+
+    mesh = make_mesh(shape=(2, 4), axis_names=("ensemble", "body"))
+    step, shardings = make_sharded_ensemble_step(cfg, mesh, states)
+    out = jax.device_put(states, shardings)
+    for _ in range(3):
+        out = step(out)
+
+    ref_step = make_step_fn(cfg, force)
+    ref = states
+    for _ in range(3):
+        ref = jax.vmap(ref_step)(ref)
+    np.testing.assert_array_equal(np.asarray(out.alive),
+                                  np.asarray(ref.alive))
+    # merges must actually have happened somewhere (not a vacuous test)
+    assert int(np.sum(~np.asarray(out.alive))) > 0
+    al = np.asarray(ref.alive)
+    np.testing.assert_allclose(np.asarray(out.pos)[al],
+                               np.asarray(ref.pos)[al],
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(out.vel)[al],
+                               np.asarray(ref.vel)[al],
+                               rtol=3e-5, atol=3e-6)
