@@ -65,23 +65,28 @@ def _apply_collisions(
                             lambda s: s, state)
     if cfg.collisions == "resolve":
         # absorb / fragment / bounce outcome model (reference
-        # resolve_collision, core/physics.py:361-388). Dense [N, N] only —
-        # a small-scene parity model. The fragmentation roll folds the
-        # step counter into frag_seed, so rollouts are reproducible and
-        # each step draws a fresh pair matrix.
-        if state.n_bodies > _DENSE_BOUNCE_MAX_N:
-            raise ValueError(
-                f"collisions='resolve' is a dense small-scene model "
-                f"(N <= {_DENSE_BOUNCE_MAX_N}); got N = {state.n_bodies}")
+        # resolve_collision, core/physics.py:361-388). The fragmentation
+        # roll folds the step counter into frag_seed, so rollouts are
+        # reproducible and each step draws a fresh pair matrix. Above the
+        # dense [N, N] ceiling the contact-subset wrapper gathers the
+        # touching bodies (plus debris slots) into a small dense scene —
+        # contacts beyond cfg.resolve_subset defer to the next step's
+        # re-detection (ops.collisions.resolve_outcomes_subset).
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.frag_seed),
                                  state.step)
-        pos, vel, mass, radius, alive = coll.resolve_outcomes(
-            state.pos_full(), state.vel_full(), state.mass, state.radius,
-            state.alive, key, restitution=cfg.restitution,
-            debris_k=cfg.debris_k, debris_max_pairs=cfg.debris_max_pairs,
-            debris_energy_frac=cfg.debris_energy_frac,
-            debris_sep=cfg.debris_sep,
-        )
+        kw = dict(restitution=cfg.restitution, debris_k=cfg.debris_k,
+                  debris_max_pairs=cfg.debris_max_pairs,
+                  debris_energy_frac=cfg.debris_energy_frac,
+                  debris_sep=cfg.debris_sep)
+        if state.n_bodies > _DENSE_BOUNCE_MAX_N:
+            pos, vel, mass, radius, alive, _ = coll.resolve_outcomes_subset(
+                state.pos_full(), state.vel_full(), state.mass,
+                state.radius, state.alive, key,
+                subset=cfg.resolve_subset, **kw)
+        else:
+            pos, vel, mass, radius, alive = coll.resolve_outcomes(
+                state.pos_full(), state.vel_full(), state.mass,
+                state.radius, state.alive, key, **kw)
         zeros = None if state.pos_lo is None else jnp.zeros_like(state.pos_lo)
         return state.replace(
             pos=pos, vel=vel, mass=mass, radius=radius, alive=alive,

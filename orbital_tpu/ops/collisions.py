@@ -28,8 +28,9 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["bounce_deltas", "merge_groups", "resolve_outcomes",
-           "collision_roots", "collision_roots_chunked",
-           "count_contacts_dense", "count_contacts_chunked"]
+           "resolve_outcomes_subset", "collision_roots",
+           "collision_roots_chunked", "count_contacts_dense",
+           "count_contacts_chunked"]
 
 
 def _pair_geometry(pos, radius, alive):
@@ -295,7 +296,12 @@ def resolve_outcomes(pos, vel, mass, radius, alive, key, *,
 
     dead = frag_dead | absorbed_dead
     new_mass = jnp.where(dead, 0.0, mass + gained_m)
-    new_radius = jnp.where(dead, 0.0, jnp.cbrt(radius**3 + gained_r3))
+    # bodies that absorbed nothing keep radius bit-exactly (the cbrt(r^3)
+    # round-trip is ~1 ulp off identity)
+    new_radius = jnp.where(dead, 0.0,
+                           jnp.where(gained_r3 > 0.0,
+                                     jnp.cbrt(radius**3 + gained_r3),
+                                     radius))
     new_alive = alive & ~dead
 
     # --- elastic bounce for the remaining touching pairs ----------------
@@ -387,6 +393,93 @@ def resolve_outcomes(pos, vel, mass, radius, alive, key, *,
     new_vel = new_vel.at[flat].set(
         jnp.where(okf[:, None], v_frag.reshape(-1, 3), new_vel[flat]))
     return new_pos, new_vel, new_mass, new_radius, new_alive
+
+
+@partial(jax.jit, static_argnames=("subset", "chunk", "restitution",
+                                   "debris_k", "debris_max_pairs",
+                                   "debris_energy_frac", "debris_sep"))
+def resolve_outcomes_subset(pos, vel, mass, radius, alive, key, *,
+                            subset: int = 512,
+                            chunk: int = 1024,
+                            restitution: float = 1.0,
+                            debris_k: int = 0,
+                            debris_max_pairs: int = 4,
+                            debris_energy_frac: float = 0.3,
+                            debris_sep: float = 1.0):
+    """Contact-subset wrapper scaling :func:`resolve_outcomes` past the
+    dense [N, N] ceiling (the reference's outcome model at the N where
+    collisions actually matter — planetesimal scales).
+
+    A column-blocked O(N^2 / chunk)-memory sweep marks every body in
+    contact (same criterion as ``_pair_geometry``); a single stable
+    priority sort (touching bodies first, then dead slots for debris
+    spawn, then the rest) picks ``subset + debris capacity`` rows; the
+    UNCHANGED dense outcome model runs on that small gathered scene and
+    the results scatter back through the (unique) gathered indices.
+    Bodies not in contact pass through the dense model bit-unchanged, so
+    parity with the full dense evaluation holds whenever the contact
+    count fits ``subset``.
+
+    Returns ``(pos, vel, mass, radius, alive, deferred)`` where
+    ``deferred`` counts touching bodies beyond the budget this round.
+    Deferral is not loss: an unresolved overlap is still overlapping
+    next step and re-detected then (the caller's contact gate re-fires),
+    so chains drain at >= ``subset`` bodies per step; the counter makes
+    the deferral observable, per the counted-never-silent contract.
+
+    The fragmentation roll draws its per-pair uniforms on the SUBSET's
+    pair matrix, so individual rolls differ from the full dense path
+    (documented; the model and its probabilities are identical). Dead
+    bodies' park positions likewise derive from the subset scene's
+    extent and local indices — they honor the "far from every live
+    body" contract, not bit-parity with the dense path.
+    """
+    n = pos.shape[0]
+    S = int(subset)
+    D = int(debris_max_pairs) * int(debris_k) if debris_k > 0 else 0
+    T = min(n, S + D)
+    B = int(chunk)
+    nb = -(-n // B)
+    npad = nb * B
+
+    def pad(a, fill):
+        return jnp.pad(a, ((0, npad - n),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    pos_p = pad(pos, 1.0e17 if pos.dtype == jnp.float32 else 1.0e30)
+    rad_p, alive_p = pad(radius, 0.0), pad(alive, False)
+
+    def i_block(i0):
+        pi = lax.dynamic_slice(pos_p, (i0, 0), (B, 3))
+        ri = lax.dynamic_slice(rad_p, (i0,), (B,))
+        ai = lax.dynamic_slice(alive_p, (i0,), (B,))
+        dx = pi[:, None, 0] - pos_p[None, :, 0]
+        dy = pi[:, None, 1] - pos_p[None, :, 1]
+        dz = pi[:, None, 2] - pos_p[None, :, 2]
+        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        touch = (ai[:, None] & alive_p[None, :]
+                 & (dist <= ri[:, None] + rad_p[None, :]) & (dist > 0.0))
+        return jnp.any(touch, axis=1)
+
+    touch_any = lax.map(i_block, jnp.arange(0, npad, B)).reshape(npad)[:n]
+    n_touch = jnp.sum(touch_any, dtype=jnp.int32)
+    deferred = jnp.maximum(n_touch - S, 0)
+
+    # one stable priority sort -> unique gathered indices: contacts first
+    # (by index, matching the dense model's low-index tie-breaks), then
+    # dead slots (debris capacity), then inert live bodies as padding
+    prio = jnp.where(touch_any, 0, jnp.where(~alive, 1, 2)).astype(jnp.int32)
+    idx_sub = jnp.argsort(prio, stable=True)[:T]
+
+    out = resolve_outcomes(
+        pos[idx_sub], vel[idx_sub], mass[idx_sub], radius[idx_sub],
+        alive[idx_sub], key, restitution=restitution, debris_k=debris_k,
+        debris_max_pairs=debris_max_pairs,
+        debris_energy_frac=debris_energy_frac, debris_sep=debris_sep)
+    s_pos, s_vel, s_mass, s_rad, s_alive = out
+    return (pos.at[idx_sub].set(s_pos), vel.at[idx_sub].set(s_vel),
+            mass.at[idx_sub].set(s_mass), radius.at[idx_sub].set(s_rad),
+            alive.at[idx_sub].set(s_alive), deferred)
 
 
 @partial(jax.jit, static_argnames=("chunk",))

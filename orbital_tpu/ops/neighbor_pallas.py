@@ -43,6 +43,91 @@ __all__ = ["near_acc_slots_pallas"]
 f32 = jnp.float32
 
 
+def _kernel_resident(cnt_ref, jbl_ref, ib_ref, jt_ref, out_ref, *,
+                     w_blk: int, r1: float, rc: float, G: float,
+                     eps2: float):
+    """Resident-table variant: the whole packed j-table lives in VMEM
+    (constant index map -> fetched once for the whole grid), the grid runs
+    over i-chunks ONLY, and each chunk walks its OWN number of j-blocks
+    (scalar-prefetched counts) with a dynamic-trip fori_loop. Two wins over
+    the streaming kernel below: the per-grid-step overhead is paid k_ch
+    times instead of k_ch * w_blk times (the streaming kernel's ~118k
+    grid steps at 65k cost more than its arithmetic), and sentinel padding
+    blocks cost ZERO compute instead of full tiles (w_blk is the probed
+    MAX block count; the mean is typically ~half of it)."""
+    i = pl.program_id(0)
+    ib = ib_ref[...]                       # (C, 4)
+    xi, yi, zi = ib[:, 0:1], ib[:, 1:2], ib[:, 2:3]
+    c = ib.shape[0]
+    w = jt_ref.shape[2]
+    inv_d = 1.0 / (rc * rc - r1 * r1)
+
+    def body(q, carry):
+        axw, ayw, azw, pew = carry
+        b = jbl_ref[i * w_blk + q]
+        jb = jt_ref[b]                     # (4, W): dynamic leading index
+        xj, yj, zj, mj = jb[0:1, :], jb[1:2, :], jb[2:3, :], jb[3:4, :]
+        dx = xj - xi                       # (C, W)
+        dy = yj - yi
+        dz = zj - zi
+        r2t = dx * dx + dy * dy + dz * dz
+        s = jnp.clip((rc * rc - r2t) * inv_d, 0.0, 1.0)
+        s2 = s * s
+        S = s * s2 * (10.0 + s * (-15.0 + 6.0 * s))
+        spd = (30.0 * inv_d) * s2 * (1.0 - s) * (1.0 - s)
+        inv_r = lax.rsqrt(r2t + eps2)
+        wgt = mj * (S * (inv_r * inv_r * inv_r) + (2.0 * spd) * inv_r)
+        return (axw + wgt * dx, ayw + wgt * dy, azw + wgt * dz,
+                pew + mj * inv_r * S)
+
+    zero = jnp.zeros((c, w), f32)
+    axw, ayw, azw, pew = lax.fori_loop(
+        0, cnt_ref[i], body, (zero, zero, zero, zero))
+    out_ref[...] = jnp.concatenate(
+        [G * jnp.sum(axw, axis=1, keepdims=True),
+         G * jnp.sum(ayw, axis=1, keepdims=True),
+         G * jnp.sum(azw, axis=1, keepdims=True),
+         jnp.sum(pew, axis=1, keepdims=True)], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_resident(k_ch: int, w_blk: int, n_blocks: int, chunk: int,
+                         rj: int, r1: float, rc: float, G: float,
+                         eps2: float, interpret: bool):
+    c = int(chunk)
+    w = int(rj) * c
+    kernel = functools.partial(_kernel_resident, w_blk=w_blk, r1=r1, rc=rc,
+                               G=G, eps2=eps2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k_ch,),
+        in_specs=[
+            pl.BlockSpec((c, 4), lambda i, cnt, jbl: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, 4, w), lambda i, cnt, jbl: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, 4), lambda i, cnt, jbl: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    pairs = k_ch * w_blk * c * w
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k_ch * c, 4), f32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * pairs,
+            bytes_accessed=n_blocks * 4 * w * 4 + 2 * k_ch * c * 4 * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )
+
+
 def _kernel(jbl_ref, ib_ref, jb_ref, out_ref, *, r1: float, rc: float,
             G: float, eps2: float):
     q = pl.program_id(1)
@@ -118,10 +203,16 @@ def near_acc_slots_pallas(
     *,
     r1: float, rc: float, G: float, eps2: float,
     chunk: int = 32, rj: int = 4, interpret: bool = False,
+    resident: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Drop-in Pallas counterpart of ``ops.neighbor.near_acc_slots``:
     same slot-space channels in, same ``(acc [K_ch*C, 3], pe [K_ch*C])``
-    out (tested equal; the j-block table is walked identically)."""
+    out (tested equal; the j-block table is walked identically).
+
+    ``resident=None`` (default) picks the VMEM-resident kernel whenever
+    the packed table fits comfortably (~48 MB padded; every 65k-scale
+    headline window does), falling back to the streaming two-axis grid
+    beyond that. Pass True/False to force either path (tests)."""
     k_ch, w_blk = jbl.shape
     c, rjn = int(chunk), int(rj)
     if (rjn * c) % 128:
@@ -130,7 +221,22 @@ def near_acc_slots_pallas(
     if c % 8:
         raise ValueError(f"chunk must be a multiple of 8 (got {c})")
     n_slots = xs.shape[0]
+    blkw = rjn * c
+    n_blocks = n_slots // blkw
     pjt = jnp.stack([xs, ys, zs, ms], axis=0)          # [4, n_slots]
+    if resident is None:
+        # (4, W) blocks pad to (8, W) sublane tiles in VMEM
+        resident = n_blocks * 8 * blkw * 4 <= 48 * 1024 * 1024
+    if resident:
+        jt3 = pjt.reshape(4, n_blocks, blkw).transpose(1, 0, 2)
+        pbods = pjt.T                                  # [n_slots, 4]
+        cnt = jnp.sum(jbl != n_blocks - 1, axis=1, dtype=jnp.int32)
+        call = _build_call_resident(k_ch, w_blk, n_blocks, c, rjn,
+                                    float(r1), float(rc), float(G),
+                                    float(eps2), bool(interpret))
+        out = call(cnt, jbl.reshape(-1), pbods, jt3)
+        pe = out[:, 3] - ms[:k_ch * c] * (float(eps2) ** -0.5)
+        return out[:, :3], pe
     pbods = pjt.T                                      # [n_slots, 4]
     call = _build_call(k_ch, w_blk, n_slots, c, rjn,
                        float(r1), float(rc), float(G), float(eps2),

@@ -144,6 +144,11 @@ class SimConfig:
             >= 2^(R-1).
         frag_seed: PRNG seed for collisions="resolve" fragmentation rolls
             (folded with the step counter — outcomes are reproducible).
+        resolve_subset: contact-subset budget for collisions="resolve"
+            above the dense [N, N] ceiling: up to this many touching
+            bodies gather into a small dense scene per step
+            (ops.collisions.resolve_outcomes_subset); excess contacts
+            defer to the next step's re-detection.
         debris_k: collisions="resolve" debris model — fragments spawned
             per fragmenting pair into entry-dead slots (allocate with
             make_state(spare=...)). 0 (default) reproduces the reference:
@@ -214,6 +219,7 @@ class SimConfig:
     hermite_max_substeps: int = 64
     hermite_rungs: int = 1
     frag_seed: int = 0
+    resolve_subset: int = 512
     debris_k: int = 0
     debris_max_pairs: int = 4
     debris_energy_frac: float = 0.3

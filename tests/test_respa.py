@@ -120,7 +120,8 @@ def test_sweep_matches_dense_oracle(seed, n):
                                atol=1e-7)
 
 
-def test_pallas_kernel_matches_xla_sweep():
+@pytest.mark.parametrize("resident", [False, True])
+def test_pallas_kernel_matches_xla_sweep(resident):
     n = 400
     pos, _, mass = _cluster(n, 5)
     alive = np.ones(n, bool)
@@ -131,7 +132,7 @@ def test_pallas_kernel_matches_xla_sweep():
                                  eps2=eps2, chunk=8, rj=16)
     acc_p, pe_p = near_acc_slots_pallas(*ch, geom["jbl"], r1=r1, rc=rc,
                                         G=G, eps2=eps2, chunk=8, rj=16,
-                                        interpret=True)
+                                        interpret=True, resident=resident)
     np.testing.assert_allclose(np.asarray(acc_p), np.asarray(acc_x),
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(pe_p), np.asarray(pe_x),
