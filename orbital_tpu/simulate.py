@@ -52,6 +52,150 @@ class SimResult:
                             / abs(self.energy[0])))
 
 
+def _tree_budget_cfg(cfg: SimConfig, state: NBodyState, *, tree_near,
+                     tree_levels, tree_capacity) -> SimConfig:
+    """Probe-size every static tree budget from the initial distribution
+    in one cheap pass (1.5x headroom; the compiled hot loop drops the
+    overflow counter, so budgets must be sized here — re-probe mid-run
+    with ``ops.tree.tree_occupancy_probe`` if the system contracts)."""
+    from .ops.tree import (tree_class_probe, tree_column_probe,
+                           tree_occupancy_probe)
+
+    if tree_levels == "auto":
+        # smallest pyramid whose densest cell stays near-field-cheap
+        for tree_levels in (5, 6, 7, 8):
+            occ, _ = tree_occupancy_probe(state.pos, state.alive,
+                                          levels=tree_levels,
+                                          box=cfg.pm_box_arrays())
+            if int(occ) <= 64 or tree_levels == 8:
+                break
+    tree_levels = int(tree_levels)
+    cfg = cfg.replace(tree_levels=tree_levels)
+    tree_ws = cfg.tree_ws
+    # budgets are per-CELL under near="cells", per-COLUMN under
+    # near="columns", per-CHUNK-OCTAVE under near="pairs" — probe at
+    # the matching granularity
+    if tree_near == "pairs":
+        from .ops.tree import tree_pairs_budgets
+
+        kch, entries = tree_pairs_budgets(
+            state.pos, state.alive, levels=tree_levels, ws=tree_ws,
+            chunk=cfg.tree_chunk, box=cfg.pm_box_arrays())
+        cfg = cfg.replace(tree_max_chunks=kch,
+                          tree_pair_entries=entries)
+    elif tree_near == "kernel":
+        from .ops.tree_near_wl import tree_wl_budgets
+
+        kch, wle = tree_wl_budgets(
+            state.pos, state.alive, levels=tree_levels, ws=tree_ws,
+            chunk=cfg.tree_chunk, rj=cfg.tree_wl_rj,
+            box=cfg.pm_box_arrays())
+        cfg = cfg.replace(tree_max_chunks=kch, tree_wl_entries=wle)
+    elif tree_near == "columns":
+        occ, ncells, nbig, nfront, nchunks = tree_column_probe(
+            state.pos, state.alive, levels=tree_levels, ws=tree_ws,
+            box=cfg.pm_box_arrays(), with_chunks=True)
+        unit_cap = 4 ** tree_levels
+    else:
+        occ, ncells, nbig, nfront = tree_class_probe(
+            state.pos, state.alive, levels=tree_levels, ws=tree_ws,
+            box=cfg.pm_box_arrays())
+        unit_cap = 8 ** tree_levels
+    if tree_near not in ("pairs", "kernel"):
+        kcells = min(state.n_bodies, unit_cap,
+                     -(-int(int(ncells) * 1.5) // 1024) * 1024)
+        # probe-sized class-list budgets (1.5x headroom, /256-aligned):
+        # the K//8 / K//4 heuristics are heavily sentinel-padded on
+        # concentrated systems and the padded rows dominate sweep cost
+        kbig = min(kcells,
+                   max(256, -(-int(int(nbig) * 1.5) // 256) * 256))
+        kfront = min(kcells,
+                     max(256, -(-int(int(nfront) * 1.5) // 256) * 256))
+        cfg = cfg.replace(tree_max_cells=kcells, tree_max_big=kbig,
+                          tree_max_frontier=kfront)
+    if tree_near == "columns":
+        # i-side chunk list for the big sweep, same 1.5x headroom
+        cfg = cfg.replace(tree_max_chunks=max(
+            256, -(-int(int(nchunks) * 1.5) // 256) * 256))
+    if tree_capacity == "auto" and tree_near not in ("pairs", "kernel"):
+        cap = max(16, -(-int(int(occ) * 1.5) // 8) * 8)
+        cap_bound = 16384 if tree_near == "columns" else 4096
+        if cap > cap_bound:
+            unit = "column" if tree_near == "columns" else "cell"
+            raise ValueError(
+                f"tree_capacity='auto': densest {unit} holds {int(occ)} "
+                "bodies — raise tree_levels (finer cells) for this "
+                "concentration")
+        cfg = cfg.replace(tree_capacity=cap)
+    return cfg
+
+
+# (order, ws) escalation ladder for tree_accuracy=, cheapest first
+# (measured cost ordering at 65k, DESIGN.md "north-star bound" table:
+# o1ws1 < o2ws1 < o1ws2 ~< o2ws2; each rung buys ~5x force error)
+_TREE_ACCURACY_LADDER = ((1, 1), (2, 1), (1, 2), (2, 2))
+
+
+def _tree_accuracy_probe(cfg: SimConfig, state: NBodyState, *,
+                         target: float, tree_near, tree_levels,
+                         tree_capacity) -> SimConfig:
+    """Map one accuracy target to the five coupled tree budgets.
+
+    Walks the (order, ws) ladder cheapest-first, measuring each
+    candidate's ACTUAL force error on the initial state — global relative
+    RMS, ``rms(|a_tree - a_exact|) / rms(|a_exact|)`` over live bodies,
+    against one exact O(N^2) evaluation — and returns the first budgeted
+    config at or under ``target``. The probe evaluations compile the same
+    programs the rollout uses, so their compile cost is reused, and
+    levels/capacity/near-field budgets come from :func:`_tree_budget_cfg`
+    at each rung (they are cost knobs, not accuracy knobs).
+
+    Energy drift tracks force error roughly linearly in the
+    fluctuation-dominated regime (DESIGN.md: the (order, ws) series buys
+    ~5x drift per ~5x force error), so a drift budget of X over 10k steps
+    is well served by ``tree_accuracy ~ X`` — but drift is IC- and
+    horizon-dependent; measure with ``SimResult.energy_drift``.
+
+    Raises ``ValueError`` with the best measured error if no ladder rung
+    meets the target (the exact kernels are the 1e-6-grade path at
+    collisional N — measured, DESIGN.md "north-star bound").
+    """
+    from .engine.rollout import resolve_force_fn
+
+    exact_fn = resolve_force_fn(cfg.replace(force_impl="auto"),
+                                state.n_bodies)
+    acc_x = np.asarray(exact_fn(state.pos, state.mass, state.alive)[0],
+                       np.float64)
+    alive = np.asarray(state.alive)
+    ax = acc_x[alive]
+    rms_x = float(np.sqrt(np.mean(np.sum(ax * ax, axis=1))))
+    if rms_x == 0.0:
+        return _tree_budget_cfg(cfg, state, tree_near=tree_near,
+                                tree_levels=tree_levels,
+                                tree_capacity=tree_capacity)
+    errs = []
+    for order, ws in _TREE_ACCURACY_LADDER:
+        cand = _tree_budget_cfg(
+            cfg.replace(tree_order=order, tree_ws=ws), state,
+            tree_near=tree_near, tree_levels=tree_levels,
+            tree_capacity=tree_capacity)
+        fn = resolve_force_fn(cand, state.n_bodies)
+        acc_t = np.asarray(fn(state.pos, state.mass, state.alive)[0],
+                           np.float64)[alive]
+        d = acc_t - ax
+        err = float(np.sqrt(np.mean(np.sum(d * d, axis=1)))) / rms_x
+        errs.append((order, ws, err))
+        if err <= target:
+            return cand
+    detail = ", ".join(f"order={o} ws={w}: {e:.2e}" for o, w, e in errs)
+    raise ValueError(
+        f"tree_accuracy={target:g}: no tree configuration meets the "
+        f"target on this scene (measured relative RMS force errors: "
+        f"{detail}). Use the exact kernels (force_impl='auto') — at "
+        "collisional N they are the measured 1e-6-grade path "
+        "(DESIGN.md, 'The north-star bound').")
+
+
 def simulate(
     scene: Union[System, ObjectCollection, list[Object], SceneArrays],
     *,
@@ -77,6 +221,7 @@ def simulate(
     tree_capacity: Union[int, str] = "auto",
     tree_ws: int = 1,
     tree_order: int = 1,
+    tree_accuracy: Optional[float] = None,
     tree_near: str = "columns",
     tree_chunk: int = 32,
     tree_wl_rj: int = 8,
@@ -122,6 +267,14 @@ def simulate(
     (``parallel.sharded.make_sharded_rollout``), and the large-N staged
     tree path dispatches each phase as one shard_map program
     (``engine.rollout.rollout_staged(mesh=...)``).
+
+    ``tree_accuracy=`` (``force_impl="tree"`` only) replaces hand-tuning
+    the coupled (order, ws, levels, capacity, near-field) budgets with
+    ONE knob: a relative RMS force-error target. simulate() measures each
+    (order, ws) ladder rung's actual error on the initial state against
+    one exact evaluation and takes the cheapest rung that meets the
+    target, raising (with the measured errors) if none does. Explicit
+    ``tree_order`` / ``tree_ws`` are ignored when it is set.
 
     Approximate-force budgets (``force_impl="tree"`` / ``"p3m"``): static
     capacities are sized from the INITIAL distribution (1.5x headroom) and
@@ -264,77 +417,15 @@ def simulate(
                 "concentrated for P3M; use exact kernels or PM")
         cfg = cfg.replace(p3m_capacity=cap)
     if force_impl == "tree":
-        # size per-cell capacity and the occupied-cell sweep budget from
-        # the actual initial distribution in one cheap pass; re-probe
-        # mid-run with ops.tree.tree_occupancy_probe if the system
-        # contracts (the hot path drops the overflow counter)
-        from .ops.tree import (tree_class_probe, tree_column_probe,
-                               tree_occupancy_probe)
-
-        if tree_levels == "auto":
-            # smallest pyramid whose densest cell stays near-field-cheap
-            for tree_levels in (5, 6, 7, 8):
-                occ, _ = tree_occupancy_probe(state.pos, state.alive,
-                                              levels=tree_levels,
-                                              box=cfg.pm_box_arrays())
-                if int(occ) <= 64 or tree_levels == 8:
-                    break
-            cfg = cfg.replace(tree_levels=tree_levels)
-        # budgets are per-CELL under near="cells", per-COLUMN under
-        # near="columns", per-CHUNK-OCTAVE under near="pairs" — probe at
-        # the matching granularity
-        if tree_near == "pairs":
-            from .ops.tree import tree_pairs_budgets
-
-            kch, entries = tree_pairs_budgets(
-                state.pos, state.alive, levels=tree_levels, ws=tree_ws,
-                chunk=cfg.tree_chunk, box=cfg.pm_box_arrays())
-            cfg = cfg.replace(tree_max_chunks=kch,
-                              tree_pair_entries=entries)
-        elif tree_near == "kernel":
-            from .ops.tree_near_wl import tree_wl_budgets
-
-            kch, wle = tree_wl_budgets(
-                state.pos, state.alive, levels=tree_levels, ws=tree_ws,
-                chunk=cfg.tree_chunk, rj=cfg.tree_wl_rj,
-                box=cfg.pm_box_arrays())
-            cfg = cfg.replace(tree_max_chunks=kch, tree_wl_entries=wle)
-        elif tree_near == "columns":
-            occ, ncells, nbig, nfront, nchunks = tree_column_probe(
-                state.pos, state.alive, levels=tree_levels, ws=tree_ws,
-                box=cfg.pm_box_arrays(), with_chunks=True)
-            unit_cap = 4 ** tree_levels
+        if tree_accuracy is not None:
+            cfg = _tree_accuracy_probe(
+                cfg, state, target=float(tree_accuracy),
+                tree_near=tree_near, tree_levels=tree_levels,
+                tree_capacity=tree_capacity)
         else:
-            occ, ncells, nbig, nfront = tree_class_probe(
-                state.pos, state.alive, levels=tree_levels, ws=tree_ws,
-                box=cfg.pm_box_arrays())
-            unit_cap = 8 ** tree_levels
-        if tree_near not in ("pairs", "kernel"):
-            kcells = min(state.n_bodies, unit_cap,
-                         -(-int(int(ncells) * 1.5) // 1024) * 1024)
-            # probe-sized class-list budgets (1.5x headroom, /256-aligned):
-            # the K//8 / K//4 heuristics are heavily sentinel-padded on
-            # concentrated systems and the padded rows dominate sweep cost
-            kbig = min(kcells,
-                       max(256, -(-int(int(nbig) * 1.5) // 256) * 256))
-            kfront = min(kcells,
-                         max(256, -(-int(int(nfront) * 1.5) // 256) * 256))
-            cfg = cfg.replace(tree_max_cells=kcells, tree_max_big=kbig,
-                              tree_max_frontier=kfront)
-        if tree_near == "columns":
-            # i-side chunk list for the big sweep, same 1.5x headroom
-            cfg = cfg.replace(tree_max_chunks=max(
-                256, -(-int(int(nchunks) * 1.5) // 256) * 256))
-        if tree_capacity == "auto" and tree_near not in ("pairs", "kernel"):
-            cap = max(16, -(-int(int(occ) * 1.5) // 8) * 8)
-            cap_bound = 16384 if tree_near == "columns" else 4096
-            if cap > cap_bound:
-                unit = "column" if tree_near == "columns" else "cell"
-                raise ValueError(
-                    f"tree_capacity='auto': densest {unit} holds {int(occ)} "
-                    "bodies — raise tree_levels (finer cells) for this "
-                    "concentration")
-            cfg = cfg.replace(tree_capacity=cap)
+            cfg = _tree_budget_cfg(cfg, state, tree_near=tree_near,
+                                   tree_levels=tree_levels,
+                                   tree_capacity=tree_capacity)
     staged = (force_impl == "tree" and cfg.integrator == "kdk"
               and cfg.collisions == "none"
               and cfg.tree_levels >= _STAGED_MIN_LEVELS

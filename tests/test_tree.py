@@ -256,6 +256,34 @@ def test_simulate_tree_auto_capacity(gauss_blob):
 
 
 @pytest.mark.slow
+def test_simulate_tree_accuracy_knob(gauss_blob):
+    """tree_accuracy= maps ONE force-error target to the coupled
+    (order, ws) budgets: a loose target takes the cheapest rung, an
+    unreachable one raises with the measured ladder errors."""
+    from orbital_tpu.models.scene import SceneArrays
+
+    pos, mass = gauss_blob
+    n = len(mass)
+    arrays = SceneArrays(
+        pos=np.asarray(pos, np.float64),
+        vel=np.zeros((n, 3)),
+        mass=np.asarray(mass, np.float64),
+        radius=np.zeros(n),
+        names=[f"b{i}" for i in range(n)],
+        uuids=[f"u{i}" for i in range(n)],
+    )
+    res = ot.simulate(arrays, steps=4, dt=1e-3, softening=1e-2,
+                      force_impl="tree", tree_levels=4, precision="f32",
+                      rescale=None, record_every=2, tree_accuracy=0.08)
+    assert (res.config.tree_order, res.config.tree_ws) == (1, 1)
+    assert np.isfinite(res.pos).all()
+    with pytest.raises(ValueError, match="measured relative RMS"):
+        ot.simulate(arrays, steps=2, dt=1e-3, softening=1e-2,
+                    force_impl="tree", tree_levels=4, precision="f32",
+                    rescale=None, tree_accuracy=1e-9)
+
+
+@pytest.mark.slow
 def test_tree_pinned_box_matches(gauss_blob):
     """A pinned box covering the live extent agrees with the refit path."""
     pos, mass = gauss_blob
