@@ -476,7 +476,19 @@ def make_step_fn(
         degrades accuracy, never correctness — the dt-sorted order
         guarantees any under-granted body is slower than every body
         granted a finer rung. Same macro-boundary collision caveat as
-        the single-rung scheme."""
+        the single-rung scheme.
+
+        Mid-macro re-selection (``cfg.hermite_reselect``): at every
+        coarsest-rung boundary every riding row was just corrected at
+        the same time (all periods divide ``2^(R-1)``), so the carry can
+        be permuted exactly — the riding prefix is re-sorted by the
+        Aarseth dt recomputed from the carried (a, jerk), and the
+        position-keyed rung grants re-apply to the new order. The body
+        index map rides in the scan carry for this reason. Non-riding
+        rows sort to the tail (stable, inf key), exactly where they
+        started — the riding set itself never changes inside a window
+        (membership needs the full-system force the macro boundary
+        provides)."""
         from ..ops.forces import accel_jerk_subset
 
         n = state.n_bodies
@@ -524,16 +536,15 @@ def make_step_fn(
         per_f = period.astype(r0.dtype)
 
         def substep(s, carry):
-            rl, vl, al, jl, tl = carry
             tau = s.astype(r0.dtype) * h
             # coarsest active rung at fine step s (finer ones included)
             level = jnp.zeros((), jnp.int32)
             for r in range(1, L):
                 level = level + ((s % (1 << r)) == 0).astype(jnp.int32)
 
-            def branch(Tr, _s=None):
+            def branch(Tr, resel):
                 def go(carry):
-                    rl, vl, al, jl, tl = carry
+                    idx, rl, vl, al, jl, tl = carry
                     # sources at tau: macro polynomials, with substepping
                     # fast rows riding their own carry polynomials
                     rs = (r0 + tau * v0 + (0.5 * tau * tau) * a0
@@ -544,10 +555,10 @@ def make_step_fn(
                            + (dlt ** 3 / 6.0) * jl)
                     vpf = vl + dlt * al + (0.5 * dlt * dlt) * jl
                     rd = ride[:, None]
-                    rs = rs.at[idx_f].set(jnp.where(rd, rpf, rs[idx_f]))
-                    vs = vs.at[idx_f].set(jnp.where(rd, vpf, vs[idx_f]))
+                    rs = rs.at[idx].set(jnp.where(rd, rpf, rs[idx]))
+                    vs = vs.at[idx].set(jnp.where(rd, vpf, vs[idx]))
                     a1, j1 = accel_jerk_subset(
-                        idx_f[:Tr], rs, vs, state.mass, state.alive,
+                        idx[:Tr], rs, vs, state.mass, state.alive,
                         G=cfg.G, eps2=cfg.eps2, chunk=sub_chunk)
                     a1 = a1.astype(r0.dtype)
                     j1 = j1.astype(r0.dtype)
@@ -565,15 +576,32 @@ def make_step_fn(
                     al = al.at[:Tr].set(jnp.where(am, a1, al[:Tr]))
                     jl = jl.at[:Tr].set(jnp.where(am, j1, jl[:Tr]))
                     tl = tl.at[:Tr].set(jnp.where(act, tau, tl[:Tr]))
-                    return (rl, vl, al, jl, tl)
+                    if resel:
+                        # every riding row was just corrected at tau
+                        # (all periods divide the coarsest), so the
+                        # carry permutes exactly: re-sort the riding
+                        # prefix by the fresh Aarseth dt; inf keys park
+                        # non-riding rows at the tail in original order
+                        dt_new = eta * jnp.sqrt(
+                            jnp.linalg.norm(al, axis=-1)
+                            / (jnp.linalg.norm(jl, axis=-1) + 1e-30))
+                        perm = jnp.argsort(
+                            jnp.where(ride, dt_new, jnp.inf),
+                            stable=True)
+                        idx, rl, vl, al, jl, tl = (
+                            x[perm] for x in (idx, rl, vl, al, jl, tl))
+                    return (idx, rl, vl, al, jl, tl)
                 return go
 
-            return lax.switch(level, [branch(t) for t in T],
-                              (rl, vl, al, jl, tl))
+            return lax.switch(
+                level,
+                [branch(t, cfg.hermite_reselect and r == L - 1)
+                 for r, t in enumerate(T)],
+                carry)
 
         tl0 = jnp.zeros((F,), r0.dtype)
-        carry0 = (rf0, vf0, af0, jf0, tl0)
-        rl, vl, al, jl, _ = lax.cond(
+        carry0 = (idx_f, rf0, vf0, af0, jf0, tl0)
+        idx_f, rl, vl, al, jl, _ = lax.cond(
             any_fast,
             lambda c: lax.fori_loop(1, m + 1, substep, c),
             lambda c: c,

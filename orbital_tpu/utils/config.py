@@ -142,6 +142,17 @@ class SimConfig:
             sizes instead of m x fast_cap. Requires hermite_fast_cap,
             adaptive_eta, and a power-of-two hermite_max_substeps
             >= 2^(R-1).
+        hermite_reselect: multi-rung Hermite only — re-sort the riding
+            bodies by their CURRENT Aarseth dt at every coarsest-rung
+            boundary inside the macro window (all riding rows are
+            freshly corrected and time-aligned there, so the carry
+            permutation is exact), re-granting position-keyed rungs
+            mid-macro: an encounter that hardens inside the window is
+            promoted to a finer rung at the next boundary instead of
+            waiting for the macro step. Costs one argsort + gather of
+            the fast rows per boundary (cheap next to a force
+            evaluation). Default True; set False for the frozen
+            per-macro grants.
         frag_seed: PRNG seed for collisions="resolve" fragmentation rolls
             (folded with the step counter — outcomes are reproducible).
         resolve_subset: contact-subset budget for collisions="resolve"
@@ -218,6 +229,7 @@ class SimConfig:
     hermite_fast_cap: int = 0
     hermite_max_substeps: int = 64
     hermite_rungs: int = 1
+    hermite_reselect: bool = True
     frag_seed: int = 0
     resolve_subset: int = 512
     debris_k: int = 0
