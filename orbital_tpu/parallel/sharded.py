@@ -330,14 +330,58 @@ def _normalize_sharded_cfg(cfg: SimConfig, axis: str) -> tuple[SimConfig, bool]:
     return cfg, use_mesh_solver
 
 
+def _resolve_gathered_fn(cfg: SimConfig, n_bodies: int, axis: str):
+    """Resolve-outcome pass for a body-sharded axis: all_gather the body
+    arrays, run the UNCHANGED outcome model (dense below the ceiling, the
+    contact-subset wrapper above it) replicated on every device — the
+    step counter is replicated, so the per-step PRNG fold and therefore
+    the fragmentation rolls are identical mesh-wide — and slice the local
+    shard back out. Same gather-run-slice shape as the cross-shard merge
+    above; the outcome model itself is ops.collisions.resolve_outcomes /
+    resolve_outcomes_subset verbatim (reference semantics:
+    core/physics.py:361-388)."""
+    from ..engine.integrators import _DENSE_BOUNCE_MAX_N
+    from ..ops import collisions as _coll
+
+    kw = dict(restitution=cfg.restitution, debris_k=cfg.debris_k,
+              debris_max_pairs=cfg.debris_max_pairs,
+              debris_energy_frac=cfg.debris_energy_frac,
+              debris_sep=cfg.debris_sep)
+
+    def do_resolve(s: NBodyState) -> NBodyState:
+        def g(x):
+            return lax.all_gather(x, axis, tiled=True)
+
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.frag_seed),
+                                 s.step)
+        args = (g(s.pos_full()), g(s.vel_full()), g(s.mass),
+                g(s.radius), g(s.alive), key)
+        if n_bodies > _DENSE_BOUNCE_MAX_N:
+            p, v, m, r, a, _ = _coll.resolve_outcomes_subset(
+                *args, subset=cfg.resolve_subset, **kw)
+        else:
+            p, v, m, r, a = _coll.resolve_outcomes(*args, **kw)
+        block = s.pos.shape[0]
+        off = lax.axis_index(axis) * block
+
+        def sl(x):
+            return lax.dynamic_slice_in_dim(x, off, block, axis=0)
+
+        out = dict(pos=sl(p), vel=sl(v), mass=sl(m), radius=sl(r),
+                   alive=sl(a))
+        if s.pos_lo is not None:
+            # like the unsharded resolve: compensation terms reset
+            out["pos_lo"] = jnp.zeros_like(s.pos_lo)
+            out["vel_lo"] = jnp.zeros_like(s.vel_lo)
+        return s.replace(**out)
+
+    return do_resolve
+
+
 def _build_local_step(cfg: SimConfig, n_shards: int, n_bodies: int,
                       use_mesh_solver: bool):
     """The per-device step closure shared by :func:`make_sharded_step` and
     :func:`make_sharded_rollout` — runs INSIDE shard_map on local shards."""
-    if cfg.collisions == "resolve":
-        raise NotImplementedError(
-            "collisions='resolve' is a dense small-scene model and does "
-            "not compose with body sharding; use 'bounce'/'merge'/'none'")
     axis = cfg.shard_axis
     if use_mesh_solver:
         # mesh solvers across the mesh: local deposit + one psum of the
@@ -410,6 +454,17 @@ def _build_local_step(cfg: SimConfig, n_shards: int, n_bodies: int,
                 return s.replace(**kw)
 
             return lax.cond(cnt > 0, do_merge, lambda s: s, state)
+    elif cfg.collisions == "resolve":
+        # absorb/fragment/bounce outcome model across shards: gated on
+        # the same psum'd ring contact count as merge, then the
+        # gather-run-slice pass of _resolve_gathered_fn
+        contacts = ring_contacts_fn(cfg, n_shards)
+        do_resolve = _resolve_gathered_fn(cfg, n_bodies, axis)
+
+        def local_step(state: NBodyState) -> NBodyState:
+            state = kdk(state)
+            cnt = contacts(state.pos, state.radius, state.alive)
+            return lax.cond(cnt > 0, do_resolve, lambda s: s, state)
     else:
         local_step = kdk
     return local_step
@@ -531,10 +586,6 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
     state onto the mesh.
     """
     cfg, use_mesh_solver = _normalize_sharded_cfg(cfg, body_axis)
-    if cfg.collisions == "resolve":
-        raise NotImplementedError(
-            "collisions='resolve' is a dense small-scene model and does "
-            "not compose with body sharding; use 'bounce'/'none' here")
     n_body_shards = mesh.shape[body_axis]
     n_bodies = state_example.pos.shape[-2]
     if n_bodies % n_body_shards != 0:
@@ -591,6 +642,14 @@ def make_sharded_ensemble_step(cfg: SimConfig, mesh: Mesh,
                 kw["pos_lo"] = jnp.zeros_like(state.pos_lo)
                 kw["vel_lo"] = jnp.zeros_like(state.vel_lo)
             return state.replace(**kw)
+    elif cfg.collisions == "resolve":
+        # same unconditional-under-vmap rationale as merge above; each
+        # member's step counter is its own, so per-member fragmentation
+        # rolls stay independent and reproducible
+        do_resolve = _resolve_gathered_fn(cfg, n_bodies, body_axis)
+
+        def one(state: NBodyState) -> NBodyState:
+            return do_resolve(kdk(state))
     else:
         one = kdk
 
