@@ -225,8 +225,15 @@ def near_acc_slots_pallas(
     n_blocks = n_slots // blkw
     pjt = jnp.stack([xs, ys, zs, ms], axis=0)          # [4, n_slots]
     if resident is None:
-        # (4, W) blocks pad to (8, W) sublane tiles in VMEM
-        resident = n_blocks * 8 * blkw * 4 <= 48 * 1024 * 1024
+        # MEASURED r3: the resident kernel HANGS the TPU remote compiler
+        # (>9 min on a 736-chunk toy geometry, dynamic-trip and
+        # fixed-trip variants alike — the dynamic leading-index read of
+        # the whole VMEM-resident j-table is the pathological shape for
+        # Mosaic on this platform). It stays available for interpret
+        # tests and as an explicit opt-in, but auto NEVER picks it on a
+        # real TPU backend.
+        resident = bool(interpret) and (
+            n_blocks * 8 * blkw * 4 <= 48 * 1024 * 1024)
     if resident:
         jt3 = pjt.reshape(4, n_blocks, blkw).transpose(1, 0, 2)
         pbods = pjt.T                                  # [n_slots, 4]
