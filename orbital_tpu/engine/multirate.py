@@ -51,7 +51,8 @@ from jax import lax
 
 from ..ops.neighbor import (SENTINEL_POS, near_acc_slots, neighbor_geometry,
                             pack_slots, unpack_slots)
-from ..ops.neighbor_pallas import near_acc_slots_pallas
+from ..ops.neighbor_pallas import (near_acc_slots_pallas,
+                                   near_acc_slots_pallas_wl)
 from ..utils.config import SimConfig
 from .dsfloat import ds_add
 from .rollout import Trajectory, _snapshot
@@ -63,6 +64,11 @@ f32 = jnp.float32
 
 
 def _resolve_sweep(cfg: SimConfig, dtype):
+    """Returns ``sweep(xs, ys, zs, ms, geom) -> (acc, pe)`` over the slot
+    channels, closing over the chosen backend. The worklist Pallas kernel
+    is used when ``cfg.respa_wl_entries > 0`` (compacted real entries —
+    no sentinel-tile grid steps); otherwise the padded-jbl streaming
+    kernel / XLA oracle."""
     impl = cfg.respa_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -71,11 +77,21 @@ def _resolve_sweep(cfg: SimConfig, dtype):
     kw = dict(r1=cfg.respa_r1 if cfg.respa_r1 > 0 else 0.5 * cfg.respa_rc,
               rc=cfg.respa_rc, G=cfg.G, eps2=cfg.eps2,
               chunk=cfg.respa_chunk, rj=cfg.respa_rj)
+    interp = impl == "pallas_interpret"
+    if impl in ("pallas", "pallas_interpret") and cfg.respa_wl_entries > 0:
+        def sweep_wl(xs, ys, zs, ms, geom):
+            return near_acc_slots_pallas_wl(
+                xs, ys, zs, ms, geom["wl_i"], geom["wl_jb"],
+                geom["wl_first"], geom["wl_row_live"],
+                interpret=interp, **kw)
+        return sweep_wl
     if impl == "pallas":
-        return partial(near_acc_slots_pallas, **kw)
-    if impl == "pallas_interpret":
-        return partial(near_acc_slots_pallas, interpret=True, **kw)
-    return partial(near_acc_slots, **kw)
+        f = partial(near_acc_slots_pallas, **kw)
+    elif impl == "pallas_interpret":
+        f = partial(near_acc_slots_pallas, interpret=True, **kw)
+    else:
+        f = partial(near_acc_slots, **kw)
+    return lambda xs, ys, zs, ms, geom: f(xs, ys, zs, ms, geom["jbl"])
 
 
 def make_respa_macro(
@@ -116,8 +132,8 @@ def make_respa_macro(
         geom = neighbor_geometry(
             state.pos, state.alive, cell=cfg.respa_cell,
             m_grid=cfg.respa_m, chunk=C, max_chunks=K_ch, w_blk=W_blk,
-            rj=RJ)
-        slot, jbl = geom["slot"], geom["jbl"]
+            rj=RJ, wl_entries=cfg.respa_wl_entries)
+        slot = geom["slot"]
         pk = lambda v, fill: pack_slots(slot, v, n_slots, fill)
 
         with jax.named_scope("respa.pack"):
@@ -132,7 +148,7 @@ def make_respa_macro(
         pos0 = pos3
 
         with jax.named_scope("respa.near0"):
-            a_n0, _ = sweep(*pos3, ms, jbl)
+            a_n0, _ = sweep(*pos3, ms, geom)
             a_n0 = _pad(a_n0)
 
         # opening far half-impulse: a_far = a_total - a_near at the SAME
@@ -162,7 +178,7 @@ def make_respa_macro(
                     p3[k], pl3[k] = ds_add(p3[k], pl3[k], dt * vl3[k])
                 else:
                     p3[k] = p3[k] + dt * v3[k]
-            a_n, _ = sweep(p3[0], p3[1], p3[2], ms, jbl)
+            a_n, _ = sweep(p3[0], p3[1], p3[2], ms, geom)
             a_n = _pad(a_n)
             for k in range(3):
                 inc = (0.5 * dt) * a_n[:, k]
@@ -238,7 +254,8 @@ def make_respa_macro(
         diag = dict(
             overflow=(geom["cap_overflow"]
                       + jnp.sum(dropped, dtype=jnp.int32)
-                      + geom["w_overflow"]),
+                      + geom["w_overflow"]
+                      + geom.get("q_overflow", 0)),
             skin_violation=skin_violation,
         )
         return new, diag

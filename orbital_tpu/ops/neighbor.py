@@ -103,6 +103,7 @@ def neighbor_geometry(
     w_blk: int = 8,
     rj: int = 4,
     origin: Optional[jax.Array] = None,
+    wl_entries: int = 0,
 ) -> dict:
     """Frozen neighbor-search geometry for one macro window (jittable).
 
@@ -122,6 +123,21 @@ def neighbor_geometry(
       ``cap_overflow``  () i32 — live bodies past the chunk budget.
       ``w_overflow``    () i32 — chunks whose j-blocks overflow ``w_blk``
                         (their farthest blocks are dropped).
+
+    With ``wl_entries > 0`` additionally compacts the jbl table's real
+    entries (row-major, so sorted by i-chunk) into the worklist the
+    Pallas worklist sweep consumes (``near_acc_slots_pallas_wl``):
+      ``wl_i``          [wl_entries] i32 — i-chunk per entry (sentinel
+                        ``max_chunks`` for the inert tail).
+      ``wl_jb``         [wl_entries] i32 — j-block per entry.
+      ``wl_first``      [wl_entries] i32 — 1 where a new i-chunk run
+                        starts (the kernel's init-vs-accumulate flag).
+      ``wl_row_live``   [max_chunks*chunk] bool — rows of chunks the
+                        worklist visits (kernel output elsewhere is
+                        uninitialized VMEM, masked to 0 by the sweep).
+      ``q_overflow``    () i32 — real entries past the ``wl_entries``
+                        budget (their chunks' farthest blocks dropped;
+                        same truncate-and-count contract as w_blk).
     """
     n = pos.shape[0]
     C, K_ch, RJ = int(chunk), int(max_chunks), int(rj)
@@ -167,8 +183,26 @@ def neighbor_geometry(
     live = (p < jnp.minimum(total, W)[:, None]) & g["chunk_valid"][:, None]
     jbl = jnp.where(live, jbl, K_ch // RJ).astype(i32)
 
-    return dict(slot=slot, jbl=jbl, cap_overflow=cap_overflow,
-                w_overflow=w_overflow, origin=origin)
+    out = dict(slot=slot, jbl=jbl, cap_overflow=cap_overflow,
+               w_overflow=w_overflow, origin=origin)
+    if wl_entries:
+        Q = int(wl_entries)
+        lv = live.reshape(-1)                       # row-major: i-sorted
+        dest = jnp.cumsum(lv.astype(i32)) - 1
+        total_real = dest[-1] + 1
+        dest = jnp.where(lv & (dest < Q), dest, Q)  # overflow -> dropped
+        rows = jnp.repeat(jnp.arange(K_ch, dtype=i32), W)
+        wl_i = jnp.full((Q,), K_ch, i32).at[dest].set(rows, mode="drop")
+        wl_jb = jnp.full((Q,), K_ch // RJ, i32).at[dest].set(
+            jbl.reshape(-1), mode="drop")
+        wl_first = jnp.concatenate(
+            [jnp.ones((1,), i32), (wl_i[1:] != wl_i[:-1]).astype(i32)])
+        visited = jnp.zeros((K_ch + 1,), bool).at[wl_i].set(True)
+        out.update(
+            wl_i=wl_i, wl_jb=wl_jb, wl_first=wl_first,
+            wl_row_live=jnp.repeat(visited[:K_ch], C),
+            q_overflow=jnp.maximum(total_real - Q, 0))
+    return out
 
 
 def pack_slots(slot: jax.Array, vals: jax.Array, n_slots: int,
@@ -288,9 +322,8 @@ def _budget_probe(pos, alive, origin, cell, m_grid: int, chunk: int,
     g = _pairs_geometry(sc, n, M, 1, C, K_safe)
     start_blk, n_blk = _wl_runs(g, rj, K_safe, K_safe)
     total_chunks = jnp.sum(g["chunk_valid"].astype(i32))
-    max_wblk = jnp.max(jnp.where(g["chunk_valid"],
-                                 jnp.sum(n_blk, axis=1), 0))
-    return total_chunks, max_wblk
+    per_chunk = jnp.where(g["chunk_valid"], jnp.sum(n_blk, axis=1), 0)
+    return total_chunks, jnp.max(per_chunk), jnp.sum(per_chunk)
 
 
 def neighbor_budgets(
@@ -302,13 +335,17 @@ def neighbor_budgets(
     rj: int = 4,
     headroom: float = 1.5,
     span_margin: float = 1.5,
-) -> tuple[int, int, int]:
+    with_wl: bool = False,
+) -> tuple[int, ...]:
     """Host-side ``(m_grid, max_chunks, w_blk)`` sizing from the initial
     distribution — shares ``_pairs_geometry``/``_wl_runs`` with the sweep
     so the accounting cannot drift (the tree budget-sizing pattern,
     ops/tree.py:tree_pairs_budgets). ``m_grid`` covers ``span_margin`` x
     the live extent so the per-window origin refit keeps every body
-    binned un-clipped as the system breathes."""
+    binned un-clipped as the system breathes. ``with_wl=True`` appends a
+    fourth element: the worklist-entry budget ``wl_entries`` for the
+    compacted sweep (``near_acc_slots_pallas_wl``), sized from the TOTAL
+    real block count the same way ``w_blk`` is sized from the max."""
     pos = np.asarray(pos)
     n = pos.shape[0]
     alive_np = (np.ones(n, bool) if alive is None
@@ -318,10 +355,13 @@ def neighbor_budgets(
     m_grid = max(4, int(np.ceil(span * span_margin / cell)) + 2)
     center = (live.max(0) + live.min(0)) / 2.0 if live.size else np.zeros(3)
     origin = jnp.asarray(center - 0.5 * m_grid * cell, f32)
-    total, max_w = _budget_probe(
+    total, max_w, sum_w = _budget_probe(
         jnp.asarray(pos, f32), jnp.asarray(alive_np), origin,
         float(cell), m_grid, int(chunk), int(rj))
     lcm = int(np.lcm(rj, 8))
     max_chunks = max(lcm, -(-int(int(total) * headroom) // lcm) * lcm)
     w_blk = max(4, int(np.ceil(int(max_w) * headroom)) + 1)
+    if with_wl:
+        wl_entries = max(64, int(np.ceil(int(sum_w) * headroom)) + 1)
+        return m_grid, max_chunks, w_blk, wl_entries
     return m_grid, max_chunks, w_blk

@@ -38,7 +38,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["near_acc_slots_pallas"]
+__all__ = ["near_acc_slots_pallas", "near_acc_slots_pallas_wl"]
 
 f32 = jnp.float32
 
@@ -251,5 +251,135 @@ def near_acc_slots_pallas(
     out = call(jbl.reshape(-1), pbods, pjt)
     # self-pair PE correction: zero acceleration through dx = 0, but a
     # finite m_i * rsqrt(eps2) * S(0) rides the PE sum (S(0) = 1)
+    pe = out[:, 3] - ms[:k_ch * c] * (float(eps2) ** -0.5)
+    return out[:, :3], pe
+
+
+def _kernel_wl(wl_i_ref, wl_jb_ref, first_ref, ib_ref, jb_ref, out_ref, *,
+               r1: float, rc: float, G: float, eps2: float):
+    """Worklist variant: ONE real (i-chunk, j-block) entry per grid step.
+
+    The streaming 2-axis kernel above pays ``k_ch * w_blk`` grid steps —
+    ``w_blk`` is the probed MAX block count (mean is ~half of it) times
+    budget headroom, so at the 65k headline geometry ~80% of its steps
+    are all-sentinel tiles (measured census: 118.5k padded vs 22.4k real
+    entries). Here the jbl table is compacted once per macro window into
+    ``(wl_i, wl_jb)`` sorted by i-chunk; the OUTPUT block index is
+    ``wl_i[g]`` — monotone non-decreasing — so partial sums accumulate in
+    VMEM across the consecutive run of each chunk's entries and the block
+    is flushed exactly once. ``first_ref[g]`` (host of the run-start
+    predicate ``g == 0 or wl_i[g] != wl_i[g-1]``, computed outside) picks
+    init vs accumulate; only this one i32 is read in-kernel — the big
+    dynamic VMEM reads that hang the Mosaic compiler (resident kernel
+    above) never appear, all body blocks arrive through index-map DMA.
+    """
+    del wl_i_ref, wl_jb_ref  # consumed by the index maps
+    g = pl.program_id(0)
+    ib = ib_ref[...]                       # (C, 4)
+    jb = jb_ref[...]                       # (4, W)
+    xi, yi, zi = ib[:, 0:1], ib[:, 1:2], ib[:, 2:3]
+    xj, yj, zj, mj = jb[0:1, :], jb[1:2, :], jb[2:3, :], jb[3:4, :]
+
+    dx = xj - xi                           # (C, W)
+    dy = yj - yi
+    dz = zj - zi
+    r2t = dx * dx + dy * dy + dz * dz
+    inv_d = 1.0 / (rc * rc - r1 * r1)
+    s = jnp.clip((rc * rc - r2t) * inv_d, 0.0, 1.0)
+    s2 = s * s
+    S = s * s2 * (10.0 + s * (-15.0 + 6.0 * s))
+    spd = (30.0 * inv_d) * s2 * (1.0 - s) * (1.0 - s)
+    inv_r = lax.rsqrt(r2t + eps2)
+    w = mj * (S * (inv_r * inv_r * inv_r) + (2.0 * spd) * inv_r)
+    contrib = jnp.concatenate(
+        [G * jnp.sum(w * dx, axis=1, keepdims=True),
+         G * jnp.sum(w * dy, axis=1, keepdims=True),
+         G * jnp.sum(w * dz, axis=1, keepdims=True),
+         jnp.sum(mj * inv_r * S, axis=1, keepdims=True)], axis=1)
+    first = first_ref[g] != 0
+
+    @pl.when(first)
+    def _init():
+        out_ref[...] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        out_ref[...] += contrib
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_wl(qp: int, k_ch: int, n_slots: int, chunk: int, rj: int,
+                   r1: float, rc: float, G: float, eps2: float,
+                   interpret: bool):
+    c = int(chunk)
+    w = int(rj) * c
+    kernel = functools.partial(_kernel_wl, r1=r1, rc=rc, G=G, eps2=eps2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(qp,),
+        in_specs=[
+            pl.BlockSpec((c, 4), lambda g, wli, wljb, first: (wli[g], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, w), lambda g, wli, wljb, first: (0, wljb[g]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, 4), lambda g, wli, wljb, first:
+                               (wli[g], 0), memory_space=pltpu.VMEM),
+    )
+    pairs = qp * c * w
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        # one sentinel out block past the chunk table catches the
+        # compacted tail (wl_i = k_ch), flushed once like any other run
+        out_shape=jax.ShapeDtypeStruct(((k_ch + 1) * c, 4), f32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * pairs,
+            bytes_accessed=qp * (c * 4 + 4 * w + c * 4) * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )
+
+
+def near_acc_slots_pallas_wl(
+    xs: jax.Array, ys: jax.Array, zs: jax.Array, ms: jax.Array,
+    wl_i: jax.Array, wl_jb: jax.Array, wl_first: jax.Array,
+    wl_row_live: jax.Array | None,
+    *,
+    r1: float, rc: float, G: float, eps2: float,
+    chunk: int = 32, rj: int = 4, interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Worklist near sweep: same (acc, pe) contract as
+    ``near_acc_slots_pallas`` but driven by the compacted
+    ``(wl_i, wl_jb, wl_first)`` arrays from
+    ``neighbor_geometry(..., wl_entries=...)`` instead of the padded jbl
+    table. ``wl_row_live`` (bool [max_chunks*chunk], from the geometry's
+    ``wl_live``) zeroes rows of chunks the worklist never visits — their
+    VMEM blocks are otherwise uninitialized garbage; pass None only when
+    the caller consumes acc exclusively through ``unpack_slots`` AND the
+    geometry reported ``q_overflow == 0`` (then every live body's chunk
+    is visited and dead rows are never read)."""
+    qp = wl_i.shape[0]
+    c, rjn = int(chunk), int(rj)
+    if (rjn * c) % 128:
+        raise ValueError(
+            f"near kernel needs rj*chunk % 128 == 0 (got {rjn}*{c})")
+    if c % 8:
+        raise ValueError(f"chunk must be a multiple of 8 (got {c})")
+    n_slots = xs.shape[0]
+    blkw = rjn * c
+    k_ch = n_slots // c - rjn
+    pjt = jnp.stack([xs, ys, zs, ms], axis=0)          # [4, n_slots]
+    pbods = pjt.T                                      # [n_slots, 4]
+    call = _build_call_wl(qp, k_ch, n_slots, c, rjn, float(r1), float(rc),
+                          float(G), float(eps2), bool(interpret))
+    out = call(wl_i, wl_jb, wl_first, pbods, pjt)[:k_ch * c]
+    if wl_row_live is not None:
+        out = jnp.where(wl_row_live[:, None], out, 0.0)
     pe = out[:, 3] - ms[:k_ch * c] * (float(eps2) ** -0.5)
     return out[:, :3], pe

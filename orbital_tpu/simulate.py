@@ -360,14 +360,14 @@ def simulate(
             cell_i = max(2.0 * rc_i, rc_i + 4.0 * respa_k * dt_i * v99)
         from .ops.neighbor import neighbor_budgets
 
-        m_grid, k_ch, w_blk = neighbor_budgets(pos_i, cell=cell_i,
-                                               chunk=32, rj=4)
+        m_grid, k_ch, w_blk, wl_q = neighbor_budgets(
+            pos_i, cell=cell_i, chunk=32, rj=4, with_wl=True)
         respa_fields = dict(
             respa_k=respa_k, respa_rc=rc_i,
             respa_r1=(respa_r1 / rescale.length if respa_r1 else 0.0),
             respa_cell=cell_i, respa_m=m_grid, respa_max_chunks=k_ch,
             respa_w_blk=w_blk, respa_chunk=32, respa_rj=4,
-            respa_impl=respa_impl)
+            respa_impl=respa_impl, respa_wl_entries=wl_q)
     cfg = SimConfig(
         **respa_fields,
         dt=dt / rescale.time,

@@ -195,6 +195,11 @@ class SimConfig:
             (rj * chunk must be a multiple of 128).
         respa_impl: near-sweep backend — "auto" (Pallas on TPU, XLA
             elsewhere) | "pallas" | "pallas_interpret" | "xla".
+        respa_wl_entries: worklist-entry budget for the compacted Pallas
+            near sweep (``neighbor_budgets(..., with_wl=True)``); 0 keeps
+            the padded-table streaming kernel. Only the Pallas backends
+            consume it — w_blk stays the probed per-chunk bound either
+            way (the jbl table is the worklist's source).
     """
 
     dt: float
@@ -246,6 +251,7 @@ class SimConfig:
     respa_chunk: int = 32
     respa_rj: int = 4
     respa_impl: str = "auto"
+    respa_wl_entries: int = 0
 
     def __post_init__(self):
         if self.debris_k < 0:

@@ -139,6 +139,86 @@ def test_pallas_kernel_matches_xla_sweep(resident):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_worklist_kernel_matches_xla_sweep():
+    """Compacted-worklist Pallas sweep (interpret) == XLA table sweep,
+    including the visited-row zero mask and q-truncation accounting."""
+    from orbital_tpu.ops.neighbor_pallas import near_acc_slots_pallas_wl
+
+    n = 400
+    pos, _, mass = _cluster(n, 5)
+    alive = np.ones(n, bool)
+    r1, rc, G, eps2 = 0.2, 0.4, 1.0, 1e-4
+    cell, chunk, rj = 0.6, 8, 16
+    m_grid, k_ch, w_blk, q = neighbor_budgets(
+        pos, alive, cell=cell, chunk=chunk, rj=rj, with_wl=True)
+    geom = neighbor_geometry(jnp.asarray(pos, F32), jnp.asarray(alive),
+                             cell=cell, m_grid=m_grid, chunk=chunk,
+                             max_chunks=k_ch, w_blk=w_blk, rj=rj,
+                             wl_entries=q)
+    assert int(geom["q_overflow"]) == 0
+    n_slots = (k_ch + rj) * chunk
+    pk = lambda v, fill: pack_slots(geom["slot"], jnp.asarray(v, F32),
+                                    n_slots, fill)
+    ch = (pk(pos[:, 0], SENTINEL_POS), pk(pos[:, 1], SENTINEL_POS),
+          pk(pos[:, 2], SENTINEL_POS), pk(mass, 0.0))
+    kw = dict(r1=r1, rc=rc, G=G, eps2=eps2, chunk=chunk, rj=rj)
+    acc_x, pe_x = near_acc_slots(*ch, geom["jbl"], **kw)
+    acc_w, pe_w = near_acc_slots_pallas_wl(
+        *ch, geom["wl_i"], geom["wl_jb"], geom["wl_first"],
+        geom["wl_row_live"], interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(acc_w), np.asarray(acc_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pe_w), np.asarray(pe_x),
+                               rtol=1e-5, atol=1e-6)
+    # starved budget: overflow counted, unvisited chunks exactly zero
+    q2 = max(8, int(q) // 3)
+    g2 = neighbor_geometry(jnp.asarray(pos, F32), jnp.asarray(alive),
+                           cell=cell, m_grid=m_grid, chunk=chunk,
+                           max_chunks=k_ch, w_blk=w_blk, rj=rj,
+                           wl_entries=q2)
+    assert int(g2["q_overflow"]) > 0
+    acc2, _ = near_acc_slots_pallas_wl(
+        *ch, g2["wl_i"], g2["wl_jb"], g2["wl_first"], g2["wl_row_live"],
+        interpret=True, **kw)
+    unvisited = ~np.asarray(g2["wl_row_live"])
+    assert unvisited.any()
+    assert np.all(np.asarray(acc2)[unvisited] == 0.0)
+
+
+def test_macro_worklist_matches_table_sweep():
+    """One macro step with the worklist sweep == the jbl-table sweep
+    (same geometry, same physics — only the kernel's iteration order
+    differs)."""
+    from orbital_tpu.engine.multirate import make_respa_macro
+    from orbital_tpu.engine.rollout import resolve_force_fn
+
+    n = 300
+    pos, vel, mass = _cluster(n, 11)
+    eps2 = 1e-4
+    rc, cell, chunk, rj = 0.3, 0.6, 8, 16
+    m_grid, k_ch, w_blk, q = neighbor_budgets(
+        pos, cell=cell, chunk=chunk, rj=rj, with_wl=True)
+    common = dict(dt=1e-3, G=1.0, eps2=eps2, integrator="respa",
+                  respa_k=4, respa_rc=rc, respa_cell=cell,
+                  respa_m=m_grid, respa_max_chunks=k_ch,
+                  respa_w_blk=w_blk, respa_chunk=chunk, respa_rj=rj)
+    outs = []
+    for wl in (0, q):
+        cfg = SimConfig(respa_impl="pallas_interpret",
+                        respa_wl_entries=wl, **common)
+        st = init_forces(make_state(pos, vel, mass, precision="f32"), cfg)
+        macro = make_respa_macro(cfg, resolve_force_fn(cfg, n))
+        new, diag = jax.jit(macro)(st)
+        assert int(diag["overflow"]) == 0
+        outs.append(new)
+    np.testing.assert_allclose(np.asarray(outs[0].pos),
+                               np.asarray(outs[1].pos), rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(outs[0].vel),
+                               np.asarray(outs[1].vel), rtol=1e-6,
+                               atol=1e-6)
+
+
 def test_budget_overflow_counted():
     n = 256
     pos, _, mass = _cluster(n, 7)
