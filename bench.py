@@ -210,11 +210,12 @@ def bench_respa(n: int = 65536, k: int = 16, drift_steps: int = 10000):
     pos, vel, mass, eps2 = make_cluster(n)
     rc = 5.0 * float(np.sqrt(eps2))
     cell = 2.0 * rc
-    m_grid, k_ch, w_blk = neighbor_budgets(pos, cell=cell, chunk=32, rj=4)
+    m_grid, k_ch, w_blk, wl_q = neighbor_budgets(pos, cell=cell, chunk=32,
+                                                 rj=4, with_wl=True)
     cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, integrator="respa",
                        respa_k=k, respa_rc=rc, respa_cell=cell,
                        respa_m=m_grid, respa_max_chunks=k_ch,
-                       respa_w_blk=w_blk)
+                       respa_w_blk=w_blk, respa_wl_entries=wl_q)
     state = init_forces(make_state(pos, vel, mass, precision="ds32"), cfg)
     macro = make_respa_macro(cfg, resolve_force_fn(cfg, state.n_bodies))
     sec = bench_chained(lambda s: macro(s)[0], state, iters=2, iters_hi=5,
@@ -485,6 +486,16 @@ def main() -> None:
     signal.alarm(25 * 60)  # well under typical harness timeouts
 
     import jax
+
+    # persistent compile cache: the tunnel's remote compiler takes
+    # minutes per heavy program; identical HLO from earlier runs (or the
+    # measurement studies) is reused across processes
+    try:
+        os.makedirs("/tmp/jaxcache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
 
     backend = jax.default_backend()
     # the stated budget, measured as stated: |dE/E| over 10k steps at 65k

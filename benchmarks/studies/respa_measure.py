@@ -43,16 +43,18 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
     pos, vel, mass, eps2 = make_cluster(65536)
     rc = rc_mult * float(np.sqrt(eps2))
     cell = cell_mult * rc
-    m_grid, k_ch, w_blk = neighbor_budgets(pos, cell=cell, chunk=32, rj=4)
+    m_grid, k_ch, w_blk, wl_q = neighbor_budgets(pos, cell=cell, chunk=32,
+                                                 rj=4, with_wl=True)
     cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, integrator="respa",
                        respa_k=k, respa_rc=rc, respa_cell=cell,
                        respa_m=m_grid, respa_max_chunks=k_ch,
-                       respa_w_blk=w_blk, respa_impl=impl)
+                       respa_w_blk=w_blk, respa_impl=impl,
+                       respa_wl_entries=wl_q)
     state = init_forces(make_state(pos, vel, mass, precision="ds32"), cfg)
     fn = resolve_force_fn(cfg, state.n_bodies)
     macro = make_respa_macro(cfg, fn)
     rec = dict(k=k, rc=round(rc, 5), cell=round(cell, 5), m_grid=m_grid,
-               k_ch=k_ch, w_blk=w_blk)
+               k_ch=k_ch, w_blk=w_blk, wl_q=wl_q)
     try:
         del jax  # only the backend import side effect is needed
         sec = bench_chained(lambda s: macro(s)[0], state,

@@ -355,9 +355,15 @@ def neighbor_budgets(
     m_grid = max(4, int(np.ceil(span * span_margin / cell)) + 2)
     center = (live.max(0) + live.min(0)) / 2.0 if live.size else np.zeros(3)
     origin = jnp.asarray(center - 0.5 * m_grid * cell, f32)
-    total, max_w, sum_w = _budget_probe(
-        jnp.asarray(pos, f32), jnp.asarray(alive_np), origin,
-        float(cell), m_grid, int(chunk), int(rj))
+    # the probe is host-side sizing: pin it to the CPU backend — on the
+    # tunneled TPU platform its (sort + pairs-geometry) program takes
+    # minutes to remote-compile per distinct shape, for a result that is
+    # needed once on host anyway
+    with jax.default_device(jax.devices("cpu")[0]):
+        total, max_w, sum_w = _budget_probe(
+            jnp.asarray(np.asarray(pos), f32), jnp.asarray(alive_np),
+            jax.device_put(origin), float(cell), m_grid, int(chunk),
+            int(rj))
     lcm = int(np.lcm(rj, 8))
     max_chunks = max(lcm, -(-int(int(total) * headroom) // lcm) * lcm)
     w_blk = max(4, int(np.ceil(int(max_w) * headroom)) + 1)
