@@ -201,7 +201,7 @@ def bench_respa(n: int = 65536, k: int = 16, drift_steps: int = 10000):
     counters disqualify the run from headline promotion."""
     import orbital_tpu as ot
     from orbital_tpu.engine.multirate import (make_respa_macro,
-                                              respa_rollout_jit)
+                                              respa_rollout_dyn)
     from orbital_tpu.engine.rollout import init_forces, resolve_force_fn
     from orbital_tpu.engine.state import make_state
     from orbital_tpu.ops.neighbor import neighbor_budgets
@@ -225,16 +225,15 @@ def bench_respa(n: int = 65536, k: int = 16, drift_steps: int = 10000):
     ovf = skin = 0
     if drift_steps:
         E0 = energy_hybrid(state, eps2)
-        chunk_sub = max(1, int(20.0 / max(sec, 1e-3))) * k
+        chunk_m = max(1, int(20.0 / max(sec, 1e-3)))
         final, done = state, 0
         while done < drift_steps:
-            n_sub = min(chunk_sub, drift_steps - done)
-            n_sub = (n_sub // k) * k or k
-            final, _, d = respa_rollout_jit(final, cfg, n_sub)
+            n_m = min(chunk_m, -(-(drift_steps - done) // k))
+            final, d = respa_rollout_dyn(final, cfg, n_m)
             float(final.time)
             ovf = max(ovf, int(d["overflow"]))
             skin = max(skin, int(d["skin_violation"]))
-            done += n_sub
+            done += n_m * k
         drift = abs((energy_hybrid(final, eps2) - E0) / E0)
     return rate, drift, ovf, skin
 

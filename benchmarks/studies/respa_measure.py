@@ -34,7 +34,7 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
     import orbital_tpu as ot
     from bench import energy_hybrid, make_cluster
     from orbital_tpu.engine.multirate import (make_respa_macro,
-                                              respa_rollout_jit)
+                                              respa_rollout_dyn)
     from orbital_tpu.engine.rollout import init_forces, resolve_force_fn
     from orbital_tpu.engine.state import make_state
     from orbital_tpu.ops.neighbor import neighbor_budgets
@@ -68,18 +68,17 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
     if drift_steps:
         try:
             E0 = energy_hybrid(state, eps2)
-            # chunk so one XLA program stays under the worker watchdog
-            per_chunk_macros = max(1, int(20.0 / max(sec, 1e-3)))
-            chunk_sub = per_chunk_macros * k
+            # chunk so one XLA program stays under the worker watchdog;
+            # dynamic trip count -> ONE compile serves every chunk size
+            chunk_m = max(1, int(20.0 / max(sec, 1e-3)))
             final, done = state, 0
             ovf = skin = 0
             while done < drift_steps:
-                n_sub = min(chunk_sub, drift_steps - done)
-                n_sub = (n_sub // k) * k or k
-                final, _, d = respa_rollout_jit(final, cfg, n_sub)
+                n_m = min(chunk_m, -(-(drift_steps - done) // k))
+                final, d = respa_rollout_dyn(final, cfg, n_m)
                 ovf = max(ovf, int(d["overflow"]))
                 skin = max(skin, int(d["skin_violation"]))
-                done += n_sub
+                done += n_m * k
             E1 = energy_hybrid(final, eps2)
             rec["drift"] = abs((E1 - E0) / E0)
             rec["drift_steps"] = done

@@ -58,7 +58,8 @@ from .dsfloat import ds_add
 from .rollout import Trajectory, _snapshot
 from .state import NBodyState
 
-__all__ = ["make_respa_macro", "respa_rollout", "respa_rollout_jit"]
+__all__ = ["make_respa_macro", "respa_rollout", "respa_rollout_jit",
+           "respa_rollout_dyn"]
 
 f32 = jnp.float32
 
@@ -325,3 +326,32 @@ def respa_rollout_jit(
 ) -> tuple[NBodyState, Optional[Trajectory], dict]:
     """jit-wrapped :func:`respa_rollout` (cfg/steps/record_every static)."""
     return respa_rollout(state, cfg, steps, record_every)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def respa_rollout_dyn(
+    state: NBodyState, cfg: SimConfig, n_macros: jax.Array
+) -> tuple[NBodyState, dict]:
+    """Advance ``n_macros`` macro windows with the trip count as a DEVICE
+    value: one compiled program serves every chunk size. Long-horizon
+    drivers (bench drift loops, host-chunked rollouts under the worker
+    watchdog) would otherwise pay a fresh multi-minute remote compile per
+    distinct chunk length (DESIGN §7). No recording — use
+    :func:`respa_rollout` when snapshots are needed."""
+    from .rollout import resolve_force_detect_fn, resolve_force_fn
+
+    fn = resolve_force_fn(cfg, state.n_bodies)
+    fd = (resolve_force_detect_fn(cfg, state.n_bodies)
+          if cfg.collisions != "none" else None)
+    macro = make_respa_macro(cfg, fn, force_detect_fn=fd)
+
+    def body(_, carry):
+        s, ovf, skin = carry
+        s, d = macro(s)
+        return (s, jnp.maximum(ovf, d["overflow"]),
+                jnp.maximum(skin, d["skin_violation"]))
+
+    zero = jnp.zeros((), jnp.int32)
+    final, ovf, skin = lax.fori_loop(
+        0, n_macros, body, (state, zero, zero))
+    return final, dict(overflow=ovf, skin_violation=skin)

@@ -219,6 +219,30 @@ def test_macro_worklist_matches_table_sweep():
                                atol=1e-6)
 
 
+def test_dynamic_rollout_matches_static():
+    """respa_rollout_dyn (device trip count, one compile for every chunk
+    size) == respa_rollout_jit chunked to the same macro total."""
+    from orbital_tpu.engine.multirate import (respa_rollout_dyn,
+                                              respa_rollout_jit)
+
+    n = 256
+    pos, vel, mass = _cluster(n, 0)
+    rc, cell = 0.3, 0.6
+    m_grid, k_ch, w_blk, q = neighbor_budgets(
+        pos, cell=cell, chunk=8, rj=16, with_wl=True)
+    cfg = SimConfig(dt=1e-3, G=1.0, eps2=1e-4, integrator="respa",
+                    respa_k=4, respa_rc=rc, respa_cell=cell,
+                    respa_m=m_grid, respa_max_chunks=k_ch,
+                    respa_w_blk=w_blk, respa_chunk=8, respa_rj=16,
+                    respa_wl_entries=q)
+    st = init_forces(make_state(pos, vel, mass, precision="f32"), cfg)
+    f1, _, _ = respa_rollout_jit(st, cfg, 16)
+    f2, _ = respa_rollout_dyn(st, cfg, 2)
+    f2, _ = respa_rollout_dyn(f2, cfg, 2)
+    np.testing.assert_array_equal(np.asarray(f1.pos), np.asarray(f2.pos))
+    np.testing.assert_array_equal(np.asarray(f1.vel), np.asarray(f2.vel))
+
+
 def test_budget_overflow_counted():
     n = 256
     pos, _, mass = _cluster(n, 7)
