@@ -54,7 +54,7 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
     fn = resolve_force_fn(cfg, state.n_bodies)
     macro = make_respa_macro(cfg, fn)
     rec = dict(k=k, rc=round(rc, 5), cell=round(cell, 5), m_grid=m_grid,
-               k_ch=k_ch, w_blk=w_blk, wl_q=wl_q)
+               k_ch=k_ch, w_blk=w_blk, wl_q=wl_q, impl=impl)
     try:
         del jax  # only the backend import side effect is needed
         sec = bench_chained(lambda s: macro(s)[0], state,
