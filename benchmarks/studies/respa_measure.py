@@ -33,12 +33,10 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
 
     import orbital_tpu as ot
     from bench import energy_hybrid, make_cluster
-    from orbital_tpu.engine.multirate import (make_respa_macro,
-                                              respa_rollout_dyn)
-    from orbital_tpu.engine.rollout import init_forces, resolve_force_fn
+    from orbital_tpu.engine.multirate import respa_rollout_dyn
+    from orbital_tpu.engine.rollout import init_forces
     from orbital_tpu.engine.state import make_state
     from orbital_tpu.ops.neighbor import neighbor_budgets
-    from orbital_tpu.utils.timing import bench_chained
 
     pos, vel, mass, eps2 = make_cluster(65536)
     rc = rc_mult * float(np.sqrt(eps2))
@@ -51,14 +49,26 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
                        respa_w_blk=w_blk, respa_impl=impl,
                        respa_wl_entries=wl_q)
     state = init_forces(make_state(pos, vel, mass, precision="ds32"), cfg)
-    fn = resolve_force_fn(cfg, state.n_bodies)
-    macro = make_respa_macro(cfg, fn)
     rec = dict(k=k, rc=round(rc, 5), cell=round(cell, 5), m_grid=m_grid,
                k_ch=k_ch, w_blk=w_blk, wl_q=wl_q, impl=impl)
     try:
         del jax  # only the backend import side effect is needed
-        sec = bench_chained(lambda s: macro(s)[0], state,
-                            iters=2, iters_hi=5, repeats=2)
+        # rate from the SAME dynamic-trip rollout program the drift loop
+        # uses (one ~20-min remote compile per config instead of two):
+        # slope between two macro trip counts, min over repeats, trips
+        # perturbed so the platform can't dedup (utils/timing contract)
+        import time as _t
+
+        def timed(n_m):
+            t0 = _t.perf_counter()
+            f, _ = respa_rollout_dyn(state, cfg, n_m)
+            float(f.time)  # real device->host sync
+            return _t.perf_counter() - t0
+
+        timed(2)  # compile + warm-up
+        lo = min(timed(2 + r) for r in range(2))
+        hi = min(timed(12 + r) for r in range(2))
+        sec = max(hi - lo, 1e-9) / 10.0
         rec["ms_per_substep"] = round(1e3 * sec / k, 4)
         rec["body_steps_per_s"] = round(65536 * k / sec, 1)
     except Exception as e:  # noqa: BLE001
