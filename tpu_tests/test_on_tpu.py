@@ -305,3 +305,40 @@ def test_tree_pairs_on_tpu():
     np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_c),
                                atol=1e-4 * scale)
     assert float(U_p) == pytest.approx(float(U_c), rel=1e-5)
+
+
+def test_respa_worklist_sweep_on_tpu():
+    """Worklist near sweep == streaming jbl sweep on hardware (the
+    interpret-mode parity in tests/ can't catch Mosaic lowering bugs in
+    the run-start accumulate or the scalar-prefetch index maps)."""
+    from orbital_tpu.ops.neighbor import (SENTINEL_POS, neighbor_budgets,
+                                          neighbor_geometry, pack_slots)
+    from orbital_tpu.ops.neighbor_pallas import (near_acc_slots_pallas,
+                                                 near_acc_slots_pallas_wl)
+
+    rng = np.random.default_rng(4)
+    n = 8192
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32) / n
+    eps2 = 1e-4
+    rc = 5.0 * float(np.sqrt(eps2))
+    cell = 2.0 * rc
+    m_grid, k_ch, w_blk, q = neighbor_budgets(
+        pos, cell=cell, chunk=32, rj=4, with_wl=True)
+    import jax.numpy as jnp
+    g = neighbor_geometry(jnp.asarray(pos), jnp.ones(n, bool), cell=cell,
+                          m_grid=m_grid, chunk=32, max_chunks=k_ch,
+                          w_blk=w_blk, rj=4, wl_entries=q)
+    n_slots = (k_ch + 4) * 32
+    pk = lambda v, fill: pack_slots(g["slot"], jnp.asarray(v), n_slots, fill)
+    ch = (pk(pos[:, 0], SENTINEL_POS), pk(pos[:, 1], SENTINEL_POS),
+          pk(pos[:, 2], SENTINEL_POS), pk(mass, 0.0))
+    kw = dict(r1=0.5 * rc, rc=rc, G=1.0, eps2=eps2, chunk=32, rj=4)
+    a_s, pe_s = near_acc_slots_pallas(*ch, g["jbl"], **kw)
+    a_w, pe_w = near_acc_slots_pallas_wl(
+        *ch, g["wl_i"], g["wl_jb"], g["wl_first"], g["wl_row_live"], **kw)
+    scale = float(jnp.max(jnp.abs(a_s))) + 1e-12
+    np.testing.assert_allclose(np.asarray(a_w), np.asarray(a_s),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(pe_w), np.asarray(pe_s),
+                               rtol=1e-5, atol=1e-7)
