@@ -28,7 +28,8 @@ def emit(rec):
             pass
 
 
-def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
+def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto",
+        headroom=1.5):
     import jax
 
     import orbital_tpu as ot
@@ -42,7 +43,8 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
     rc = rc_mult * float(np.sqrt(eps2))
     cell = cell_mult * rc
     m_grid, k_ch, w_blk, wl_q = neighbor_budgets(pos, cell=cell, chunk=32,
-                                                 rj=4, with_wl=True)
+                                                 rj=4, with_wl=True,
+                                                 headroom=headroom)
     cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, integrator="respa",
                        respa_k=k, respa_rc=rc, respa_cell=cell,
                        respa_m=m_grid, respa_max_chunks=k_ch,
@@ -50,7 +52,8 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
                        respa_wl_entries=wl_q)
     state = init_forces(make_state(pos, vel, mass, precision="ds32"), cfg)
     rec = dict(k=k, rc=round(rc, 5), cell=round(cell, 5), m_grid=m_grid,
-               k_ch=k_ch, w_blk=w_blk, wl_q=wl_q, impl=impl)
+               k_ch=k_ch, w_blk=w_blk, wl_q=wl_q, impl=impl,
+               headroom=headroom)
     try:
         del jax  # only the backend import side effect is needed
         # rate from the SAME dynamic-trip rollout program the drift loop
@@ -82,18 +85,19 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto"):
             # dynamic trip count -> ONE compile serves every chunk size
             chunk_m = max(1, int(20.0 / max(sec, 1e-3)))
             final, done = state, 0
-            ovf = skin = 0
+            cnt = dict.fromkeys(("overflow", "cap_overflow", "w_overflow",
+                                 "q_overflow", "skin_violation"), 0)
             while done < drift_steps:
                 n_m = min(chunk_m, -(-(drift_steps - done) // k))
                 final, d = respa_rollout_dyn(final, cfg, n_m)
-                ovf = max(ovf, int(d["overflow"]))
-                skin = max(skin, int(d["skin_violation"]))
+                for key in cnt:
+                    cnt[key] = max(cnt[key], int(d[key]))
                 done += n_m * k
+            ovf, skin = cnt["overflow"], cnt["skin_violation"]
             E1 = energy_hybrid(final, eps2)
             rec["drift"] = abs((E1 - E0) / E0)
             rec["drift_steps"] = done
-            rec["overflow"] = ovf
-            rec["skin_violation"] = skin
+            rec.update(cnt)
         except Exception as e:  # noqa: BLE001
             rec["drift_error"] = str(e)[:200]
     emit(rec)

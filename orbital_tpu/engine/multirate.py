@@ -52,6 +52,7 @@ from jax import lax
 from ..ops.neighbor import (SENTINEL_POS, near_acc_slots, neighbor_geometry,
                             pack_slots, unpack_slots)
 from ..ops.neighbor_pallas import (near_acc_slots_pallas,
+                                   near_acc_slots_pallas_sb,
                                    near_acc_slots_pallas_wl)
 from ..utils.config import SimConfig
 from .dsfloat import ds_add
@@ -79,6 +80,9 @@ def _resolve_sweep(cfg: SimConfig, dtype):
               rc=cfg.respa_rc, G=cfg.G, eps2=cfg.eps2,
               chunk=cfg.respa_chunk, rj=cfg.respa_rj)
     interp = impl == "pallas_interpret"
+    if impl == "pallas_sb":
+        f = partial(near_acc_slots_pallas_sb, **kw)
+        return lambda xs, ys, zs, ms, geom: f(xs, ys, zs, ms, geom["jbl"])
     if impl in ("pallas", "pallas_interpret") and cfg.respa_wl_entries > 0:
         def sweep_wl(xs, ys, zs, ms, geom):
             return near_acc_slots_pallas_wl(
@@ -257,6 +261,11 @@ def make_respa_macro(
                       + jnp.sum(dropped, dtype=jnp.int32)
                       + geom["w_overflow"]
                       + geom.get("q_overflow", 0)),
+            # split counters: which budget blew (cap = chunk table,
+            # w = per-chunk blocks, q = worklist entries)
+            cap_overflow=geom["cap_overflow"],
+            w_overflow=geom["w_overflow"],
+            q_overflow=jnp.asarray(geom.get("q_overflow", 0), jnp.int32),
             skin_violation=skin_violation,
         )
         return new, diag
@@ -292,16 +301,17 @@ def respa_rollout(
     n_macros = steps // K
 
     def step_d(carry, _):
-        s, ovf, skin = carry
+        s, diag = carry
         s, d = macro(s)
-        return (s, jnp.maximum(ovf, d["overflow"]),
-                jnp.maximum(skin, d["skin_violation"])), None
+        return (s, {k: jnp.maximum(diag[k], d[k]) for k in diag}), None
 
     zero = jnp.zeros((), jnp.int32)
+    diag0 = dict(overflow=zero, cap_overflow=zero, w_overflow=zero,
+                 q_overflow=zero, skin_violation=zero)
     if record_every <= 0:
-        (final, ovf, skin), _ = lax.scan(
-            step_d, (state, zero, zero), None, length=n_macros)
-        return final, None, dict(overflow=ovf, skin_violation=skin)
+        (final, diag), _ = lax.scan(
+            step_d, (state, diag0), None, length=n_macros)
+        return final, None, diag
 
     if record_every % K or steps % record_every:
         raise ValueError(
@@ -314,10 +324,9 @@ def respa_rollout(
         carry, _ = lax.scan(step_d, carry, None, length=per_block)
         return carry, _snapshot(carry[0])
 
-    (final, ovf, skin), ys = lax.scan(
-        block, (state, zero, zero), None, length=n_records)
-    return final, Trajectory(**ys), dict(overflow=ovf,
-                                         skin_violation=skin)
+    (final, diag), ys = lax.scan(
+        block, (state, diag0), None, length=n_records)
+    return final, Trajectory(**ys), diag
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps", "record_every"))
@@ -346,12 +355,12 @@ def respa_rollout_dyn(
     macro = make_respa_macro(cfg, fn, force_detect_fn=fd)
 
     def body(_, carry):
-        s, ovf, skin = carry
+        s, diag = carry
         s, d = macro(s)
-        return (s, jnp.maximum(ovf, d["overflow"]),
-                jnp.maximum(skin, d["skin_violation"]))
+        return (s, {k: jnp.maximum(diag[k], d[k]) for k in diag})
 
     zero = jnp.zeros((), jnp.int32)
-    final, ovf, skin = lax.fori_loop(
-        0, n_macros, body, (state, zero, zero))
-    return final, dict(overflow=ovf, skin_violation=skin)
+    diag0 = dict(overflow=zero, cap_overflow=zero, w_overflow=zero,
+                 q_overflow=zero, skin_violation=zero)
+    final, diag = lax.fori_loop(0, n_macros, body, (state, diag0))
+    return final, diag

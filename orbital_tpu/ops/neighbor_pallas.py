@@ -38,7 +38,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["near_acc_slots_pallas", "near_acc_slots_pallas_wl"]
+__all__ = ["near_acc_slots_pallas", "near_acc_slots_pallas_wl",
+           "near_acc_slots_pallas_sb"]
 
 f32 = jnp.float32
 
@@ -381,5 +382,114 @@ def near_acc_slots_pallas_wl(
     out = call(wl_i, wl_jb, wl_first, pbods, pjt)[:k_ch * c]
     if wl_row_live is not None:
         out = jnp.where(wl_row_live[:, None], out, 0.0)
+    pe = out[:, 3] - ms[:k_ch * c] * (float(eps2) ** -0.5)
+    return out[:, :3], pe
+
+
+def _kernel_sb(ib_ref, jb_ref, out_ref, *, w_blk: int, r1: float,
+               rc: float, G: float, eps2: float):
+    """Superblock variant: ONE grid step per i-chunk. The caller gathers
+    each chunk's w_blk j-blocks into a contiguous [k_ch, w_blk, 4, W]
+    table per SUBSTEP (positions move), so both operands stream as fat
+    regular blocks — per-step overhead is paid k_ch times total, and the
+    only index maps are the identity. Sentinel j-columns are inert by
+    value (mass 0); the block walk is a static unrolled loop over the
+    same (4, W) tiles the streaming kernel uses."""
+    ib = ib_ref[...]                       # (C, 4)
+    xi, yi, zi = ib[:, 0:1], ib[:, 1:2], ib[:, 2:3]
+    c = ib.shape[0]
+    inv_d = 1.0 / (rc * rc - r1 * r1)
+    acc = None
+    for t in range(w_blk):
+        jb = jb_ref[0, t]                  # (4, W)
+        xj, yj, zj, mj = jb[0:1, :], jb[1:2, :], jb[2:3, :], jb[3:4, :]
+        dx = xj - xi                       # (C, W)
+        dy = yj - yi
+        dz = zj - zi
+        r2t = dx * dx + dy * dy + dz * dz
+        s = jnp.clip((rc * rc - r2t) * inv_d, 0.0, 1.0)
+        s2 = s * s
+        S = s * s2 * (10.0 + s * (-15.0 + 6.0 * s))
+        spd = (30.0 * inv_d) * s2 * (1.0 - s) * (1.0 - s)
+        inv_r = lax.rsqrt(r2t + eps2)
+        w = mj * (S * (inv_r * inv_r * inv_r) + (2.0 * spd) * inv_r)
+        part = (jnp.sum(w * dx, axis=1, keepdims=True),
+                jnp.sum(w * dy, axis=1, keepdims=True),
+                jnp.sum(w * dz, axis=1, keepdims=True),
+                jnp.sum(mj * inv_r * S, axis=1, keepdims=True))
+        acc = part if acc is None else tuple(
+            a + b for a, b in zip(acc, part))
+    out_ref[...] = jnp.concatenate(
+        [G * acc[0], G * acc[1], G * acc[2], acc[3]], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_sb(k_ch: int, w_blk: int, blkw: int, chunk: int, r1: float,
+                   rc: float, G: float, eps2: float, interpret: bool):
+    c = int(chunk)
+    kernel = functools.partial(_kernel_sb, w_blk=w_blk, r1=r1, rc=rc, G=G,
+                               eps2=eps2)
+    w_sb = w_blk * blkw
+    return pl.pallas_call(
+        kernel,
+        grid=(k_ch,),
+        in_specs=[
+            pl.BlockSpec((c, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w_blk, 4, blkw), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_ch * c, 4), f32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * k_ch * c * w_sb,
+            bytes_accessed=k_ch * (c * 4 + 4 * w_sb + c * 4) * 4,
+            transcendentals=k_ch * c * w_sb,
+        ),
+        interpret=interpret,
+    )
+
+
+def near_acc_slots_pallas_sb(
+    xs: jax.Array, ys: jax.Array, zs: jax.Array, ms: jax.Array,
+    jbl: jax.Array,
+    *,
+    r1: float, rc: float, G: float, eps2: float,
+    chunk: int = 32, rj: int = 4, interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Superblock near sweep: same contract as ``near_acc_slots_pallas``
+    (slot channels + jbl table in, (acc, pe) in slot order out).
+
+    Per call (= per substep): gather each chunk's j-blocks contiguous —
+    ``[4, n_blocks, W] take jbl -> [k_ch, 4, w_blk*W]`` — one
+    bandwidth-bound XLA gather of 2 KB blocks, then one grid step per
+    chunk over fat regular blocks. Pays ~2x the padded-table HBM traffic
+    per substep but collapses the per-grid-step overhead that dominates
+    the entry-granular kernels (measured ~0.4 us/step; DESIGN §7)."""
+    k_ch, w_blk = jbl.shape
+    c, rjn = int(chunk), int(rj)
+    if (rjn * c) % 128:
+        raise ValueError(
+            f"near kernel needs rj*chunk % 128 == 0 (got {rjn}*{c})")
+    if c % 8:
+        raise ValueError(f"chunk must be a multiple of 8 (got {c})")
+    n_slots = xs.shape[0]
+    blkw = rjn * c
+    n_blocks = n_slots // blkw
+    pjt = jnp.stack([xs, ys, zs, ms], axis=0)          # [4, n_slots]
+    pbods = pjt.T                                      # [n_slots, 4]
+    # per-substep contiguous superblock table: [k_ch, w_blk, 4, W] comes
+    # straight off a block gather of the (cheaply) transposed j-table —
+    # no big-array transpose afterwards
+    jt_b = jnp.swapaxes(pjt.reshape(4, n_blocks, blkw), 0, 1)
+    sb = jt_b[jbl]                                     # [k_ch, w_blk, 4, W]
+    call = _build_call_sb(k_ch, w_blk, blkw, c, float(r1), float(rc),
+                          float(G), float(eps2), bool(interpret))
+    out = call(pbods[:k_ch * c], sb)
     pe = out[:, 3] - ms[:k_ch * c] * (float(eps2) ** -0.5)
     return out[:, :3], pe

@@ -194,7 +194,10 @@ class SimConfig:
         respa_chunk / respa_rj: chunk rows and j-block height
             (rj * chunk must be a multiple of 128).
         respa_impl: near-sweep backend — "auto" (Pallas on TPU, XLA
-            elsewhere) | "pallas" | "pallas_interpret" | "xla".
+            elsewhere) | "pallas" (streaming padded grid; worklist when
+            respa_wl_entries > 0) | "pallas_sb" (superblock: per-substep
+            contiguous j-gather, one grid step per chunk) |
+            "pallas_interpret" | "xla".
         respa_wl_entries: worklist-entry budget for the compacted Pallas
             near sweep (``neighbor_budgets(..., with_wl=True)``); 0 keeps
             the padded-table streaming kernel. Only the Pallas backends
@@ -284,7 +287,8 @@ class SimConfig:
                 raise ValueError(
                     "respa needs chunk % 8 == 0 and rj*chunk % 128 == 0 "
                     f"(got rj={self.respa_rj}, chunk={self.respa_chunk})")
-            if self.respa_impl not in ("auto", "pallas", "pallas_interpret",
+            if self.respa_impl not in ("auto", "pallas", "pallas_sb",
+                                       "pallas_interpret",
                                        "xla"):
                 raise ValueError(f"bad respa_impl: {self.respa_impl!r}")
         if self.force_impl not in ("auto", "dense", "chunked", "pallas", "pallas_sym", "mxu", "pallas_mxu", "pm", "p3m", "tree", "ring"):

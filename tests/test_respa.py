@@ -396,3 +396,43 @@ def test_recording_and_simulate_end_to_end():
                       integrator="respa", respa_k=4, record_every=8)
     assert res.pos.shape[0] == 2
     assert np.isfinite(res.energy_drift)
+
+
+def test_macro_superblock_matches_table_sweep(monkeypatch):
+    """One macro step with the superblock sweep (interpret) == the
+    XLA-table sweep — gather layout and kernel tiling only."""
+    from orbital_tpu.engine.multirate import make_respa_macro
+    from orbital_tpu.engine.rollout import resolve_force_fn
+    import functools
+    from orbital_tpu.engine import multirate as mr
+
+    n = 300
+    pos, vel, mass = _cluster(n, 11)
+    eps2 = 1e-4
+    rc, cell, chunk, rj = 0.3, 0.6, 8, 16
+    m_grid, k_ch, w_blk = neighbor_budgets(
+        pos, cell=cell, chunk=chunk, rj=rj)
+    common = dict(dt=1e-3, G=1.0, eps2=eps2, integrator="respa",
+                  respa_k=4, respa_rc=rc, respa_cell=cell,
+                  respa_m=m_grid, respa_max_chunks=k_ch,
+                  respa_w_blk=w_blk, respa_chunk=chunk, respa_rj=rj)
+    outs = []
+    for impl in ("xla", "pallas_sb"):
+        cfg = SimConfig(respa_impl=impl, **common)
+        if impl == "pallas_sb":
+            # run the Pallas kernel in interpret mode on CPU
+            monkeypatch.setattr(
+                mr, "near_acc_slots_pallas_sb",
+                functools.partial(mr.near_acc_slots_pallas_sb,
+                                  interpret=True))
+        st = init_forces(make_state(pos, vel, mass, precision="f32"), cfg)
+        macro = make_respa_macro(cfg, resolve_force_fn(cfg, n))
+        new, diag = jax.jit(macro)(st)
+        assert int(diag["overflow"]) == 0
+        outs.append(new)
+    np.testing.assert_allclose(np.asarray(outs[0].pos),
+                               np.asarray(outs[1].pos), rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(outs[0].vel),
+                               np.asarray(outs[1].vel), rtol=1e-6,
+                               atol=1e-6)
