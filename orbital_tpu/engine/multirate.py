@@ -131,13 +131,27 @@ def make_respa_macro(
     def _pad(a):
         return jnp.pad(a, ((0, n_slots - valid_below),) + ((0, 0),) * (a.ndim - 1))
 
-    def macro(state: NBodyState) -> tuple[NBodyState, dict]:
+    def build_geom(state: NBodyState) -> dict:
+        """Neighbor geometry + packed BUILD positions. The skin margin
+        covers motion from these positions, so the same geometry may
+        serve ``cfg.respa_refresh`` consecutive macro windows (the skin
+        check below measures against them)."""
+        with jax.named_scope("respa.geometry"):
+            geom = neighbor_geometry(
+                state.pos, state.alive, cell=cfg.respa_cell,
+                m_grid=cfg.respa_m, chunk=C, max_chunks=K_ch, w_blk=W_blk,
+                rj=RJ, wl_entries=cfg.respa_wl_entries)
+            geom["pos0_build"] = jnp.stack(
+                [pack_slots(geom["slot"], state.pos[:, k], n_slots,
+                            SENTINEL_POS) for k in range(3)])
+        return geom
+
+    def macro(state: NBodyState,
+              geom: Optional[dict] = None) -> tuple[NBodyState, dict]:
         ds = state.pos_lo is not None
         sweep = _resolve_sweep(cfg, state.pos.dtype)
-        geom = neighbor_geometry(
-            state.pos, state.alive, cell=cfg.respa_cell,
-            m_grid=cfg.respa_m, chunk=C, max_chunks=K_ch, w_blk=W_blk,
-            rj=RJ, wl_entries=cfg.respa_wl_entries)
+        if geom is None:
+            geom = build_geom(state)
         slot = geom["slot"]
         pk = lambda v, fill: pack_slots(slot, v, n_slots, fill)
 
@@ -150,7 +164,7 @@ def make_respa_macro(
             vlo3 = ([pk(state.vel_lo[:, k], 0.0) for k in range(3)]
                     if ds else [None] * 3)
             acc3 = [pk(state.acc[:, k], 0.0) for k in range(3)]
-        pos0 = pos3
+        pos0 = geom["pos0_build"]
 
         with jax.named_scope("respa.near0"):
             a_n0, _ = sweep(*pos3, ms, geom)
@@ -201,6 +215,9 @@ def make_respa_macro(
                 inner, carry0, None, length=K)
 
         with jax.named_scope("respa.skin_check"):
+            # against the geometry BUILD positions: with respa_refresh > 1
+            # the frozen tables must cover all motion since the build, not
+            # just this window's (sentinel rows subtract to exactly 0)
             d2 = sum((p3[k] - pos0[k]) ** 2 for k in range(3))
             skin_violation = (jnp.max(d2) > skin_half * skin_half).astype(
                 jnp.int32)
@@ -270,6 +287,7 @@ def make_respa_macro(
         )
         return new, diag
 
+    macro.build_geom = build_geom
     return macro
 
 
@@ -300,17 +318,23 @@ def respa_rollout(
     macro = make_respa_macro(cfg, fn, force_detect_fn=fd)
     n_macros = steps // K
 
-    def step_d(carry, _):
-        s, diag = carry
-        s, d = macro(s)
-        return (s, {k: jnp.maximum(diag[k], d[k]) for k in diag}), None
+    M = int(cfg.respa_refresh)
+
+    def step_d(carry, i):
+        s, geom, diag = carry
+        geom = lax.cond(i % M == 0,
+                        lambda: macro.build_geom(s),
+                        lambda: geom) if M > 1 else macro.build_geom(s)
+        s, d = macro(s, geom)
+        return (s, geom, {k: jnp.maximum(diag[k], d[k]) for k in diag}), None
 
     zero = jnp.zeros((), jnp.int32)
     diag0 = dict(overflow=zero, cap_overflow=zero, w_overflow=zero,
                  q_overflow=zero, skin_violation=zero)
+    geom0 = macro.build_geom(state)
     if record_every <= 0:
-        (final, diag), _ = lax.scan(
-            step_d, (state, diag0), None, length=n_macros)
+        (final, _, diag), _ = lax.scan(
+            step_d, (state, geom0, diag0), jnp.arange(n_macros))
         return final, None, diag
 
     if record_every % K or steps % record_every:
@@ -320,12 +344,13 @@ def respa_rollout(
     per_block = record_every // K
     n_records = steps // record_every
 
-    def block(carry, _):
-        carry, _ = lax.scan(step_d, carry, None, length=per_block)
+    def block(carry, b):
+        carry, _ = lax.scan(step_d, carry,
+                            b * per_block + jnp.arange(per_block))
         return carry, _snapshot(carry[0])
 
-    (final, diag), ys = lax.scan(
-        block, (state, diag0), None, length=n_records)
+    (final, _, diag), ys = lax.scan(
+        block, (state, geom0, diag0), jnp.arange(n_records))
     return final, Trajectory(**ys), diag
 
 

@@ -230,6 +230,7 @@ def simulate(
     respa_r1: float = 0.0,
     respa_cell: float = 0.0,
     respa_impl: str = "auto",
+    respa_refresh: int = 1,
     adaptive_eta: Optional[float] = None,
     dt_min: float = 0.0,
     hermite_fast_cap: int = 0,
@@ -356,8 +357,10 @@ def simulate(
             vel_i = np.asarray(arrays.vel, np.float64) / rescale.velocity
             vmag = np.linalg.norm(vel_i, axis=1)
             v99 = float(np.quantile(vmag, 0.99)) if vmag.size else 0.0
-            # skin must cover 2 * (per-body motion over one K-window)
-            cell_i = max(2.0 * rc_i, rc_i + 4.0 * respa_k * dt_i * v99)
+            # skin must cover 2 * (per-body motion over one frozen-
+            # geometry window: respa_refresh macro windows of K substeps)
+            cell_i = max(2.0 * rc_i,
+                         rc_i + 4.0 * respa_refresh * respa_k * dt_i * v99)
         from .ops.neighbor import neighbor_budgets
 
         m_grid, k_ch, w_blk, wl_q = neighbor_budgets(
@@ -367,7 +370,8 @@ def simulate(
             respa_r1=(respa_r1 / rescale.length if respa_r1 else 0.0),
             respa_cell=cell_i, respa_m=m_grid, respa_max_chunks=k_ch,
             respa_w_blk=w_blk, respa_chunk=32, respa_rj=4,
-            respa_impl=respa_impl, respa_wl_entries=wl_q)
+            respa_impl=respa_impl, respa_wl_entries=wl_q,
+            respa_refresh=respa_refresh)
     cfg = SimConfig(
         **respa_fields,
         dt=dt / rescale.time,

@@ -255,6 +255,7 @@ class SimConfig:
     respa_rj: int = 4
     respa_impl: str = "auto"
     respa_wl_entries: int = 0
+    respa_refresh: int = 1
 
     def __post_init__(self):
         if self.debris_k < 0:
@@ -287,6 +288,12 @@ class SimConfig:
                 raise ValueError(
                     "respa needs chunk % 8 == 0 and rj*chunk % 128 == 0 "
                     f"(got rj={self.respa_rj}, chunk={self.respa_chunk})")
+            if self.respa_refresh < 1:
+                raise ValueError("respa_refresh must be >= 1")
+            if self.respa_refresh > 1 and self.collisions != "none":
+                raise ValueError(
+                    "respa_refresh > 1 requires collisions='none' (alive-"
+                    "set changes mid-freeze would leave bodies slotless)")
             if self.respa_impl not in ("auto", "pallas", "pallas_sb",
                                        "pallas_interpret",
                                        "xla"):

@@ -436,3 +436,41 @@ def test_macro_superblock_matches_table_sweep(monkeypatch):
     np.testing.assert_allclose(np.asarray(outs[0].vel),
                                np.asarray(outs[1].vel), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_geometry_refresh_equivalence_and_skin_guard():
+    """respa_refresh=4 (frozen geometry) matches per-macro rebuild while
+    motion stays inside the skin; a too-thin skin trips the violation
+    counter instead of silently missing pairs."""
+    from orbital_tpu.engine.multirate import respa_rollout_dyn
+
+    n = 256
+    pos, vel, mass = _cluster(n, 2)
+    vel *= 0.1  # slow: 16 substeps stay inside the generous skin below
+    rc = 0.3
+    m_grid, k_ch, w_blk = neighbor_budgets(pos, cell=2.5 * rc, chunk=8,
+                                           rj=16)
+    common = dict(dt=1e-3, G=1.0, eps2=1e-4, integrator="respa",
+                  respa_k=4, respa_rc=rc, respa_cell=2.5 * rc,
+                  respa_m=m_grid, respa_max_chunks=k_ch,
+                  respa_w_blk=w_blk, respa_chunk=8, respa_rj=16)
+    outs = []
+    for refresh in (1, 4):
+        cfg = SimConfig(respa_refresh=refresh, **common)
+        st = init_forces(make_state(pos, vel, mass, precision="f32"), cfg)
+        fin, d = respa_rollout_dyn(st, cfg, 4)
+        assert int(d["skin_violation"]) == 0
+        outs.append(fin)
+    # NOT bit-identical (near pairs outside rc differ by S(r)=0 — the
+    # frozen table merely includes a superset), but physically equal
+    np.testing.assert_allclose(np.asarray(outs[0].pos),
+                               np.asarray(outs[1].pos), rtol=1e-6,
+                               atol=1e-7)
+    # thin skin + fast bodies -> counted violation
+    vel_fast = vel * 60.0
+    cfgv = SimConfig(respa_refresh=8, **{**common,
+                                         "respa_cell": 1.05 * rc})
+    stv = init_forces(make_state(pos, vel_fast, mass, precision="f32"),
+                      cfgv)
+    _, dv = respa_rollout_dyn(stv, cfgv, 8)
+    assert int(dv["skin_violation"]) == 1
