@@ -322,9 +322,9 @@ def respa_rollout(
 
     def step_d(carry, i):
         s, geom, diag = carry
-        geom = lax.cond(i % M == 0,
-                        lambda: macro.build_geom(s),
-                        lambda: geom) if M > 1 else macro.build_geom(s)
+        # i == 0 reuses the carry-seeded geom0 (no wasted rebuild)
+        geom = lax.cond((i % M == 0) & (i > 0),
+                        lambda: macro.build_geom(s), lambda: geom)
         s, d = macro(s, geom)
         return (s, geom, {k: jnp.maximum(diag[k], d[k]) for k in diag}), None
 
@@ -378,14 +378,18 @@ def respa_rollout_dyn(
     fd = (resolve_force_detect_fn(cfg, state.n_bodies)
           if cfg.collisions != "none" else None)
     macro = make_respa_macro(cfg, fn, force_detect_fn=fd)
+    M = int(cfg.respa_refresh)
 
-    def body(_, carry):
-        s, diag = carry
-        s, d = macro(s)
-        return (s, {k: jnp.maximum(diag[k], d[k]) for k in diag})
+    def body(i, carry):
+        s, geom, diag = carry
+        geom = lax.cond((i % M == 0) & (i > 0),
+                        lambda: macro.build_geom(s), lambda: geom)
+        s, d = macro(s, geom)
+        return (s, geom, {k: jnp.maximum(diag[k], d[k]) for k in diag})
 
     zero = jnp.zeros((), jnp.int32)
     diag0 = dict(overflow=zero, cap_overflow=zero, w_overflow=zero,
                  q_overflow=zero, skin_violation=zero)
-    final, diag = lax.fori_loop(0, n_macros, body, (state, diag0))
+    final, _, diag = lax.fori_loop(
+        0, n_macros, body, (state, macro.build_geom(state), diag0))
     return final, diag

@@ -44,6 +44,39 @@ __all__ = ["near_acc_slots_pallas", "near_acc_slots_pallas_wl",
 f32 = jnp.float32
 
 
+def _pair_terms(ib, jb, *, r1: float, rc: float, eps2: float):
+    """Shared switched-pair arithmetic of every kernel in this module:
+    ``ib (C, 4)`` x ``jb (4, W)`` -> per-channel partial sums
+    ``(wx, wy, wz, pe)`` each ``(C, 1)`` (acc channels WITHOUT the G
+    factor). One definition so the switch/softening physics cannot
+    diverge between backends."""
+    xi, yi, zi = ib[:, 0:1], ib[:, 1:2], ib[:, 2:3]
+    xj, yj, zj, mj = jb[0:1, :], jb[1:2, :], jb[2:3, :], jb[3:4, :]
+    dx = xj - xi                           # (C, W)
+    dy = yj - yi
+    dz = zj - zi
+    r2t = dx * dx + dy * dy + dz * dz
+    inv_d = 1.0 / (rc * rc - r1 * r1)
+    s = jnp.clip((rc * rc - r2t) * inv_d, 0.0, 1.0)
+    s2 = s * s
+    S = s * s2 * (10.0 + s * (-15.0 + 6.0 * s))
+    spd = (30.0 * inv_d) * s2 * (1.0 - s) * (1.0 - s)
+    inv_r = lax.rsqrt(r2t + eps2)
+    w = mj * (S * (inv_r * inv_r * inv_r) + (2.0 * spd) * inv_r)
+    return (jnp.sum(w * dx, axis=1, keepdims=True),
+            jnp.sum(w * dy, axis=1, keepdims=True),
+            jnp.sum(w * dz, axis=1, keepdims=True),
+            jnp.sum(mj * inv_r * S, axis=1, keepdims=True))
+
+
+def _validate_block_geom(c: int, rjn: int) -> None:
+    if (rjn * c) % 128:
+        raise ValueError(
+            f"near kernel needs rj*chunk % 128 == 0 (got {rjn}*{c})")
+    if c % 8:
+        raise ValueError(f"chunk must be a multiple of 8 (got {c})")
+
+
 def _kernel_resident(cnt_ref, jbl_ref, ib_ref, jt_ref, out_ref, *,
                      w_blk: int, r1: float, rc: float, G: float,
                      eps2: float):
@@ -137,27 +170,9 @@ def _kernel(jbl_ref, ib_ref, jb_ref, out_ref, *, r1: float, rc: float,
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    ib = ib_ref[...]                       # (C, 4)
-    jb = jb_ref[...]                       # (4, W)
-    xi, yi, zi = ib[:, 0:1], ib[:, 1:2], ib[:, 2:3]
-    xj, yj, zj, mj = jb[0:1, :], jb[1:2, :], jb[2:3, :], jb[3:4, :]
-
-    dx = xj - xi                           # (C, W)
-    dy = yj - yi
-    dz = zj - zi
-    r2t = dx * dx + dy * dy + dz * dz
-    inv_d = 1.0 / (rc * rc - r1 * r1)
-    s = jnp.clip((rc * rc - r2t) * inv_d, 0.0, 1.0)
-    s2 = s * s
-    S = s * s2 * (10.0 + s * (-15.0 + 6.0 * s))
-    spd = (30.0 * inv_d) * s2 * (1.0 - s) * (1.0 - s)
-    inv_r = lax.rsqrt(r2t + eps2)
-    w = mj * (S * (inv_r * inv_r * inv_r) + (2.0 * spd) * inv_r)
-    ax = jnp.sum(w * dx, axis=1, keepdims=True) * G
-    ay = jnp.sum(w * dy, axis=1, keepdims=True) * G
-    az = jnp.sum(w * dz, axis=1, keepdims=True) * G
-    pe = jnp.sum(mj * inv_r * S, axis=1, keepdims=True)
-    out_ref[...] += jnp.concatenate([ax, ay, az, pe], axis=1)
+    wx, wy, wz, pe = _pair_terms(ib_ref[...], jb_ref[...], r1=r1, rc=rc,
+                                 eps2=eps2)
+    out_ref[...] += jnp.concatenate([G * wx, G * wy, G * wz, pe], axis=1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -216,11 +231,7 @@ def near_acc_slots_pallas(
     beyond that. Pass True/False to force either path (tests)."""
     k_ch, w_blk = jbl.shape
     c, rjn = int(chunk), int(rj)
-    if (rjn * c) % 128:
-        raise ValueError(
-            f"near kernel needs rj*chunk % 128 == 0 (got {rjn}*{c})")
-    if c % 8:
-        raise ValueError(f"chunk must be a multiple of 8 (got {c})")
+    _validate_block_geom(c, rjn)
     n_slots = xs.shape[0]
     blkw = rjn * c
     n_blocks = n_slots // blkw
@@ -276,27 +287,9 @@ def _kernel_wl(wl_i_ref, wl_jb_ref, first_ref, ib_ref, jb_ref, out_ref, *,
     """
     del wl_i_ref, wl_jb_ref  # consumed by the index maps
     g = pl.program_id(0)
-    ib = ib_ref[...]                       # (C, 4)
-    jb = jb_ref[...]                       # (4, W)
-    xi, yi, zi = ib[:, 0:1], ib[:, 1:2], ib[:, 2:3]
-    xj, yj, zj, mj = jb[0:1, :], jb[1:2, :], jb[2:3, :], jb[3:4, :]
-
-    dx = xj - xi                           # (C, W)
-    dy = yj - yi
-    dz = zj - zi
-    r2t = dx * dx + dy * dy + dz * dz
-    inv_d = 1.0 / (rc * rc - r1 * r1)
-    s = jnp.clip((rc * rc - r2t) * inv_d, 0.0, 1.0)
-    s2 = s * s
-    S = s * s2 * (10.0 + s * (-15.0 + 6.0 * s))
-    spd = (30.0 * inv_d) * s2 * (1.0 - s) * (1.0 - s)
-    inv_r = lax.rsqrt(r2t + eps2)
-    w = mj * (S * (inv_r * inv_r * inv_r) + (2.0 * spd) * inv_r)
-    contrib = jnp.concatenate(
-        [G * jnp.sum(w * dx, axis=1, keepdims=True),
-         G * jnp.sum(w * dy, axis=1, keepdims=True),
-         G * jnp.sum(w * dz, axis=1, keepdims=True),
-         jnp.sum(mj * inv_r * S, axis=1, keepdims=True)], axis=1)
+    wx, wy, wz, pe = _pair_terms(ib_ref[...], jb_ref[...], r1=r1, rc=rc,
+                                 eps2=eps2)
+    contrib = jnp.concatenate([G * wx, G * wy, G * wz, pe], axis=1)
     first = first_ref[g] != 0
 
     @pl.when(first)
@@ -367,11 +360,7 @@ def near_acc_slots_pallas_wl(
     is visited and dead rows are never read)."""
     qp = wl_i.shape[0]
     c, rjn = int(chunk), int(rj)
-    if (rjn * c) % 128:
-        raise ValueError(
-            f"near kernel needs rj*chunk % 128 == 0 (got {rjn}*{c})")
-    if c % 8:
-        raise ValueError(f"chunk must be a multiple of 8 (got {c})")
+    _validate_block_geom(c, rjn)
     n_slots = xs.shape[0]
     blkw = rjn * c
     k_ch = n_slots // c - rjn
@@ -396,27 +385,9 @@ def _kernel_sb(ib_ref, jb_ref, out_ref, *, w_blk: int, r1: float,
     value (mass 0); the block walk is a static unrolled loop over the
     same (4, W) tiles the streaming kernel uses."""
     ib = ib_ref[...]                       # (C, 4)
-    xi, yi, zi = ib[:, 0:1], ib[:, 1:2], ib[:, 2:3]
-    c = ib.shape[0]
-    inv_d = 1.0 / (rc * rc - r1 * r1)
     acc = None
     for t in range(w_blk):
-        jb = jb_ref[0, t]                  # (4, W)
-        xj, yj, zj, mj = jb[0:1, :], jb[1:2, :], jb[2:3, :], jb[3:4, :]
-        dx = xj - xi                       # (C, W)
-        dy = yj - yi
-        dz = zj - zi
-        r2t = dx * dx + dy * dy + dz * dz
-        s = jnp.clip((rc * rc - r2t) * inv_d, 0.0, 1.0)
-        s2 = s * s
-        S = s * s2 * (10.0 + s * (-15.0 + 6.0 * s))
-        spd = (30.0 * inv_d) * s2 * (1.0 - s) * (1.0 - s)
-        inv_r = lax.rsqrt(r2t + eps2)
-        w = mj * (S * (inv_r * inv_r * inv_r) + (2.0 * spd) * inv_r)
-        part = (jnp.sum(w * dx, axis=1, keepdims=True),
-                jnp.sum(w * dy, axis=1, keepdims=True),
-                jnp.sum(w * dz, axis=1, keepdims=True),
-                jnp.sum(mj * inv_r * S, axis=1, keepdims=True))
+        part = _pair_terms(ib, jb_ref[0, t], r1=r1, rc=rc, eps2=eps2)
         acc = part if acc is None else tuple(
             a + b for a, b in zip(acc, part))
     out_ref[...] = jnp.concatenate(
@@ -473,11 +444,7 @@ def near_acc_slots_pallas_sb(
     the entry-granular kernels (measured ~0.4 us/step; DESIGN §7)."""
     k_ch, w_blk = jbl.shape
     c, rjn = int(chunk), int(rj)
-    if (rjn * c) % 128:
-        raise ValueError(
-            f"near kernel needs rj*chunk % 128 == 0 (got {rjn}*{c})")
-    if c % 8:
-        raise ValueError(f"chunk must be a multiple of 8 (got {c})")
+    _validate_block_geom(c, rjn)
     n_slots = xs.shape[0]
     blkw = rjn * c
     n_blocks = n_slots // blkw

@@ -239,8 +239,12 @@ def test_dynamic_rollout_matches_static():
     f1, _, _ = respa_rollout_jit(st, cfg, 16)
     f2, _ = respa_rollout_dyn(st, cfg, 2)
     f2, _ = respa_rollout_dyn(f2, cfg, 2)
-    np.testing.assert_array_equal(np.asarray(f1.pos), np.asarray(f2.pos))
-    np.testing.assert_array_equal(np.asarray(f1.vel), np.asarray(f2.vel))
+    # scan vs fori programs: same math, but XLA may reassociate — the
+    # contract is physical equality, not bit equality
+    np.testing.assert_allclose(np.asarray(f1.pos), np.asarray(f2.pos),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(f1.vel), np.asarray(f2.vel),
+                               rtol=1e-7, atol=1e-8)
 
 
 def test_budget_overflow_counted():
@@ -455,17 +459,22 @@ def test_geometry_refresh_equivalence_and_skin_guard():
                   respa_m=m_grid, respa_max_chunks=k_ch,
                   respa_w_blk=w_blk, respa_chunk=8, respa_rj=16)
     outs = []
-    for refresh in (1, 4):
+    for refresh, roll in ((1, "dyn"), (4, "dyn"), (4, "jit")):
         cfg = SimConfig(respa_refresh=refresh, **common)
         st = init_forces(make_state(pos, vel, mass, precision="f32"), cfg)
-        fin, d = respa_rollout_dyn(st, cfg, 4)
+        if roll == "dyn":
+            fin, d = respa_rollout_dyn(st, cfg, 4)
+        else:
+            from orbital_tpu.engine.multirate import respa_rollout_jit
+            fin, _, d = respa_rollout_jit(st, cfg, 16)
         assert int(d["skin_violation"]) == 0
         outs.append(fin)
-    # NOT bit-identical (near pairs outside rc differ by S(r)=0 — the
-    # frozen table merely includes a superset), but physically equal
-    np.testing.assert_allclose(np.asarray(outs[0].pos),
-                               np.asarray(outs[1].pos), rtol=1e-6,
-                               atol=1e-7)
+    # frozen geometry merely keeps a superset of the rc-pairs (S(r)=0
+    # outside), so the physics must agree across refresh and rollout
+    for other in outs[1:]:
+        np.testing.assert_allclose(np.asarray(outs[0].pos),
+                                   np.asarray(other.pos), rtol=1e-6,
+                                   atol=1e-7)
     # thin skin + fast bodies -> counted violation
     vel_fast = vel * 60.0
     cfgv = SimConfig(respa_refresh=8, **{**common,
