@@ -191,7 +191,9 @@ def bench_hermite(n: int, iters: int = 2) -> float:
     return n / sec
 
 
-def bench_respa(n: int = 65536, k: int = 16, drift_steps: int = 10000):
+def bench_respa(n: int = 65536, k: int = 16, drift_steps: int = 10000,
+                impl: str = "auto", headroom: float = 2.2,
+                refresh: int = 1):
     """Multirate (RESPA) stepper at the headline config: one exact O(N^2)
     Pallas evaluation per ``k`` leapfrog substeps, the switched Pallas
     near field every substep (engine/multirate.py). Rate counts SUBSTEPS
@@ -211,11 +213,15 @@ def bench_respa(n: int = 65536, k: int = 16, drift_steps: int = 10000):
     rc = 5.0 * float(np.sqrt(eps2))
     cell = 2.0 * rc
     m_grid, k_ch, w_blk, wl_q = neighbor_budgets(pos, cell=cell, chunk=32,
-                                                 rj=4, with_wl=True)
+                                                 rj=4, with_wl=True,
+                                                 headroom=headroom)
+    if impl in ("pallas_sb", "xla"):
+        wl_q = 0  # only the worklist backend reads the compacted arrays
     cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, integrator="respa",
                        respa_k=k, respa_rc=rc, respa_cell=cell,
                        respa_m=m_grid, respa_max_chunks=k_ch,
-                       respa_w_blk=w_blk, respa_wl_entries=wl_q)
+                       respa_w_blk=w_blk, respa_wl_entries=wl_q,
+                       respa_impl=impl, respa_refresh=refresh)
     state = init_forces(make_state(pos, vel, mass, precision="ds32"), cfg)
     macro = make_respa_macro(cfg, resolve_force_fn(cfg, state.n_bodies))
     sec = bench_chained(lambda s: macro(s)[0], state, iters=2, iters_hi=5,

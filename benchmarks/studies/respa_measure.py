@@ -29,7 +29,7 @@ def emit(rec):
 
 
 def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto",
-        headroom=1.5, refresh=1):
+        headroom=1.5, refresh=1, w_headroom=None):
     import jax
 
     import orbital_tpu as ot
@@ -44,7 +44,8 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto",
     cell = cell_mult * rc
     m_grid, k_ch, w_blk, wl_q = neighbor_budgets(pos, cell=cell, chunk=32,
                                                  rj=4, with_wl=True,
-                                                 headroom=headroom)
+                                                 headroom=headroom,
+                                                 w_headroom=w_headroom)
     # only the worklist backend reads the compacted arrays — building
     # them for sb/xla would bill dead compaction work to those rows
     if impl in ("pallas_sb", "xla"):
@@ -57,7 +58,8 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto",
     state = init_forces(make_state(pos, vel, mass, precision="ds32"), cfg)
     rec = dict(k=k, rc=round(rc, 5), cell=round(cell, 5), m_grid=m_grid,
                k_ch=k_ch, w_blk=w_blk, wl_q=wl_q, impl=impl,
-               headroom=headroom, refresh=refresh)
+               headroom=headroom, refresh=refresh,
+               w_headroom=w_headroom)
     try:
         del jax  # only the backend import side effect is needed
         # rate from the SAME dynamic-trip rollout program the drift loop

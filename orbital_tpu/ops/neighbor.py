@@ -336,6 +336,7 @@ def neighbor_budgets(
     headroom: float = 1.5,
     span_margin: float = 1.5,
     with_wl: bool = False,
+    w_headroom: Optional[float] = None,
 ) -> tuple[int, ...]:
     """Host-side ``(m_grid, max_chunks, w_blk)`` sizing from the initial
     distribution — shares ``_pairs_geometry``/``_wl_runs`` with the sweep
@@ -345,7 +346,11 @@ def neighbor_budgets(
     binned un-clipped as the system breathes. ``with_wl=True`` appends a
     fourth element: the worklist-entry budget ``wl_entries`` for the
     compacted sweep (``near_acc_slots_pallas_wl``), sized from the TOTAL
-    real block count the same way ``w_blk`` is sized from the max."""
+    real block count the same way ``w_blk`` is sized from the max.
+    ``w_headroom`` (default = ``headroom``) sizes ``w_blk`` separately —
+    the superblock sweep's COMPUTE scales with ``w_blk`` (padded), so it
+    wants a tight per-chunk bound while the table budgets keep their
+    evolution margin (w-overflow is counted, never silent)."""
     pos = np.asarray(pos)
     n = pos.shape[0]
     alive_np = (np.ones(n, bool) if alive is None
@@ -366,7 +371,8 @@ def neighbor_budgets(
             int(rj))
     lcm = int(np.lcm(rj, 8))
     max_chunks = max(lcm, -(-int(int(total) * headroom) // lcm) * lcm)
-    w_blk = max(4, int(np.ceil(int(max_w) * headroom)) + 1)
+    wh = headroom if w_headroom is None else w_headroom
+    w_blk = max(4, int(np.ceil(int(max_w) * wh)) + 1)
     if with_wl:
         wl_entries = max(64, int(np.ceil(int(sum_w) * headroom)) + 1)
         return m_grid, max_chunks, w_blk, wl_entries

@@ -414,7 +414,9 @@ def _build_call_sb(k_ch: int, w_blk: int, blkw: int, chunk: int, r1: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_ch * c, 4), f32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # every grid step owns its out block exclusively (unlike the
+            # worklist kernel's accumulation runs) -> parallel is legal
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
