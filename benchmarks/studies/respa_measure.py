@@ -29,7 +29,7 @@ def emit(rec):
 
 
 def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto",
-        headroom=1.5, refresh=1, w_headroom=None):
+        headroom=1.5, refresh=1, w_headroom=None, r1_mult=0.0):
     import jax
 
     import orbital_tpu as ot
@@ -54,12 +54,13 @@ def run(k, rc_mult, cell_mult=2.0, drift_steps=10000, impl="auto",
                        respa_k=k, respa_rc=rc, respa_cell=cell,
                        respa_m=m_grid, respa_max_chunks=k_ch,
                        respa_w_blk=w_blk, respa_impl=impl,
-                       respa_wl_entries=wl_q, respa_refresh=refresh)
+                       respa_wl_entries=wl_q, respa_refresh=refresh,
+                       respa_r1=r1_mult * rc)
     state = init_forces(make_state(pos, vel, mass, precision="ds32"), cfg)
     rec = dict(k=k, rc=round(rc, 5), cell=round(cell, 5), m_grid=m_grid,
                k_ch=k_ch, w_blk=w_blk, wl_q=wl_q, impl=impl,
                headroom=headroom, refresh=refresh,
-               w_headroom=w_headroom)
+               w_headroom=w_headroom, r1=round(r1_mult * rc, 5))
     try:
         del jax  # only the backend import side effect is needed
         # rate from the SAME dynamic-trip rollout program the drift loop
