@@ -59,6 +59,7 @@ from .tree_near_wl import _wl_runs
 
 __all__ = [
     "neighbor_geometry", "neighbor_budgets", "pack_slots", "unpack_slots",
+    "pack_rows", "unpack_rows",
     "near_acc_slots", "near_acc_dense", "switch_terms", "SENTINEL_POS",
 ]
 
@@ -377,3 +378,27 @@ def neighbor_budgets(
         wl_entries = max(64, int(np.ceil(int(sum_w) * headroom)) + 1)
         return m_grid, max_chunks, w_blk, wl_entries
     return m_grid, max_chunks, w_blk
+
+
+def pack_rows(slot: jax.Array, vals: jax.Array, n_slots: int,
+              fill) -> jax.Array:
+    """Row-packed variant of :func:`pack_slots`: scatter [n, CH] rows
+    into a [n_slots, CH] table in ONE op. XLA row scatters/gathers cost
+    ~per-ROW, not per-element, on this platform (DESIGN §"tree solver"
+    access table), so grouping channels cuts the multirate stepper's
+    pack/unpack phase roughly by the channel width. ``fill`` may be a
+    scalar or a [CH] vector (e.g. SENTINEL_POS for positions, 0 for
+    mass/velocity)."""
+    ch = vals.shape[1]
+    out = jnp.broadcast_to(jnp.asarray(fill, vals.dtype),
+                           (n_slots, ch)).astype(vals.dtype)
+    return out.at[slot].set(vals, mode="drop")
+
+
+def unpack_rows(slot: jax.Array, table: jax.Array, fallback: jax.Array,
+                valid_below: int) -> jax.Array:
+    """Row-packed variant of :func:`unpack_slots`: gather [n, CH] rows
+    back from the slot table; dropped bodies take ``fallback`` rows."""
+    safe = jnp.minimum(slot, table.shape[0] - 1)
+    cond = (slot < valid_below)[:, None]
+    return jnp.where(cond, table[safe], fallback.astype(table.dtype))
