@@ -50,7 +50,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.neighbor import (SENTINEL_POS, near_acc_slots, neighbor_geometry,
-                            pack_slots, unpack_slots)
+                            pack_rows, pack_slots, unpack_rows,
+                            unpack_slots)
 from ..ops.neighbor_pallas import (near_acc_slots_pallas,
                                    near_acc_slots_pallas_sb,
                                    near_acc_slots_pallas_wl)
@@ -63,6 +64,12 @@ __all__ = ["make_respa_macro", "respa_rollout", "respa_rollout_jit",
            "respa_rollout_dyn"]
 
 f32 = jnp.float32
+
+
+def _fills_pos(dtype):
+    """Fill row for packed (x, y, z, m) tables: sentinel positions, zero
+    mass — padding slots are force-inert by value."""
+    return jnp.asarray([SENTINEL_POS] * 3 + [0.0], dtype)
 
 
 def _resolve_sweep(cfg: SimConfig, dtype):
@@ -141,9 +148,10 @@ def make_respa_macro(
                 state.pos, state.alive, cell=cfg.respa_cell,
                 m_grid=cfg.respa_m, chunk=C, max_chunks=K_ch, w_blk=W_blk,
                 rj=RJ, wl_entries=cfg.respa_wl_entries)
-            geom["pos0_build"] = jnp.stack(
-                [pack_slots(geom["slot"], state.pos[:, k], n_slots,
-                            SENTINEL_POS) for k in range(3)])
+            zcol = jnp.zeros((state.n_bodies, 1), state.pos.dtype)
+            geom["pos0_build"] = pack_rows(
+                geom["slot"], jnp.concatenate([state.pos, zcol], axis=1),
+                n_slots, _fills_pos(state.pos.dtype))
         return geom
 
     def macro(state: NBodyState,
@@ -153,72 +161,74 @@ def make_respa_macro(
         if geom is None:
             geom = build_geom(state)
         slot = geom["slot"]
-        pk = lambda v, fill: pack_slots(slot, v, n_slots, fill)
+        dtype = state.pos.dtype
+        zcol = jnp.zeros((state.n_bodies, 1), dtype)
+        pkr = lambda v, fills: pack_rows(slot, v, n_slots, fills)
 
+        def run_sweep(P):
+            acc, _ = sweep(P[:, 0], P[:, 1], P[:, 2], P[:, 3], geom)
+            # rows (ax, ay, az, 0): the zero column keeps every
+            # whole-row kick mass-neutral (column 3 of P is the mass)
+            return _pad(jnp.concatenate(
+                [acc, jnp.zeros((acc.shape[0], 1), acc.dtype)], axis=1))
+
+        # row tables [n_slots, 4]: pack/unpack cost ~per ROW on this
+        # platform, so channel groups replace 16 scalar scatters with 5
         with jax.named_scope("respa.pack"):
-            pos3 = [pk(state.pos[:, k], SENTINEL_POS) for k in range(3)]
-            vel3 = [pk(state.vel[:, k], 0.0) for k in range(3)]
-            ms = pk(jnp.where(state.alive, state.mass, 0.0), 0.0)
-            plo3 = ([pk(state.pos_lo[:, k], 0.0) for k in range(3)]
-                    if ds else [None] * 3)
-            vlo3 = ([pk(state.vel_lo[:, k], 0.0) for k in range(3)]
-                    if ds else [None] * 3)
-            acc3 = [pk(state.acc[:, k], 0.0) for k in range(3)]
+            mass_eff = jnp.where(state.alive, state.mass, 0.0)[:, None]
+            P = pkr(jnp.concatenate([state.pos, mass_eff], axis=1),
+                    _fills_pos(dtype))
+            V = pkr(jnp.concatenate([state.vel, zcol], axis=1), 0.0)
+            A = pkr(jnp.concatenate([state.acc, zcol], axis=1), 0.0)
+            PL = (pkr(jnp.concatenate([state.pos_lo, zcol], axis=1), 0.0)
+                  if ds else jnp.zeros_like(P))
+            VL = (pkr(jnp.concatenate([state.vel_lo, zcol], axis=1), 0.0)
+                  if ds else jnp.zeros_like(P))
         pos0 = geom["pos0_build"]
 
         with jax.named_scope("respa.near0"):
-            a_n0, _ = sweep(*pos3, ms, geom)
-            a_n0 = _pad(a_n0)
+            a_n0 = run_sweep(P)
 
         # opening far half-impulse: a_far = a_total - a_near at the SAME
         # (sync) positions; state.acc is the previous window's closing
-        # exact evaluation at exactly these positions
+        # exact evaluation at exactly these positions. Column 3 of both
+        # A and a_n0 is zero, so the mass column never moves.
         with jax.named_scope("respa.far_kick"):
-            for k in range(3):
-                inc = (0.5 * delta) * (acc3[k] - a_n0[:, k])
-                if ds:
-                    vel3[k], vlo3[k] = ds_add(vel3[k], vlo3[k], inc)
-                else:
-                    vel3[k] = vel3[k] + inc
+            inc = (0.5 * delta) * (A - a_n0)
+            if ds:
+                V, VL = ds_add(V, VL, inc)
+            else:
+                V = V + inc
 
         def inner(carry, _):
-            p3, pl3, v3, vl3, an = carry
-            p3, v3 = list(p3), list(v3)
-            pl3, vl3 = list(pl3), list(vl3)
-            for k in range(3):
-                inc = (0.5 * dt) * an[:, k]
-                if ds:
-                    v3[k], vl3[k] = ds_add(v3[k], vl3[k], inc)
-                else:
-                    v3[k] = v3[k] + inc
-            for k in range(3):
-                if ds:
-                    p3[k], pl3[k] = ds_add(p3[k], pl3[k], dt * v3[k])
-                    p3[k], pl3[k] = ds_add(p3[k], pl3[k], dt * vl3[k])
-                else:
-                    p3[k] = p3[k] + dt * v3[k]
-            a_n, _ = sweep(p3[0], p3[1], p3[2], ms, geom)
-            a_n = _pad(a_n)
-            for k in range(3):
-                inc = (0.5 * dt) * a_n[:, k]
-                if ds:
-                    v3[k], vl3[k] = ds_add(v3[k], vl3[k], inc)
-                else:
-                    v3[k] = v3[k] + inc
-            return (tuple(p3), tuple(pl3), tuple(v3), tuple(vl3), a_n), None
+            P, PL, V, VL, an = carry
+            inc = (0.5 * dt) * an
+            if ds:
+                V, VL = ds_add(V, VL, inc)
+                P, PL = ds_add(P, PL, dt * V)
+                P, PL = ds_add(P, PL, dt * VL)
+            else:
+                V = V + inc
+                P = P + dt * V
+            a_n = run_sweep(P)
+            inc = (0.5 * dt) * a_n
+            if ds:
+                V, VL = ds_add(V, VL, inc)
+            else:
+                V = V + inc
+            return (P, PL, V, VL, a_n), None
 
-        zlo = (jnp.zeros((n_slots,), state.pos.dtype),) * 3
-        carry0 = (tuple(pos3), tuple(plo3) if ds else zlo,
-                  tuple(vel3), tuple(vlo3) if ds else zlo, a_n0)
+        carry0 = (P, PL, V, VL, a_n0)
         with jax.named_scope("respa.inner"):
-            (p3, pl3, v3, vl3, a_n_end), _ = lax.scan(
+            (P, PL, V, VL, a_n_end), _ = lax.scan(
                 inner, carry0, None, length=K)
 
         with jax.named_scope("respa.skin_check"):
             # against the geometry BUILD positions: with respa_refresh > 1
             # the frozen tables must cover all motion since the build, not
-            # just this window's (sentinel rows subtract to exactly 0)
-            d2 = sum((p3[k] - pos0[k]) ** 2 for k in range(3))
+            # just this window's (sentinel rows subtract to exactly 0;
+            # the mass column is invariant so it adds exactly 0)
+            d2 = jnp.sum((P - pos0) ** 2, axis=1)
             skin_violation = (jnp.max(d2) > skin_half * skin_half).astype(
                 jnp.int32)
 
@@ -228,21 +238,17 @@ def make_respa_macro(
                       + (0.5 * delta * delta) * state.acc)
             vel_fb = state.vel_full() + delta * state.acc
             dropped = slot >= valid_below
-            upk = lambda t, fb: unpack_slots(slot, t, fb, valid_below)
-            pos_hi = jnp.stack(
-                [upk(p3[k], pos_fb[:, k]) for k in range(3)], axis=-1)
-            vel_hi = jnp.stack(
-                [upk(v3[k], vel_fb[:, k]) for k in range(3)], axis=-1)
-            zeros_n = jnp.zeros((state.n_bodies,), state.pos.dtype)
+            upkr = lambda t, fb: unpack_rows(slot, t, fb, valid_below)
+            fb4 = lambda fb: jnp.concatenate([fb, zcol], axis=1)
+            zeros4 = jnp.zeros((state.n_bodies, 4), dtype)
+            pos_hi = upkr(P, fb4(pos_fb))[:, :3]
+            vel_hi = upkr(V, fb4(vel_fb))[:, :3]
             if ds:
-                pos_lo = jnp.stack(
-                    [upk(pl3[k], zeros_n) for k in range(3)], axis=-1)
-                vel_lo = jnp.stack(
-                    [upk(vl3[k], zeros_n) for k in range(3)], axis=-1)
+                pos_lo = upkr(PL, zeros4)[:, :3]
+                vel_lo = upkr(VL, zeros4)[:, :3]
             else:
                 pos_lo = vel_lo = None
-            a_near_end = jnp.stack(
-                [upk(a_n_end[:, k], zeros_n) for k in range(3)], axis=-1)
+            a_near_end = upkr(a_n_end, zeros4)[:, :3]
 
         contacts = None
         with jax.named_scope("respa.full_force"):
