@@ -260,7 +260,13 @@ def simulate(
     from the softening / initial velocities, and the static search
     budgets are probe-sized from the initial distribution
     (``ops.neighbor.neighbor_budgets`` — overflow is counted and warned,
-    never silent).
+    never silent). The held-far energy error grows superquadratically in
+    ``respa_k`` (measured at the 65k headline config: 3.1e-7 at K=4,
+    4.1e-6 at K=8, 1.7e-5 at K=16 over 10k substeps) — keep K <= 4-5 for
+    1e-6-grade conservation at the default rc, larger K when the drift
+    budget is looser. ``respa_refresh`` amortizes the geometry rebuild
+    across macro windows; refresh*K <= ~16 keeps the default cell's skin
+    valid (violations are counted).
 
     ``mesh`` runs the rollout MULTI-CHIP over a ``jax.sharding.Mesh`` with
     a ``shard_axis`` body axis (N must divide across its devices): exact
