@@ -568,7 +568,7 @@ def main() -> None:
         for k_mr in (5, 4):
             rate_mr, drift_mr, ovf_mr, skin_mr = bench_respa(
                 65536, k=k_mr, impl="pallas_sb", headroom=2.2,
-                refresh=16 // k_mr, w_headroom=1.3)
+                refresh=16 // k_mr, w_headroom=1.5)
             extras[f"respa_k{k_mr}_body_steps_per_s_65536"] = round(rate_mr, 1)
             extras[f"respa_k{k_mr}_drift_65536_10000steps"] = drift_mr
             extras[f"respa_k{k_mr}_overflow"] = ovf_mr
