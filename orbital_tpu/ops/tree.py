@@ -1595,6 +1595,41 @@ def tree_acc_potential_staged(
     return a_f + a_n, U_f + U_n, overflow
 
 
+def _host_probe(jit_fn):
+    """Run a budget probe on the in-process CPU backend regardless of the
+    default platform. Probe results are consumed on host (static budget
+    sizing), the programs run in milliseconds, but this platform's
+    tunneled remote compiler takes MINUTES per distinct probe shape on
+    the TPU backend — the same lesson as ``ops/neighbor.neighbor_budgets``
+    (measured ~20 min for the sort+geometry probe). Falls back to the
+    default backend when inputs are tracers (probe used inside a traced
+    context) or no CPU backend exists."""
+    import functools
+
+    @functools.wraps(jit_fn)
+    def run(pos, alive=None, **kw):
+        if isinstance(pos, jax.core.Tracer) or (
+                alive is not None and isinstance(alive, jax.core.Tracer)):
+            return jit_fn(pos, alive, **kw)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            return jit_fn(pos, alive, **kw)
+        box = kw.get("box")
+        with jax.default_device(cpu):
+            pos_c = jnp.asarray(np.asarray(pos))
+            alive_c = (None if alive is None
+                       else jnp.asarray(np.asarray(alive)))
+            if box is not None:
+                kw["box"] = (jnp.asarray(np.asarray(box[0])),
+                             jnp.asarray(np.asarray(box[1])))
+            return jit_fn(pos_c, alive_c, **kw)
+
+    run._jit_fn = jit_fn  # the unwrapped jitted probe, for tests
+    return run
+
+
+@_host_probe
 @partial(jax.jit, static_argnames=("levels", "ws", "c_small"))
 def tree_class_probe(
     pos: jax.Array,
@@ -1649,6 +1684,7 @@ def tree_class_probe(
             jnp.sum(big.astype(i32)), jnp.sum(frontier.astype(i32)))
 
 
+@_host_probe
 @partial(jax.jit, static_argnames=("levels", "ws", "c_small",
                                    "with_chunks"))
 def tree_column_probe(
@@ -1732,6 +1768,7 @@ def _probe_sorted_cells(pos, alive, levels: int, box):
     return jnp.sort(jnp.where(alive_b, cell_id, M3)), n, M
 
 
+@_host_probe
 @partial(jax.jit, static_argnames=("levels", "ws", "chunk", "n_octaves"))
 def tree_pairs_probe(
     pos: jax.Array,
@@ -1796,6 +1833,7 @@ def tree_pairs_budgets(
     return max_chunks, entries
 
 
+@_host_probe
 @partial(jax.jit, static_argnames=("levels",))
 def tree_occupancy_probe(
     pos: jax.Array,

@@ -337,6 +337,15 @@ def _near_wl(sc, pos_srt, m_srt, sort_idx, n, M, ws, eps2, G,
     return idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow
 
 
+def _host_probe_wl(jit_fn):
+    """CPU-pin the worklist probe (see ops.tree._host_probe — defined
+    locally because ops.tree is imported lazily here to avoid a cycle)."""
+    from orbital_tpu.ops import tree as _tree
+
+    return _tree._host_probe(jit_fn)
+
+
+@_host_probe_wl
 @functools.partial(jax.jit,
                    static_argnames=("levels", "ws", "chunk", "rj"))
 def tree_wl_probe(pos, alive=None, *, levels: int = 6, ws: int = 1,
