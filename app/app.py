@@ -147,9 +147,17 @@ if SIM_SCENE == "cluster":
                  else ot.init_forces(_state0, _cl_cfg))
     _view_idx = np.linspace(0, SIM_N - 1, min(SIM_VIEW_MAX, SIM_N),
                             dtype=np.int64)
+    # trail history: ONE preallocated float32 ring [n_view, cap, 3] —
+    # a dict of per-body Python lists costs ~40x the bytes in object
+    # headers and churns the allocator every tick; the ring bounds
+    # long-uptime memory at n_view*cap*12 bytes exactly and makes the
+    # per-tick append one vectorized row write (soak notes in DESIGN.md)
+    _HIST_CAP = 300
     _cl = {
         "state": _cl_state, "cfg": _cl_cfg, "view": _view_idx,
-        "hist": {f"b{int(i):06d}": [] for i in _view_idx},
+        "names": [f"b{int(i):06d}" for i in _view_idx],
+        "hist_buf": np.zeros((len(_view_idx), _HIST_CAP, 3), np.float32),
+        "hist_len": 0, "hist_head": 0,
         "chunk": max(64, (1 << 27) // SIM_N),
         "staged": _cl_staged,
     }
@@ -222,9 +230,16 @@ def build_cluster_snapshot() -> dict:
         pos = pos + np.asarray(state.pos_lo, np.float64)[view]
     t = float(state.time)
     mass = float(1.0 / SIM_N)
+    # trail append: one vectorized ring-row write (bounded memory +
+    # O(n_view) tick cost with no allocator churn — long-uptime soak)
+    buf, head = _cl["hist_buf"], _cl["hist_head"]
+    buf[:, head] = pos.astype(np.float32)
+    _cl["hist_head"] = (head + 1) % buf.shape[1]
+    _cl["hist_len"] = min(_cl["hist_len"] + 1, buf.shape[1])
+    names = _cl["names"]
     bodies = []
-    for k, i in enumerate(view):
-        name = f"b{int(i):06d}"
+    for k in range(len(view)):
+        name = names[k]
         bodies.append({
             "id": name,
             "name": name,
@@ -235,10 +250,6 @@ def build_cluster_snapshot() -> dict:
             "position": {"x": float(pos[k, 0]), "y": float(pos[k, 1]),
                          "z": float(pos[k, 2])},
         })
-        h = _cl["hist"][name]
-        h.append([float(pos[k, 0]), float(pos[k, 1]), float(pos[k, 2])])
-        if len(h) > 300:
-            del h[: len(h) - 300]
     return {
         "bodies": bodies,
         "mass_min": mass,
@@ -323,7 +334,12 @@ if os.getenv("SIM_DISABLE_THREAD", "false").lower() != "true":
 def index():
     with engine_lock:
         if _cl is not None:
-            world_hist = {n: list(h) for n, h in _cl["hist"].items()}
+            # reconstruct ordered trails from the ring buffer (page loads
+            # only — the per-tick path never builds Python lists)
+            buf, L = _cl["hist_buf"], _cl["hist_len"]
+            order = (np.arange(L) + _cl["hist_head"] - L) % buf.shape[1]
+            world_hist = {n: buf[k, order].tolist()
+                          for k, n in enumerate(_cl["names"])}
         else:
             raw_hist = engine.named_history(limit=5000)
             world_hist = {

@@ -73,11 +73,15 @@ def _fills_pos(dtype):
 
 
 def _resolve_sweep(cfg: SimConfig, dtype):
-    """Returns ``sweep(xs, ys, zs, ms, geom) -> (acc, pe)`` over the slot
-    channels, closing over the chosen backend. The worklist Pallas kernel
-    is used when ``cfg.respa_wl_entries > 0`` (compacted real entries —
-    no sentinel-tile grid steps); otherwise the padded-jbl streaming
-    kernel / XLA oracle."""
+    """Returns ``sweep(xs, ys, zs, ms, geom, i0=None) -> (acc, pe)`` over
+    the slot channels, closing over the chosen backend. The worklist
+    Pallas kernel is used when ``cfg.respa_wl_entries > 0`` (compacted
+    real entries — no sentinel-tile grid steps); otherwise the padded-jbl
+    streaming kernel / XLA oracle. ``i0`` (dynamic chunk offset, paired
+    with a row-sliced ``geom["jbl"]``) restricts the sweep to one mesh
+    shard's i-chunks; the worklist backend has no offset plumbing
+    (entries are compacted globally), so sharded callers must size
+    ``respa_wl_entries = 0``."""
     impl = cfg.respa_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -89,9 +93,14 @@ def _resolve_sweep(cfg: SimConfig, dtype):
     interp = impl == "pallas_interpret"
     if impl == "pallas_sb":
         f = partial(near_acc_slots_pallas_sb, **kw)
-        return lambda xs, ys, zs, ms, geom: f(xs, ys, zs, ms, geom["jbl"])
+        return lambda xs, ys, zs, ms, geom, i0=None: f(
+            xs, ys, zs, ms, geom["jbl"], i0=i0)
     if impl in ("pallas", "pallas_interpret") and cfg.respa_wl_entries > 0:
-        def sweep_wl(xs, ys, zs, ms, geom):
+        def sweep_wl(xs, ys, zs, ms, geom, i0=None):
+            if i0 is not None:
+                raise ValueError(
+                    "the worklist near sweep does not shard; size "
+                    "respa_wl_entries=0 under a mesh")
             return near_acc_slots_pallas_wl(
                 xs, ys, zs, ms, geom["wl_i"], geom["wl_jb"],
                 geom["wl_first"], geom["wl_row_live"],
@@ -103,13 +112,15 @@ def _resolve_sweep(cfg: SimConfig, dtype):
         f = partial(near_acc_slots_pallas, interpret=True, **kw)
     else:
         f = partial(near_acc_slots, **kw)
-    return lambda xs, ys, zs, ms, geom: f(xs, ys, zs, ms, geom["jbl"])
+    return lambda xs, ys, zs, ms, geom, i0=None: f(
+        xs, ys, zs, ms, geom["jbl"], i0=i0)
 
 
 def make_respa_macro(
     cfg: SimConfig,
     force_fn: Callable,
     force_detect_fn: Optional[Callable] = None,
+    shard: Optional[tuple[str, int]] = None,
 ) -> Callable[[NBodyState], tuple[NBodyState, dict]]:
     """Build the jittable macro-step: ``state -> (state', diag)`` advancing
     ``cfg.respa_k`` substeps of ``cfg.dt``. ``diag`` carries the window's
@@ -119,7 +130,19 @@ def make_respa_macro(
     ``respa_k``). ``state.step`` advances by K (each substep is a real
     KDK step at dt), ``state.acc``/``potential`` stay the exact total
     force caches, so diagnostics and downstream consumers see plain-KDK
-    semantics at macro boundaries."""
+    semantics at macro boundaries.
+
+    ``shard=(axis_name, n_shards)`` builds the MESH variant, for use
+    inside ``shard_map`` with the state REPLICATED (full N on every
+    device): each device sweeps its ``K_ch / n_shards`` slice of the
+    i-chunk table per substep (the per-substep acc rows are then
+    all_gathered — slot-ordered, so the gather is the assembly) and
+    ``force_fn`` is expected to shard the closing exact evaluation
+    itself (the ring adapter in ``parallel.sharded``). Everything else —
+    pack, inner elementwise updates, unpack — is replicated; at the 65k+
+    scales where the multirate stepper matters, those are noise against
+    the two sweeps that do shard. See
+    ``parallel.sharded.make_sharded_respa_rollout``."""
     K = int(cfg.respa_k)
     dt = cfg.dt
     delta = K * dt
@@ -133,6 +156,18 @@ def make_respa_macro(
     if cfg.eps2 <= 0:
         raise ValueError("integrator='respa' requires softening > 0 "
                          "(self-pairs vanish through the softened rsqrt)")
+    if shard is not None:
+        shard_ax, n_shards = shard
+        if K_ch % n_shards:
+            raise ValueError(
+                f"respa_max_chunks={K_ch} must divide across {n_shards} "
+                "shards (neighbor_budgets rounds up when simulate() "
+                "passes a mesh)")
+        if cfg.respa_wl_entries > 0:
+            raise ValueError(
+                "sharded respa requires respa_wl_entries=0 (the worklist "
+                "sweep compacts entries globally and cannot shard)")
+        kd = K_ch // n_shards
     fuse_detect = force_detect_fn is not None and cfg.collisions != "none"
 
     def _pad(a):
@@ -165,12 +200,27 @@ def make_respa_macro(
         zcol = jnp.zeros((state.n_bodies, 1), dtype)
         pkr = lambda v, fills: pack_rows(slot, v, n_slots, fills)
 
-        def run_sweep(P):
-            acc, _ = sweep(P[:, 0], P[:, 1], P[:, 2], P[:, 3], geom)
-            # rows (ax, ay, az, 0): the zero column keeps every
-            # whole-row kick mass-neutral (column 3 of P is the mass)
-            return _pad(jnp.concatenate(
-                [acc, jnp.zeros((acc.shape[0], 1), acc.dtype)], axis=1))
+        if shard is None:
+            def run_sweep(P):
+                acc, _ = sweep(P[:, 0], P[:, 1], P[:, 2], P[:, 3], geom)
+                # rows (ax, ay, az, 0): the zero column keeps every
+                # whole-row kick mass-neutral (column 3 of P is the mass)
+                return _pad(jnp.concatenate(
+                    [acc, jnp.zeros((acc.shape[0], 1), acc.dtype)],
+                    axis=1))
+        else:
+            def run_sweep(P):
+                # each device sweeps its i-chunk slice against the global
+                # j side; the all_gather IS the slot-order assembly (acc
+                # rows are chunk-major, shards are contiguous runs)
+                i0 = lax.axis_index(shard_ax) * kd
+                jbl_l = lax.dynamic_slice_in_dim(geom["jbl"], i0, kd, 0)
+                acc_l, _ = sweep(P[:, 0], P[:, 1], P[:, 2], P[:, 3],
+                                 {**geom, "jbl": jbl_l}, i0=i0)
+                acc = lax.all_gather(acc_l, shard_ax, axis=0, tiled=True)
+                return _pad(jnp.concatenate(
+                    [acc, jnp.zeros((acc.shape[0], 1), acc.dtype)],
+                    axis=1))
 
         # row tables [n_slots, 4]: pack/unpack cost ~per ROW on this
         # platform, so channel groups replace 16 scalar scatters with 5

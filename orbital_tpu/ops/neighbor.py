@@ -235,6 +235,7 @@ def near_acc_slots(
     *,
     r1: float, rc: float, G: float, eps2: float,
     chunk: int = 32, rj: int = 4, block: int = 64,
+    i0: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Switched near-field sweep over the frozen j-block table — XLA
     reference implementation (the CPU/test oracle; gather-based, so the
@@ -244,12 +245,19 @@ def near_acc_slots(
     ``(acc [max_chunks*chunk, 3], pe [max_chunks*chunk])`` in slot order
     (the sentinel tail rows are excluded); ``pe[i] = sum_j m_j invr S`` —
     multiply by -G/2 and sum for the near potential energy.
+
+    ``i0`` (dynamic chunk offset) sweeps only i-chunks
+    ``[i0, i0 + jbl.shape[0])`` of the slot table — the j side stays
+    global. This is the mesh-sharding hook: each device passes its slice
+    of the jbl table plus its chunk offset and gets back its slice of
+    acc/pe rows (``parallel.sharded.make_sharded_respa_rollout``).
     """
     K_ch, W = jbl.shape
     C, RJ = int(chunk), int(rj)
     n_slots = xs.shape[0]
     blkw = RJ * C
     n_blocks = n_slots // blkw
+    base = jnp.asarray(0 if i0 is None else i0, i32)
     P = jnp.stack([xs, ys, zs, ms], axis=0).reshape(4, n_blocks, blkw)
     B = max(1, min(int(block), K_ch))
     nb = -(-K_ch // B)
@@ -257,9 +265,9 @@ def near_acc_slots(
         [jbl, jnp.full((nb * B - K_ch, W), (n_slots - blkw) // blkw, i32)])
 
     def do_block(k0):
-        xi = lax.dynamic_slice(xs, (k0 * C,), (B * C,)).reshape(B, C)
-        yi = lax.dynamic_slice(ys, (k0 * C,), (B * C,)).reshape(B, C)
-        zi = lax.dynamic_slice(zs, (k0 * C,), (B * C,)).reshape(B, C)
+        xi = lax.dynamic_slice(xs, ((base + k0) * C,), (B * C,)).reshape(B, C)
+        yi = lax.dynamic_slice(ys, ((base + k0) * C,), (B * C,)).reshape(B, C)
+        zi = lax.dynamic_slice(zs, ((base + k0) * C,), (B * C,)).reshape(B, C)
         jb = lax.dynamic_slice(jbl_pad, (k0, 0), (B, W))    # [B, W]
         xj = P[0][jb].reshape(B, 1, W * blkw)
         yj = P[1][jb].reshape(B, 1, W * blkw)
@@ -284,7 +292,9 @@ def near_acc_slots(
     # the sweep's self-pair contributes zero acceleration through dx = 0
     # but a finite m_i * rsqrt(eps2) * S(0) to the PE sum — subtract it
     # analytically (S(0) = 1 since r1 > 0)
-    pe = pe - ms[:K_ch * C] * (float(eps2) ** -0.5)
+    ms_i = (lax.dynamic_slice(ms, (base * C,), (K_ch * C,))
+            if i0 is not None else ms[:K_ch * C])
+    pe = pe - ms_i * (float(eps2) ** -0.5)
     return acc, pe
 
 

@@ -220,6 +220,7 @@ def near_acc_slots_pallas(
     r1: float, rc: float, G: float, eps2: float,
     chunk: int = 32, rj: int = 4, interpret: bool = False,
     resident: bool | None = None,
+    i0: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Drop-in Pallas counterpart of ``ops.neighbor.near_acc_slots``:
     same slot-space channels in, same ``(acc [K_ch*C, 3], pe [K_ch*C])``
@@ -228,7 +229,13 @@ def near_acc_slots_pallas(
     ``resident=None`` (default) picks the VMEM-resident kernel whenever
     the packed table fits comfortably (~48 MB padded; every 65k-scale
     headline window does), falling back to the streaming two-axis grid
-    beyond that. Pass True/False to force either path (tests)."""
+    beyond that. Pass True/False to force either path (tests).
+
+    ``i0`` (dynamic chunk offset): sweep only i-chunks
+    ``[i0, i0 + jbl.shape[0])`` — the mesh-sharding hook (the caller
+    passes its slice of the jbl table; the j side stays global). Forces
+    the streaming kernel (the resident variant has no offset plumbing
+    and is interpret-only anyway)."""
     k_ch, w_blk = jbl.shape
     c, rjn = int(chunk), int(rj)
     _validate_block_geom(c, rjn)
@@ -236,6 +243,8 @@ def near_acc_slots_pallas(
     blkw = rjn * c
     n_blocks = n_slots // blkw
     pjt = jnp.stack([xs, ys, zs, ms], axis=0)          # [4, n_slots]
+    if i0 is not None:
+        resident = False
     if resident is None:
         # MEASURED r3: the resident kernel HANGS the TPU remote compiler
         # (>9 min on a 736-chunk toy geometry, dynamic-trip and
@@ -257,13 +266,20 @@ def near_acc_slots_pallas(
         pe = out[:, 3] - ms[:k_ch * c] * (float(eps2) ** -0.5)
         return out[:, :3], pe
     pbods = pjt.T                                      # [n_slots, 4]
+    if i0 is not None:
+        # i side: this shard's slot rows; the grid's i index then runs
+        # over local chunks while jbl entries keep their global meaning
+        pbods_i = lax.dynamic_slice_in_dim(pbods, i0 * c, k_ch * c, 0)
+        ms_i = lax.dynamic_slice_in_dim(ms, i0 * c, k_ch * c, 0)
+    else:
+        pbods_i, ms_i = pbods, ms[:k_ch * c]
     call = _build_call(k_ch, w_blk, n_slots, c, rjn,
                        float(r1), float(rc), float(G), float(eps2),
                        bool(interpret))
-    out = call(jbl.reshape(-1), pbods, pjt)
+    out = call(jbl.reshape(-1), pbods_i, pjt)
     # self-pair PE correction: zero acceleration through dx = 0, but a
     # finite m_i * rsqrt(eps2) * S(0) rides the PE sum (S(0) = 1)
-    pe = out[:, 3] - ms[:k_ch * c] * (float(eps2) ** -0.5)
+    pe = out[:, 3] - ms_i * (float(eps2) ** -0.5)
     return out[:, :3], pe
 
 
@@ -434,6 +450,7 @@ def near_acc_slots_pallas_sb(
     *,
     r1: float, rc: float, G: float, eps2: float,
     chunk: int = 32, rj: int = 4, interpret: bool = False,
+    i0: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Superblock near sweep: same contract as ``near_acc_slots_pallas``
     (slot channels + jbl table in, (acc, pe) in slot order out).
@@ -443,7 +460,12 @@ def near_acc_slots_pallas_sb(
     bandwidth-bound XLA gather of 2 KB blocks, then one grid step per
     chunk over fat regular blocks. Pays ~2x the padded-table HBM traffic
     per substep but collapses the per-grid-step overhead that dominates
-    the entry-granular kernels (measured ~0.4 us/step; DESIGN §7)."""
+    the entry-granular kernels (measured ~0.4 us/step; DESIGN §7).
+
+    ``i0`` (dynamic chunk offset): sweep only i-chunks
+    ``[i0, i0 + jbl.shape[0])`` with the j side global — the
+    mesh-sharding hook; both the superblock gather and the grid shrink
+    to the local slice, so compute scales 1/D per device."""
     k_ch, w_blk = jbl.shape
     c, rjn = int(chunk), int(rj)
     _validate_block_geom(c, rjn)
@@ -452,6 +474,11 @@ def near_acc_slots_pallas_sb(
     n_blocks = n_slots // blkw
     pjt = jnp.stack([xs, ys, zs, ms], axis=0)          # [4, n_slots]
     pbods = pjt.T                                      # [n_slots, 4]
+    if i0 is not None:
+        pbods_i = lax.dynamic_slice_in_dim(pbods, i0 * c, k_ch * c, 0)
+        ms_i = lax.dynamic_slice_in_dim(ms, i0 * c, k_ch * c, 0)
+    else:
+        pbods_i, ms_i = pbods[:k_ch * c], ms[:k_ch * c]
     # per-substep contiguous superblock table: [k_ch, w_blk, 4, W] comes
     # straight off a block gather of the (cheaply) transposed j-table —
     # no big-array transpose afterwards
@@ -459,6 +486,6 @@ def near_acc_slots_pallas_sb(
     sb = jt_b[jbl]                                     # [k_ch, w_blk, 4, W]
     call = _build_call_sb(k_ch, w_blk, blkw, c, float(r1), float(rc),
                           float(G), float(eps2), bool(interpret))
-    out = call(pbods[:k_ch * c], sb)
-    pe = out[:, 3] - ms[:k_ch * c] * (float(eps2) ** -0.5)
+    out = call(pbods_i, sb)
+    pe = out[:, 3] - ms_i * (float(eps2) ** -0.5)
     return out[:, :3], pe

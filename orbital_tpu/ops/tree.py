@@ -1603,19 +1603,30 @@ def _host_probe(jit_fn):
     the TPU backend — the same lesson as ``ops/neighbor.neighbor_budgets``
     (measured ~20 min for the sort+geometry probe). Falls back to the
     default backend when inputs are tracers (probe used inside a traced
-    context) or no CPU backend exists."""
+    context) or no CPU backend exists.
+
+    The wrapper intentionally hides the jit-function API (``.lower()``,
+    ``.clear_cache()``, static-argnum introspection); the unwrapped
+    jitted probe is exposed as ``<probe>._jit_fn`` — tests and tooling
+    that need those attributes must go through it."""
     import functools
 
     @functools.wraps(jit_fn)
     def run(pos, alive=None, **kw):
-        if isinstance(pos, jax.core.Tracer) or (
-                alive is not None and isinstance(alive, jax.core.Tracer)):
+        box = kw.get("box")
+        traced = (isinstance(pos, jax.core.Tracer)
+                  or isinstance(alive, jax.core.Tracer)
+                  or (box is not None
+                      and any(isinstance(b, jax.core.Tracer) for b in box)))
+        if traced:
+            # probe called inside a traced context (any operand): the
+            # np.asarray host transfers below would raise
+            # TracerArrayConversionError — run on the default backend
             return jit_fn(pos, alive, **kw)
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             return jit_fn(pos, alive, **kw)
-        box = kw.get("box")
         with jax.default_device(cpu):
             pos_c = jnp.asarray(np.asarray(pos))
             alive_c = (None if alive is None

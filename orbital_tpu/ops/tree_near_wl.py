@@ -338,11 +338,21 @@ def _near_wl(sc, pos_srt, m_srt, sort_idx, n, M, ws, eps2, G,
 
 
 def _host_probe_wl(jit_fn):
-    """CPU-pin the worklist probe (see ops.tree._host_probe — defined
-    locally because ops.tree is imported lazily here to avoid a cycle)."""
-    from orbital_tpu.ops import tree as _tree
+    """CPU-pin the worklist probe via ops.tree._host_probe, imported
+    INSIDE the wrapper so this module never imports ops.tree at import
+    time — tree.py is free to import tree_near_wl at top level without
+    creating a cycle (ADVICE r3: the previous decorator-time import was
+    only accidentally safe)."""
+    import functools as _ft
 
-    return _tree._host_probe(jit_fn)
+    @_ft.wraps(jit_fn)
+    def run(*args, **kw):
+        from orbital_tpu.ops import tree as _tree
+
+        return _tree._host_probe(jit_fn)(*args, **kw)
+
+    run._jit_fn = jit_fn  # same introspection hook as _host_probe
+    return run
 
 
 @_host_probe_wl

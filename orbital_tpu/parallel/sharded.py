@@ -33,8 +33,8 @@ from ..engine.state import NBodyState
 from ..utils.config import SimConfig
 
 __all__ = ["ring_force_fn", "ring_bounce_fn", "make_sharded_step",
-           "make_sharded_rollout", "make_sharded_ensemble_step",
-           "state_sharding", "shard_state"]
+           "make_sharded_rollout", "make_sharded_respa_rollout",
+           "make_sharded_ensemble_step", "state_sharding", "shard_state"]
 
 
 def _check_vma(cfg: SimConfig) -> bool:
@@ -570,6 +570,167 @@ def make_sharded_rollout(cfg: SimConfig, mesh: Mesh,
     sharded = jax.shard_map(local_roll, mesh=mesh, in_specs=(spec,),
                             out_specs=(spec, traj_spec),
                             check_vma=_check_vma(cfg))
+    return jax.jit(sharded)
+
+
+def _gather_state_full(s: NBodyState, axis: str) -> NBodyState:
+    """all_gather every body-sharded array of a state to full N (scalars
+    are already replicated). Used by the sharded multirate rollout, whose
+    inner slot-space loop wants the whole system on every device."""
+    def g(x):
+        return (lax.all_gather(x, axis, axis=0, tiled=True)
+                if x is not None else None)
+
+    return s.replace(pos=g(s.pos), vel=g(s.vel), mass=g(s.mass),
+                     radius=g(s.radius), alive=g(s.alive), acc=g(s.acc),
+                     pos_lo=g(s.pos_lo), vel_lo=g(s.vel_lo),
+                     jerk=g(s.jerk))
+
+
+def _slice_state_local(s: NBodyState, axis: str, block: int) -> NBodyState:
+    """Inverse of :func:`_gather_state_full`: slice this device's body
+    shard back out of a replicated full state."""
+    off = lax.axis_index(axis) * block
+
+    def sl(x):
+        return (lax.dynamic_slice_in_dim(x, off, block, axis=0)
+                if x is not None else None)
+
+    return s.replace(pos=sl(s.pos), vel=sl(s.vel), mass=sl(s.mass),
+                     radius=sl(s.radius), alive=sl(s.alive), acc=sl(s.acc),
+                     pos_lo=sl(s.pos_lo), vel_lo=sl(s.vel_lo),
+                     jerk=sl(s.jerk))
+
+
+def make_sharded_respa_rollout(cfg: SimConfig, mesh: Mesh,
+                               state_example: NBodyState, steps: int,
+                               record_every: int = 0,
+                               axis: Optional[str] = None):
+    """Compiled multi-chip multirate (RESPA) rollout: scan of the sharded
+    macro window inside ``shard_map``.
+
+    What shards (the two phases that carry essentially all the FLOPs —
+    DESIGN "multirate phase anatomy"):
+
+    * the CLOSING exact O(N^2) evaluation, one per macro window — the
+      ppermute ring (:func:`ring_force_fn`), each device sweeping its
+      body shard at the tuned block-kernel rate (1/D of the pair work);
+    * the per-substep switched NEAR sweep — each device sweeps its
+      ``1/D`` slice of the frozen i-chunk table against the global j side
+      (``near_acc_slots*(..., i0=...)``) and one all_gather of the
+      slot-ordered acc rows reassembles the table (~K_ch*C*16 bytes over
+      ICI per substep).
+
+    What replicates: the neighbor-geometry build (once per
+    ``respa_refresh`` windows), pack/unpack, and the elementwise
+    slot-space KDK updates — all O(N) with tiny constants at the 65k+
+    scales where the multirate stepper matters. The state travels
+    body-sharded at the API boundary (same specs as
+    :func:`make_sharded_rollout`); inside, each macro runs on a
+    replicated full copy (one all_gather per rollout — not per window).
+
+    Collisions (macro-boundary contract, ``engine/multirate.py``): the
+    detection-fused closing evaluation and the outcome pass run
+    REPLICATED on the full state — correct, but the closing eval then
+    doesn't shard; prefer ``collisions='none'`` + segment boundaries for
+    production multi-chip runs.
+
+    Returns a jitted ``roll(state) -> (final, Trajectory | None, diag)``
+    with ``diag`` the window-max overflow/skin counters (replicated),
+    exactly like :func:`orbital_tpu.engine.multirate.respa_rollout`.
+    """
+    from ..engine.multirate import make_respa_macro
+    from ..engine.rollout import (Trajectory, _snapshot,
+                                  resolve_force_detect_fn)
+
+    axis = axis or cfg.shard_axis or "body"
+    cfg = cfg.replace(shard_axis=axis)
+    n_shards = mesh.shape[axis]
+    n_bodies = state_example.n_bodies
+    K = int(cfg.respa_k)
+    if n_bodies % n_shards:
+        raise ValueError(f"N={n_bodies} must divide across {n_shards} "
+                         f"shards (pad via make_state(pad_to=...))")
+    if steps % K:
+        raise ValueError(f"steps={steps} must divide by respa_k={K}")
+    if record_every > 0 and (record_every % K or steps % record_every):
+        raise ValueError(
+            f"record_every={record_every} must be a multiple of "
+            f"respa_k={K} and divide steps={steps}")
+    block = n_bodies // n_shards
+
+    ring = ring_force_fn(cfg.replace(force_impl="ring"), n_shards)
+
+    def force_full(pos, mass, alive):
+        """Closing exact evaluation for the macro's full (replicated)
+        positions: slice the local shard, ring it, gather the acc rows
+        back. U comes out psum'd (replicated) from the ring."""
+        off = lax.axis_index(axis) * block
+
+        def sl(x):
+            return lax.dynamic_slice_in_dim(x, off, block, axis=0)
+
+        acc_l, U = ring(sl(pos), sl(mass), sl(alive))
+        return lax.all_gather(acc_l, axis, axis=0, tiled=True), U
+
+    fd = (resolve_force_detect_fn(cfg, n_bodies)
+          if cfg.collisions != "none" else None)
+    macro = make_respa_macro(cfg, force_full, force_detect_fn=fd,
+                             shard=(axis, n_shards))
+    M = int(cfg.respa_refresh)
+    n_macros = steps // K
+
+    def step_d(carry, i):
+        s, geom, diag = carry
+        geom = lax.cond((i % M == 0) & (i > 0),
+                        lambda: macro.build_geom(s), lambda: geom)
+        s, d = macro(s, geom)
+        return (s, geom, {k: jnp.maximum(diag[k], d[k]) for k in diag}), None
+
+    def local_roll(s_local):
+        s = _gather_state_full(s_local, axis)
+        zero = jnp.zeros((), jnp.int32)
+        diag0 = dict(overflow=zero, cap_overflow=zero, w_overflow=zero,
+                     q_overflow=zero, skin_violation=zero)
+        geom0 = macro.build_geom(s)
+        if record_every <= 0:
+            (final, _, diag), _ = lax.scan(
+                step_d, (s, geom0, diag0), jnp.arange(n_macros))
+            return _slice_state_local(final, axis, block), None, diag
+
+        per_block = record_every // K
+        n_records = steps // record_every
+
+        def rec_block(carry, b):
+            carry, _ = lax.scan(step_d, carry,
+                                b * per_block + jnp.arange(per_block))
+            snap = _snapshot(carry[0])
+            off = lax.axis_index(axis) * block
+            for k in ("pos", "vel", "alive"):
+                snap[k] = lax.dynamic_slice_in_dim(snap[k], off, block,
+                                                   axis=0)
+            return carry, snap
+
+        (final, _, diag), ys = lax.scan(
+            rec_block, (s, geom0, diag0), jnp.arange(n_records))
+        return _slice_state_local(final, axis, block), Trajectory(**ys), diag
+
+    spec = _state_specs(state_example, axis)
+    if record_every > 0:
+        traj_spec = Trajectory(
+            pos=P(None, axis, None), vel=P(None, axis, None), time=P(),
+            energy=P(), ang_mom=P(), alive=P(None, axis))
+    else:
+        traj_spec = None
+    diag_spec = dict(overflow=P(), cap_overflow=P(), w_overflow=P(),
+                     q_overflow=P(), skin_violation=P())
+    # check_vma=False: the replicated-inner-state pattern (axis_index
+    # slices re-gathered every sweep) plus the optional Pallas kernels
+    # (see _check_vma) both sit outside what the varying-manual-axes
+    # checker can currently express
+    sharded = jax.shard_map(local_roll, mesh=mesh, in_specs=(spec,),
+                            out_specs=(spec, traj_spec, diag_spec),
+                            check_vma=False)
     return jax.jit(sharded)
 
 

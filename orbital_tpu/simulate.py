@@ -343,10 +343,6 @@ def simulate(
         pm_box = (float(c0[0]), float(c0[1]), float(c0[2]), half0)
     respa_fields = {}
     if integrator == "respa":
-        if mesh is not None:
-            raise NotImplementedError(
-                "integrator='respa' does not compose with mesh sharding "
-                "yet; run unsharded or use integrator='kdk'")
         if steps % respa_k:
             raise ValueError(
                 f"steps={steps} must divide by respa_k={respa_k}")
@@ -371,6 +367,15 @@ def simulate(
 
         m_grid, k_ch, w_blk, wl_q = neighbor_budgets(
             pos_i, cell=cell_i, chunk=32, rj=4, with_wl=True)
+        if mesh is not None:
+            # sharded macro: each device sweeps K_ch / D i-chunks, so the
+            # chunk budget must divide across the mesh (and stay a
+            # multiple of rj for the block table); the worklist sweep
+            # compacts entries globally and cannot shard — size it off
+            d_sh = int(mesh.shape[shard_axis])
+            mult = int(np.lcm(8, d_sh))
+            k_ch = -(-k_ch // mult) * mult
+            wl_q = 0
         respa_fields = dict(
             respa_k=respa_k, respa_rc=rc_i,
             respa_r1=(respa_r1 / rescale.length if respa_r1 else 0.0),
@@ -463,21 +468,23 @@ def simulate(
                 "rollout: budgets sized from the initial distribution "
                 "were outgrown mid-run; re-run in shorter segments.",
                 RuntimeWarning, stacklevel=2)
-    elif mesh is not None:
-        # compiled multi-chip rollout: one shard_map(scan(step)) program —
-        # ring forces for exact kernels, mesh solvers for pm/p3m/tree
-        from .parallel.sharded import make_sharded_rollout, shard_state
-
-        state = init_forces(state, cfg)
-        roll = make_sharded_rollout(cfg, mesh, state, steps, record_every,
-                                    axis=shard_axis)
-        final, traj = roll(shard_state(mesh, state, shard_axis))
     elif cfg.integrator == "respa":
-        from .engine.multirate import respa_rollout_jit
-
         state = init_forces(state, cfg)
-        final, traj, rdiag = respa_rollout_jit(state, cfg, steps,
-                                               record_every)
+        if mesh is not None:
+            # multi-chip multirate: ring-sharded closing evaluation +
+            # chunk-sharded near sweeps (parallel/sharded.py)
+            from .parallel.sharded import (make_sharded_respa_rollout,
+                                           shard_state)
+
+            roll = make_sharded_respa_rollout(cfg, mesh, state, steps,
+                                              record_every,
+                                              axis=shard_axis)
+            final, traj, rdiag = roll(shard_state(mesh, state, shard_axis))
+        else:
+            from .engine.multirate import respa_rollout_jit
+
+            final, traj, rdiag = respa_rollout_jit(state, cfg, steps,
+                                                   record_every)
         if int(rdiag["overflow"]) or int(rdiag["skin_violation"]):
             import warnings
 
@@ -488,6 +495,15 @@ def simulate(
                 "been missed — enlarge respa_cell (skin) or re-run in "
                 "segments so budgets re-size.",
                 RuntimeWarning, stacklevel=2)
+    elif mesh is not None:
+        # compiled multi-chip rollout: one shard_map(scan(step)) program —
+        # ring forces for exact kernels, mesh solvers for pm/p3m/tree
+        from .parallel.sharded import make_sharded_rollout, shard_state
+
+        state = init_forces(state, cfg)
+        roll = make_sharded_rollout(cfg, mesh, state, steps, record_every,
+                                    axis=shard_axis)
+        final, traj = roll(shard_state(mesh, state, shard_axis))
     else:
         state = init_forces(state, cfg)
         final, traj = rollout_jit(state, cfg, steps, record_every)

@@ -1,5 +1,6 @@
 """bench.py helpers and the benchmarks CLI (cheap CPU configs)."""
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -10,9 +11,29 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _run(args, timeout=600):
+def _run(args, timeout=600, env=None):
     return subprocess.run([sys.executable, *args], cwd=str(REPO),
-                          capture_output=True, text=True, timeout=timeout)
+                          capture_output=True, text=True, timeout=timeout,
+                          env=env)
+
+
+def test_bench_watchdog_emits_last_good_on_hang():
+    """Round 3's driver bench was rc=124/parsed=null: the main thread
+    blocked inside a remote-compile C call starves a main-thread SIGALRM
+    handler until the external SIGKILL. The daemon watchdog thread must
+    emit the last-good JSON line and exit 0 regardless of what the main
+    thread is wedged in (simulated here with an uninterruptible wait
+    before any output)."""
+    env = {**os.environ, "BENCH_HANG_FOR_TEST": "1", "BENCH_WATCHDOG_S": "3"}
+    out = _run(["bench.py"], timeout=60, env=env)
+    assert out.returncode == 0, out.stderr[-1500:]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert lines, "watchdog printed nothing"
+    data = json.loads(lines[-1])
+    assert data["unit"] == "body-steps/s"
+    # repo snapshot exists, so the cached headline must be carried over
+    assert data["value"] > 0
+    assert "note" in data["extras"] or "error" in data["extras"]
 
 
 def test_benchmarks_cli_lagrange3():

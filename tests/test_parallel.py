@@ -889,3 +889,80 @@ def test_sharded_ensemble_resolve(rng):
     np.testing.assert_allclose(np.asarray(out.vel)[al],
                                np.asarray(ref.vel)[al],
                                rtol=3e-5, atol=3e-6)
+
+
+def test_sharded_respa_rollout_matches_unsharded(rng):
+    """Multi-chip multirate (RESPA) rollout: ring-sharded closing exact
+    evaluation + chunk-sharded near sweeps inside shard_map must
+    reproduce the single-device respa_rollout at f64 (VERDICT r3 #3).
+    Only summation order differs (the ring accumulates the far force in
+    shard blocks), so f64 trajectories agree to tight tolerances."""
+    from orbital_tpu.engine.multirate import respa_rollout
+    from orbital_tpu.engine.rollout import init_forces as _init
+    from orbital_tpu.ops.neighbor import neighbor_budgets
+    from orbital_tpu.parallel.sharded import make_sharded_respa_rollout
+    from orbital_tpu.utils.config import SimConfig
+
+    n = 128
+    pos = rng.normal(size=(n, 3))
+    vel = 0.3 * rng.normal(size=(n, 3))
+    mass = rng.uniform(0.5, 1.5, n) / n
+    rc, cell = 0.3, 0.6
+    m_grid, k_ch, w_blk = neighbor_budgets(pos, cell=cell, chunk=8, rj=16)
+    cfg = SimConfig(dt=1e-3, G=1.0, eps2=1e-4, integrator="respa",
+                    respa_k=4, respa_rc=rc, respa_cell=cell,
+                    respa_m=m_grid, respa_max_chunks=k_ch,
+                    respa_w_blk=w_blk, respa_chunk=8, respa_rj=16,
+                    respa_impl="xla", respa_refresh=2)
+    st = _init(make_state(pos, vel, mass, precision="f64"), cfg)
+
+    ref_final, ref_traj, ref_diag = respa_rollout(st, cfg, 32,
+                                                  record_every=16)
+    assert int(ref_diag["overflow"]) == 0
+
+    mesh = make_mesh()
+    roll = make_sharded_respa_rollout(cfg, mesh, st, steps=32,
+                                      record_every=16, axis="body")
+    out, traj, diag = roll(shard_state(mesh, st))
+
+    assert int(diag["overflow"]) == 0
+    assert int(diag["skin_violation"]) == int(ref_diag["skin_violation"])
+    assert traj.pos.shape == (2, n, 3)
+    scale = float(np.max(np.abs(np.asarray(ref_final.pos))))
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(ref_final.pos),
+                               atol=1e-11 * scale)
+    np.testing.assert_allclose(np.asarray(out.vel),
+                               np.asarray(ref_final.vel), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(traj.pos),
+                               np.asarray(ref_traj.pos),
+                               atol=1e-11 * scale)
+    np.testing.assert_allclose(np.asarray(traj.energy),
+                               np.asarray(ref_traj.energy), rtol=1e-12)
+    assert int(out.step) == 32
+    assert float(out.time) == pytest.approx(float(ref_final.time))
+
+
+def test_simulate_mesh_respa_matches_single_device(rng):
+    """simulate(integrator='respa', mesh=...): the one-call API's
+    multi-chip multirate route (the gate deleted in round 4) reproduces
+    the single-device respa run on the same scene."""
+    n = 64
+    pos = rng.normal(size=(n, 3))
+    vel = rng.normal(size=(n, 3)) * 0.1
+    mass = rng.uniform(0.5, 1.5, n)
+
+    from orbital_tpu.models.scene import SceneArrays
+
+    scene = SceneArrays(pos=pos, vel=vel, mass=mass,
+                        radius=np.full(n, 1e-3),
+                        names=[f"b{i}" for i in range(n)])
+    import dataclasses as _dc
+
+    kw = dict(steps=24, dt=1e-3, softening=1e-2, record_every=12,
+              precision="f64", integrator="respa", respa_k=4,
+              unit_profile=_dc.replace(ot.STANDARD, G=1.0))
+    ref = ot.simulate(scene, **kw)
+    out = ot.simulate(scene, mesh=make_mesh(), **kw)
+    np.testing.assert_allclose(out.pos, ref.pos, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(out.energy, ref.energy, rtol=1e-9)
