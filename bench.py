@@ -39,6 +39,7 @@ _EXTRA_GROUPS = [
     ("ensemble_1024x26solar_body_steps_per_s", "bench_ensemble_error"),
     ("body_steps_per_s_65536_with_collision_sweep",
      "vs_baseline_65536_with_collision_sweep", "bench_collisions_error"),
+    ("body_steps_per_s_65536_with_resolve", "bench_resolve_error"),
     ("hermite_body_steps_per_s_65536", "bench_hermite_error"),
     ("pm_body_steps_per_s_1048576_grid128", "bench_pm_error"),
     ("tree_body_steps_per_s_65536_plummer", "ms_per_eval_tree_65536",
@@ -139,6 +140,31 @@ def bench_rate_with_collisions(n: int, iters: int = 4) -> float:
     state = ot.init_forces(state, cfg)
     # detection fused into the force sweep; the resolution sweep is
     # lax.cond-skipped on contact-free steps
+    step = make_step_fn(cfg, resolve_force_fn(cfg, n),
+                        force_detect_fn=resolve_force_detect_fn(cfg, n))
+    sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
+    return n / sec
+
+
+def bench_rate_with_resolve(n: int, iters: int = 4) -> float:
+    """Step rate with the absorb/fragment/bounce OUTCOME model armed
+    (collisions='resolve'): fused detection rides the force tiles every
+    step, and the contact-subset outcome pass (gather -> dense model ->
+    scatter; ops.collisions.resolve_outcomes_subset) is lax.cond-skipped
+    on contact-free steps — so this measures the standing cost of having
+    the debris model ON at the headline scale (VERDICT r3 #5)."""
+    import orbital_tpu as ot
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.engine.rollout import (resolve_force_detect_fn,
+                                            resolve_force_fn)
+    from orbital_tpu.engine.state import make_state
+    from orbital_tpu.utils.timing import bench_chained
+
+    pos, vel, mass, eps2 = make_cluster(n)
+    state = make_state(pos, vel, mass, np.full(n, 1e-4), precision="ds32")
+    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="auto",
+                       collisions="resolve", frag_seed=11, debris_k=2)
+    state = ot.init_forces(state, cfg)
     step = make_step_fn(cfg, resolve_force_fn(cfg, n),
                         force_detect_fn=resolve_force_detect_fn(cfg, n))
     sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
@@ -846,6 +872,13 @@ def main() -> None:
                 rate_coll / BASELINE_65K, 1)
         except Exception as e:  # noqa: BLE001
             extras["bench_collisions_error"] = str(e)[:200]
+        _checkpoint_result()
+    if _fits("resolve", 60):
+        try:
+            extras["body_steps_per_s_65536_with_resolve"] = round(
+                bench_rate_with_resolve(65536), 1)
+        except Exception as e:  # noqa: BLE001
+            extras["bench_resolve_error"] = str(e)[:200]
         _checkpoint_result()
     if _fits("hermite", 60):
         try:

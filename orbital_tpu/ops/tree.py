@@ -307,6 +307,23 @@ def _level_conv(moments, ws: int, h, G: float, eps2: float, order: int):
     return out
 
 
+def _coarsen2(c, mm):
+    """2x2x2-coarsen a flat x-major ``[(2 mm)^3]`` grid to ``[mm^3]``,
+    one axis at a time with stride-2 slices of 3-d views. The obvious
+    ``reshape(mm, 2, mm, 2, mm, 2).sum(axis=(1, 3, 5))`` is arithmetic-
+    identical but lets XLA materialize the 6-d intermediate, whose
+    trailing (..., 2, 2) dims pad 64x under T(8, 128) tiling — measured
+    4 GB per channel at the level-8 grid, an instant HBM OOM in the
+    512k/1M staged far program (round 4). Strided 3-d slices keep every
+    materialized shape's minor dims large."""
+    M = 2 * mm
+    g = c.reshape(M, M, M)
+    g = g[:, :, 0::2] + g[:, :, 1::2]        # z: [M, M, mm]
+    g = g[:, 0::2, :] + g[:, 1::2, :]        # y: [M, mm, mm]
+    g = g[0::2, :, :] + g[1::2, :, :]        # x: [mm, mm, mm]
+    return g.reshape(-1)
+
+
 def _octant_pack(flat_chans, m):
     """Mo flat [m^3] moment grids -> octant-packed parent grid, [s, 8 Mo,
     s, s] NCHW or [s, s, s, 8 Mo] NHWC (s = m/2; channel = moment*8 +
@@ -700,9 +717,7 @@ def tree_acc_potential(
         for c in raw)}
     for lev in range(levels - 1, 1, -1):
         mm = 2 ** lev
-        chans[lev] = tuple(
-            c.reshape(mm, 2, mm, 2, mm, 2).sum(axis=(1, 3, 5)).reshape(-1)
-            for c in chans[lev + 1])
+        chans[lev] = tuple(_coarsen2(c, mm) for c in chans[lev + 1])
 
     # ---- far field: per-level octant convolutions + body Taylor step ------
     if _phase == "near":

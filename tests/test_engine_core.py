@@ -877,3 +877,62 @@ def test_yoshida4_bounce_collisions_conserve_momentum():
     np.testing.assert_allclose(p, 0.0, atol=1e-12)
     # they bounced: x-velocities flipped sign
     assert float(fin.vel_full()[0, 0]) < 0.0
+
+
+@pytest.mark.slow
+def test_resolve_debris_disk_65536_under_rollout():
+    """Headline-scale debris disk: collisions='resolve' — the contact-
+    subset outcome pass (absorb / fragment-with-debris) — under the
+    scanned rollout at N=65536 (VERDICT r3 #5: 'composes at scale' as a
+    tested claim, not an assertion). PM far field keeps the CPU cost
+    tractable; the outcome model is force-independent. Plants 40 absorb
+    pairs (mass ratio 20 > 10) and 4 fragmentation pairs (comparable
+    masses, E_coll ~ 60x threshold) plus 64 spare slots for debris;
+    dt is tiny so contacts survive to the post-step detection."""
+    import jax
+
+    import orbital_tpu as ot
+    from orbital_tpu.engine.rollout import init_forces, rollout
+    from orbital_tpu.engine.state import make_state
+
+    n = 65536
+    rng = np.random.default_rng(42)
+    th = rng.uniform(0, 2 * np.pi, n)
+    rr = rng.uniform(1.0, 3.0, n)
+    pos = np.stack([rr * np.cos(th), rr * np.sin(th),
+                    0.01 * rng.normal(size=n)], -1)
+    vel = 0.05 * rng.normal(size=(n, 3))
+    mass = np.full(n, 1.0 / n)
+    radius = np.full(n, 1e-6)
+    for k in range(40):                     # absorb pairs at 0..79
+        i, j = 2 * k, 2 * k + 1
+        pos[j] = pos[i] + np.array([1e-4, 0, 0])
+        radius[i] = radius[j] = 1e-4
+        mass[i] = 20.0 / n
+        vel[j] = vel[i]
+    for k in range(4):                      # fragment pairs at 2000..2007
+        i, j = 2000 + 2 * k, 2001 + 2 * k
+        pos[j] = pos[i] + np.array([1e-4, 0, 0])
+        radius[i] = radius[j] = 1e-4
+        vel[i] = np.array([250.0, 0, 0])
+        vel[j] = np.array([-250.0, 0, 0])
+    st = make_state(pos, vel, mass, radius, precision="f32", spare=64)
+    cfg = ot.SimConfig(dt=1e-8, G=1.0, eps2=1e-4, force_impl="pm",
+                       pm_grid=64, pm_box=(0.0, 0.0, 0.0, 8.0),
+                       collisions="resolve", frag_seed=7, debris_k=2)
+    st = init_forces(st, cfg)
+    m0 = float(np.sum(np.asarray(st.mass) * np.asarray(st.alive)))
+    final, _ = rollout(st, cfg, 2)
+    a = np.asarray(final.alive)
+    m = np.asarray(final.mass)
+    # absorb pairs: every small partner gone, every absorber gained it
+    assert not a[1:80:2].any()
+    assert a[0:80:2].all()
+    np.testing.assert_allclose(m[0:80:2], 21.0 / n, rtol=1e-5)
+    # fragmentation removed both planted bodies of each pair...
+    assert not a[2000:2008].any()
+    # ...and spawned debris into the spare slots
+    assert a[n:].sum() > 0
+    # total live mass conserved (absorb transfers; fragments -> debris)
+    m1 = float(np.sum(m * a))
+    assert m1 == pytest.approx(m0, rel=1e-4)
