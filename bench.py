@@ -1,6 +1,10 @@
 """Headline benchmark: body-steps/s/chip for the leapfrog KDK stepper.
 
-Prints ONE JSON line:
+Output protocol: one or two JSON lines on stdout — the LAST line is the
+result. The headline is printed EARLY (right after it is measured) so an
+external kill later in the extras suite still leaves a parseable line;
+a second, richer line with the full merged extras supersedes it on a
+normal exit. Consumers must parse the last JSON line:
   {"metric": "body-steps/s/chip @ N=65536", "value": ..., "unit": "body-steps/s",
    "vs_baseline": ..., "extras": {...}}
 
@@ -26,6 +30,11 @@ import numpy as np
 
 _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH_LAST_GOOD.json")
+
+# live --rung child (subprocess.Popen), killed by the watchdog emitter:
+# an os._exit(0) alone would orphan a hung remote-compile child, which
+# keeps the TPU worker / compile helper busy past the parent's death
+_LIVE_CHILD = None
 
 BASELINE_65K = 2.7     # body-steps/s, reference extrapolation at N=65536
 BASELINE_4K = 44.0     # body-steps/s, reference extrapolation at N=4096
@@ -119,40 +128,12 @@ def energy_hybrid(state, eps2: float) -> float:
     return K + U
 
 
-def bench_rate_with_collisions(n: int, iters: int = 4) -> float:
-    """Step rate with collision handling ON — the like-for-like comparison
-    against the reference, whose measured numbers include its own per-step
-    O(N^2) collision scan. Here detection is fused into the force sweep
-    (+~4 VPU ops/pair, every step) and the O(N^2) *resolution* sweep is
-    lax.cond-executed only on steps where something actually touches
-    (none in this IC; semantics are identical to the always-sweep path
-    because a contact-free resolution sweep is a no-op)."""
-    import orbital_tpu as ot
-    from orbital_tpu.engine.integrators import make_step_fn
-    from orbital_tpu.engine.rollout import resolve_force_detect_fn, resolve_force_fn
-    from orbital_tpu.engine.state import make_state
-    from orbital_tpu.utils.timing import bench_chained
-
-    pos, vel, mass, eps2 = make_cluster(n)
-    state = make_state(pos, vel, mass, np.full(n, 1e-4), precision="ds32")
-    cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="auto",
-                       collisions="bounce", restitution=1.0)
-    state = ot.init_forces(state, cfg)
-    # detection fused into the force sweep; the resolution sweep is
-    # lax.cond-skipped on contact-free steps
-    step = make_step_fn(cfg, resolve_force_fn(cfg, n),
-                        force_detect_fn=resolve_force_detect_fn(cfg, n))
-    sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
-    return n / sec
-
-
-def bench_rate_with_resolve(n: int, iters: int = 4) -> float:
-    """Step rate with the absorb/fragment/bounce OUTCOME model armed
-    (collisions='resolve'): fused detection rides the force tiles every
-    step, and the contact-subset outcome pass (gather -> dense model ->
-    scatter; ops.collisions.resolve_outcomes_subset) is lax.cond-skipped
-    on contact-free steps — so this measures the standing cost of having
-    the debris model ON at the headline scale (VERDICT r3 #5)."""
+def _rate_with_collision_mode(n: int, iters: int, **coll_kw) -> float:
+    """Step rate with a collision mode armed: detection is fused into the
+    force sweep (+~4 VPU ops/pair, every step) and the O(N^2) resolution
+    pass is lax.cond-executed only on steps where something actually
+    touches (none in this IC; semantics are identical to the always-sweep
+    path because a contact-free pass is a no-op)."""
     import orbital_tpu as ot
     from orbital_tpu.engine.integrators import make_step_fn
     from orbital_tpu.engine.rollout import (resolve_force_detect_fn,
@@ -163,12 +144,29 @@ def bench_rate_with_resolve(n: int, iters: int = 4) -> float:
     pos, vel, mass, eps2 = make_cluster(n)
     state = make_state(pos, vel, mass, np.full(n, 1e-4), precision="ds32")
     cfg = ot.SimConfig(dt=1e-3, G=1.0, eps2=eps2, force_impl="auto",
-                       collisions="resolve", frag_seed=11, debris_k=2)
+                       **coll_kw)
     state = ot.init_forces(state, cfg)
     step = make_step_fn(cfg, resolve_force_fn(cfg, n),
                         force_detect_fn=resolve_force_detect_fn(cfg, n))
     sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
     return n / sec
+
+
+def bench_rate_with_collisions(n: int, iters: int = 4) -> float:
+    """Bounce-mode step rate — the like-for-like comparison against the
+    reference, whose measured numbers include its own per-step O(N^2)
+    collision scan."""
+    return _rate_with_collision_mode(n, iters, collisions="bounce",
+                                     restitution=1.0)
+
+
+def bench_rate_with_resolve(n: int, iters: int = 4) -> float:
+    """Step rate with the absorb/fragment/bounce OUTCOME model armed
+    (collisions='resolve'; ops.collisions.resolve_outcomes_subset above
+    the dense ceiling) — the standing cost of having the debris model ON
+    at the headline scale (VERDICT r3 #5)."""
+    return _rate_with_collision_mode(n, iters, collisions="resolve",
+                                     frag_seed=11, debris_k=2)
 
 
 def bench_config(n: int, drift_steps: int, iters: int,
@@ -537,6 +535,12 @@ def _emit_last_good_and_exit(signum=None, frame=None):
                           "vs_baseline": 0,
                           "extras": {"error": "TPU unavailable and no cached result"}}))
         sys.stdout.flush()
+    child = _LIVE_CHILD
+    if child is not None and child.poll() is None:
+        try:
+            child.kill()
+        except OSError:
+            pass
     os._exit(0)
 
 
@@ -548,15 +552,25 @@ def _rung_subprocess(rung_args: list[str], timeout_s: float) -> dict:
     inside the in-process rung would eat the whole bench budget (VERDICT r3
     #1). A child process can be killed from outside the blocked C call.
     Returns the child's extras dict (last stdout line, JSON)."""
+    global _LIVE_CHILD
     cmd = [sys.executable, os.path.abspath(__file__), "--rung", *rung_args]
-    proc = subprocess.run(cmd, capture_output=True, text=True,
-                          timeout=timeout_s,
-                          cwd=os.path.dirname(os.path.abspath(__file__)))
-    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True,
+                            cwd=os.path.dirname(os.path.abspath(__file__)))
+    _LIVE_CHILD = proc
+    try:
+        out, err = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        raise
+    finally:
+        _LIVE_CHILD = None
+    lines = [ln for ln in out.strip().splitlines() if ln.strip()]
     if proc.returncode != 0 or not lines:
         raise RuntimeError(
             f"rung {rung_args} rc={proc.returncode}: "
-            f"{(proc.stderr or proc.stdout)[-300:]}")
+            f"{(err or out)[-300:]}")
     return json.loads(lines[-1])
 
 
@@ -737,6 +751,73 @@ def main() -> None:
             extras[f"bench_tree_{n_large}_error"] = err
         _checkpoint_result()
 
+    # ---- cheap refresh rungs (each well under a minute warm) ----
+    if _fits("4096", 70):
+        try:
+            rate_4k, sps_4k, drift_4k = bench_config(4096, drift_steps=10000,
+                                                     iters=100)
+            extras.update(
+                body_steps_per_s_4096=round(rate_4k, 1),
+                vs_baseline_4096=round(rate_4k / BASELINE_4K, 1),
+                ms_per_step_4096=round(sps_4k * 1e3, 4),
+                energy_drift_4096_10000steps=drift_4k,
+            )
+        except Exception as e:  # noqa: BLE001
+            extras["bench_4096_error"] = str(e)[:200]
+        _checkpoint_result()
+    if _fits("ensemble", 60):
+        try:
+            extras["ensemble_1024x26solar_body_steps_per_s"] = round(
+                bench_ensemble(1024), 1)
+        except Exception as e:  # noqa: BLE001
+            extras["bench_ensemble_error"] = str(e)[:200]
+        _checkpoint_result()
+    if _fits("collisions", 60):
+        try:
+            rate_coll = bench_rate_with_collisions(65536)
+            extras["body_steps_per_s_65536_with_collision_sweep"] = round(
+                rate_coll, 1)
+            extras["vs_baseline_65536_with_collision_sweep"] = round(
+                rate_coll / BASELINE_65K, 1)
+        except Exception as e:  # noqa: BLE001
+            extras["bench_collisions_error"] = str(e)[:200]
+        _checkpoint_result()
+    if _fits("resolve", 60):
+        try:
+            extras["body_steps_per_s_65536_with_resolve"] = round(
+                bench_rate_with_resolve(65536), 1)
+        except Exception as e:  # noqa: BLE001
+            extras["bench_resolve_error"] = str(e)[:200]
+        _checkpoint_result()
+    if _fits("hermite", 60):
+        try:
+            extras["hermite_body_steps_per_s_65536"] = round(
+                bench_hermite(65536), 1)
+        except Exception as e:  # noqa: BLE001
+            extras["bench_hermite_error"] = str(e)[:200]
+    if _fits("pm_rate", 90):
+        try:
+            extras["pm_body_steps_per_s_1048576_grid128"] = round(
+                bench_pm(1 << 20), 1)
+        except Exception as e:  # noqa: BLE001
+            extras["bench_pm_error"] = str(e)[:200]
+    if _fits("tree_65k", 120):
+        try:
+            extras["tree_body_steps_per_s_65536_plummer"] = round(
+                bench_tree(), 1)
+        except Exception as e:  # noqa: BLE001
+            extras["bench_tree_error"] = str(e)[:200]
+    _checkpoint_result()
+    if _fits("131072", 60):
+        try:
+            # exact-kernel ceiling datapoint (2x the headline N)
+            rate_131k, sps_131k, _ = bench_config(131072, drift_steps=0,
+                                                  iters=2)
+            extras["body_steps_per_s_131072"] = round(rate_131k, 1)
+            extras["ms_per_step_131072"] = round(sps_131k * 1e3, 2)
+        except Exception as e:  # noqa: BLE001
+            extras["bench_131072_error"] = str(e)[:200]
+
     # conservation extras (VERDICT r1 #7): drift per approximate family.
     # PM on the headline cluster (10k steps, PINNED box — the unpinned
     # figure in older snapshots predates simulate()'s auto-pinning and
@@ -841,73 +922,6 @@ def main() -> None:
             _checkpoint_result()
         except Exception as e:  # noqa: BLE001
             extras["bench_tree_drift_error"] = str(e)[:200]
-
-    # ---- cheap refresh rungs (each well under a minute warm) ----
-    if _fits("4096", 70):
-        try:
-            rate_4k, sps_4k, drift_4k = bench_config(4096, drift_steps=10000,
-                                                     iters=100)
-            extras.update(
-                body_steps_per_s_4096=round(rate_4k, 1),
-                vs_baseline_4096=round(rate_4k / BASELINE_4K, 1),
-                ms_per_step_4096=round(sps_4k * 1e3, 4),
-                energy_drift_4096_10000steps=drift_4k,
-            )
-        except Exception as e:  # noqa: BLE001
-            extras["bench_4096_error"] = str(e)[:200]
-        _checkpoint_result()
-    if _fits("ensemble", 60):
-        try:
-            extras["ensemble_1024x26solar_body_steps_per_s"] = round(
-                bench_ensemble(1024), 1)
-        except Exception as e:  # noqa: BLE001
-            extras["bench_ensemble_error"] = str(e)[:200]
-        _checkpoint_result()
-    if _fits("collisions", 60):
-        try:
-            rate_coll = bench_rate_with_collisions(65536)
-            extras["body_steps_per_s_65536_with_collision_sweep"] = round(
-                rate_coll, 1)
-            extras["vs_baseline_65536_with_collision_sweep"] = round(
-                rate_coll / BASELINE_65K, 1)
-        except Exception as e:  # noqa: BLE001
-            extras["bench_collisions_error"] = str(e)[:200]
-        _checkpoint_result()
-    if _fits("resolve", 60):
-        try:
-            extras["body_steps_per_s_65536_with_resolve"] = round(
-                bench_rate_with_resolve(65536), 1)
-        except Exception as e:  # noqa: BLE001
-            extras["bench_resolve_error"] = str(e)[:200]
-        _checkpoint_result()
-    if _fits("hermite", 60):
-        try:
-            extras["hermite_body_steps_per_s_65536"] = round(
-                bench_hermite(65536), 1)
-        except Exception as e:  # noqa: BLE001
-            extras["bench_hermite_error"] = str(e)[:200]
-    if _fits("pm_rate", 90):
-        try:
-            extras["pm_body_steps_per_s_1048576_grid128"] = round(
-                bench_pm(1 << 20), 1)
-        except Exception as e:  # noqa: BLE001
-            extras["bench_pm_error"] = str(e)[:200]
-    if _fits("tree_65k", 120):
-        try:
-            extras["tree_body_steps_per_s_65536_plummer"] = round(
-                bench_tree(), 1)
-        except Exception as e:  # noqa: BLE001
-            extras["bench_tree_error"] = str(e)[:200]
-    _checkpoint_result()
-    if _fits("131072", 60):
-        try:
-            # exact-kernel ceiling datapoint (2x the headline N)
-            rate_131k, sps_131k, _ = bench_config(131072, drift_steps=0,
-                                                  iters=2)
-            extras["body_steps_per_s_131072"] = round(rate_131k, 1)
-            extras["ms_per_step_131072"] = round(sps_131k * 1e3, 2)
-        except Exception as e:  # noqa: BLE001
-            extras["bench_131072_error"] = str(e)[:200]
 
     # headline promotion (VERDICT r2 #1): the multirate stepper takes the
     # headline ONLY with >= 2x the exact rate, drift inside the stated

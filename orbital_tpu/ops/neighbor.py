@@ -263,11 +263,29 @@ def near_acc_slots(
     nb = -(-K_ch // B)
     jbl_pad = jnp.concatenate(
         [jbl, jnp.full((nb * B - K_ch, W), (n_slots - blkw) // blkw, i32)])
+    # i-side channels padded so the LAST B-block's slice can never run
+    # past the array: dynamic_slice CLAMPS an out-of-range start, which
+    # silently shifts the whole block's i positions — wrong forces for
+    # the tail chunks with every overflow counter still zero whenever
+    # occupancy fills the budget (and, sharded, for the last shard
+    # whenever kd % B leaves padding > rj). Worst-case read end is
+    # base*C + nb*B*C with base <= n_slots/C - K_ch - RJ.
+    ipad = max(0, (nb * B - K_ch - RJ) * C)
+    if ipad:
+        ext = jnp.zeros((ipad,), xs.dtype)
+        xs_i = jnp.concatenate([xs, ext])
+        ys_i = jnp.concatenate([ys, ext])
+        zs_i = jnp.concatenate([zs, ext])
+    else:
+        xs_i, ys_i, zs_i = xs, ys, zs
 
     def do_block(k0):
-        xi = lax.dynamic_slice(xs, ((base + k0) * C,), (B * C,)).reshape(B, C)
-        yi = lax.dynamic_slice(ys, ((base + k0) * C,), (B * C,)).reshape(B, C)
-        zi = lax.dynamic_slice(zs, ((base + k0) * C,), (B * C,)).reshape(B, C)
+        xi = lax.dynamic_slice(xs_i, ((base + k0) * C,),
+                               (B * C,)).reshape(B, C)
+        yi = lax.dynamic_slice(ys_i, ((base + k0) * C,),
+                               (B * C,)).reshape(B, C)
+        zi = lax.dynamic_slice(zs_i, ((base + k0) * C,),
+                               (B * C,)).reshape(B, C)
         jb = lax.dynamic_slice(jbl_pad, (k0, 0), (B, W))    # [B, W]
         xj = P[0][jb].reshape(B, 1, W * blkw)
         yj = P[1][jb].reshape(B, 1, W * blkw)

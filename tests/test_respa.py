@@ -483,3 +483,43 @@ def test_geometry_refresh_equivalence_and_skin_guard():
                       cfgv)
     _, dv = respa_rollout_dyn(stv, cfgv, 8)
     assert int(dv["skin_violation"]) == 1
+
+
+def test_sweep_tail_block_no_clamp_at_tight_budgets():
+    """The i-side B-block slice of near_acc_slots must never clamp: with
+    budgets at the occupancy ceiling (headroom=1.0) and K_ch % block
+    leaving padding > rj, an out-of-range dynamic_slice start silently
+    SHIFTS the tail chunks' i positions — wrong forces with every
+    overflow counter zero (round-4 review finding; fixed by padding the
+    i-side channels to the worst-case block read). Checks both the
+    unsharded tail (block=64 vs block=8) and every i0 shard slice
+    against the full sweep, bit-exactly."""
+    n = 2048
+    rng = np.random.default_rng(5)
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    alive = np.ones(n, bool)
+    rc, cell = 0.3, 0.6
+    m, kch, w = neighbor_budgets(pos, cell=cell, chunk=8, rj=4,
+                                 headroom=1.0)
+    while kch % 64 == 0:                     # force a partial last block
+        kch += 8
+    geom = neighbor_geometry(jnp.asarray(pos), jnp.asarray(alive),
+                             cell=cell, m_grid=m, chunk=8, max_chunks=kch,
+                             w_blk=w, rj=4)
+    n_slots = (kch + 4) * 8
+    ch = [pack_slots(geom["slot"], jnp.asarray(pos[:, k]), n_slots,
+                     SENTINEL_POS) for k in range(3)]
+    ms = pack_slots(geom["slot"], jnp.full(n, 1.0 / n, np.float32),
+                    n_slots, 0.0)
+    kw = dict(r1=0.15, rc=rc, G=1.0, eps2=1e-4, chunk=8, rj=4)
+    a_full = np.asarray(near_acc_slots(*ch, ms, geom["jbl"], **kw)[0])
+    a_b8 = np.asarray(near_acc_slots(*ch, ms, geom["jbl"], block=8,
+                                     **kw)[0])
+    np.testing.assert_array_equal(a_full, a_b8)
+    kd = kch // 2
+    for d in range(2):
+        a_l = np.asarray(near_acc_slots(
+            *ch, ms, geom["jbl"][d * kd:(d + 1) * kd],
+            i0=jnp.asarray(d * kd), **kw)[0])
+        np.testing.assert_array_equal(a_l,
+                                      a_full[d * kd * 8:(d + 1) * kd * 8])
