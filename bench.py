@@ -40,8 +40,11 @@ BASELINE_65K = 2.7     # body-steps/s, reference extrapolation at N=65536
 BASELINE_4K = 44.0     # body-steps/s, reference extrapolation at N=4096
 
 # Success/error key groups per benchmark, for group-atomic snapshot merging
-# (see _checkpoint_result): a run that re-measured a benchmark replaces the
-# WHOLE group, so stale paired keys can't survive alongside fresh ones.
+# (see _merge_snapshot_extras). Each group is ONE benchmark's paired keys
+# (success values + its `*_error` key). Granularity matters: a group must
+# never span two independently-scheduled rungs, or a run that measured one
+# rung evicts the sibling's last-good values (this bit the respa K ladder
+# and the 512k/1M tree pair before they were split).
 _EXTRA_GROUPS = [
     ("body_steps_per_s_4096", "vs_baseline_4096", "ms_per_step_4096",
      "energy_drift_4096_10000steps", "bench_4096_error"),
@@ -54,27 +57,59 @@ _EXTRA_GROUPS = [
     ("tree_body_steps_per_s_65536_plummer", "ms_per_eval_tree_65536",
      "bench_tree_error"),
     ("body_steps_per_s_131072", "ms_per_step_131072", "bench_131072_error"),
-    ("body_steps_per_s_65536_no_potential", "bench_no_potential_error",
-     "body_steps_per_s_65536_with_potential", "bench_with_potential_error"),
+    ("body_steps_per_s_65536_no_potential", "bench_no_potential_error"),
+    ("body_steps_per_s_65536_with_potential", "bench_with_potential_error"),
     ("tree_body_steps_per_s_524288_plummer", "tree_s_per_eval_524288",
      "tree_overflow_524288", "bench_tree_524288_error",
      "bench_tree_large_error"),
     ("tree_body_steps_per_s_1048576_plummer", "tree_s_per_eval_1048576",
      "tree_overflow_1048576", "bench_tree_1048576_error"),
-    ("respa_k4_body_steps_per_s_65536", "respa_k4_drift_65536_10000steps",
-     "respa_k4_overflow", "respa_k4_skin_violation",
-     "respa_k5_body_steps_per_s_65536", "respa_k5_drift_65536_10000steps",
-     "respa_k5_overflow", "respa_k5_skin_violation",
-     "respa_k16_body_steps_per_s_65536", "respa_k16_drift_65536_10000steps",
-     "respa_k16_overflow", "respa_k16_skin_violation",
-     "respa_k32_body_steps_per_s_65536", "respa_k32_drift_65536_10000steps",
-     "respa_k32_overflow", "respa_k32_skin_violation",
-     "bench_respa_error"),
+    *(
+        (f"respa_k{k}_body_steps_per_s_65536",
+         f"respa_k{k}_drift_65536_10000steps",
+         f"respa_k{k}_overflow", f"respa_k{k}_skin_violation",
+         f"bench_respa_k{k}_error", "bench_respa_error")
+        for k in (4, 5, 16, 32)
+    ),
     ("pm_drift_65536_10000steps", "bench_pm_drift_error"),
     ("tree_drift_65536_1000steps", "bench_tree_drift_error"),
     ("p3m_uniform_drift_65536_4000steps", "bench_p3m_drift_error",
      "p3m_uniform_drift_65536_10000steps"),
 ]
+
+
+def _merge_snapshot_extras(prev: dict, extras: dict) -> dict:
+    """Merge this run's extras over the previous snapshot's, group-atomic.
+
+    Rules, per benchmark group in _EXTRA_GROUPS:
+    - This run produced a SUCCESS key of the group -> the previous
+      snapshot's whole group is dropped (fresh values replace stale ones,
+      and a stale `*_error` can't persist next to a fresh success).
+    - This run produced ONLY `*_error` key(s) for the group -> the
+      previous snapshot's success values are KEPT and only its stale
+      error keys are dropped: a transient failure (remote-compile hang,
+      worker outage) must never evict a real measured datapoint. The
+      snapshot then shows both the last-good value and the fresh error.
+      (Round 4 lost the 512k staged-tree datapoint to exactly this.)
+    - Group untouched by this run -> previous keys persist unchanged.
+    Keys outside every group (backend, headline fields) just overwrite.
+    """
+    merged = dict(prev)
+    merged.pop("note", None)
+    for group in _EXTRA_GROUPS:
+        fresh_success = any(
+            k in extras and not k.endswith("_error") for k in group)
+        fresh_error = any(
+            k in extras and k.endswith("_error") for k in group)
+        if fresh_success:
+            for k in group:
+                merged.pop(k, None)
+        elif fresh_error:
+            for k in group:
+                if k.endswith("_error"):
+                    merged.pop(k, None)
+    merged.update(extras)
+    return merged
 
 
 def device_potential(pos32, mass32, eps2: float) -> float:
@@ -668,23 +703,16 @@ def main() -> None:
         Extras MERGE over the previous snapshot — a run interrupted
         mid-extras must not erase previously-measured datapoints (a
         mid-run worker outage did exactly that once: hermite/pm/131k
-        vanished from the snapshot). Merging is GROUP-ATOMIC: once this
-        run produced any key of a benchmark's group (success value or
-        error), the previous snapshot's entire group is dropped first —
-        otherwise a stale bench_*_error would persist next to a fresh
-        success (or a stale success would mask a current regression)."""
-        merged = {}
+        vanished from the snapshot). Merge semantics — including the rule
+        that a rung FAILURE keeps the last-good success values — live in
+        _merge_snapshot_extras."""
+        prev = {}
         try:
             with open(_LAST_GOOD) as f:
-                merged = json.load(f).get("extras", {})
+                prev = json.load(f).get("extras", {})
         except Exception:
             pass
-        merged.pop("note", None)
-        for group in _EXTRA_GROUPS:
-            if any(k in extras for k in group):
-                for k in group:
-                    merged.pop(k, None)
-        merged.update(extras)
+        merged = _merge_snapshot_extras(prev, extras)
         snap = {
             "metric": ("body-steps/s/chip @ N=65536 (KDK leapfrog, "
                        "softened O(N^2) Pallas gravity, ds32, potential "
@@ -870,10 +898,10 @@ def main() -> None:
     # cell = 2 rc), superblock near kernel with tight per-chunk blocks.
     # Promoted to the headline metric below only if >= 2x the exact rate
     # inside the 1e-6 drift budget with clean counters (VERDICT r2 #1).
-    try:
-        for k_mr in (5, 4):
-            if not _fits(f"respa_k{k_mr}", 380):
-                continue
+    for k_mr in (5, 4):
+        if not _fits(f"respa_k{k_mr}", 380):
+            continue
+        try:
             rate_mr, drift_mr, ovf_mr, skin_mr = bench_respa(
                 65536, k=k_mr, impl="pallas_sb", headroom=2.2,
                 refresh=16 // k_mr, w_headroom=1.5)
@@ -881,10 +909,9 @@ def main() -> None:
             extras[f"respa_k{k_mr}_drift_65536_10000steps"] = drift_mr
             extras[f"respa_k{k_mr}_overflow"] = ovf_mr
             extras[f"respa_k{k_mr}_skin_violation"] = skin_mr
-            _checkpoint_result()
-    except Exception as e:  # noqa: BLE001
-        extras["bench_respa_error"] = str(e)[:200]
-    _checkpoint_result()
+        except Exception as e:  # noqa: BLE001
+            extras[f"bench_respa_k{k_mr}_error"] = str(e)[:200]
+        _checkpoint_result()
 
     if _fits("p3m_drift", 240):
         try:

@@ -55,6 +55,63 @@ def test_benchmarks_cli_rk4_integrator():
     assert data["integrator"] == "rk4"
 
 
+def test_bench_merge_failure_keeps_last_good_values():
+    """A rung that errors this run (transient remote-compile hang) must
+    NOT evict the last-good measured values of its group — round 4's
+    driver-sim run lost the 512k staged-tree datapoint to exactly that.
+    Only the group's stale error keys are replaced."""
+    sys.path.insert(0, str(REPO))
+    try:
+        from bench import _merge_snapshot_extras
+
+        prev = {
+            "tree_body_steps_per_s_524288_plummer": 702353.9,
+            "tree_s_per_eval_524288": 0.746,
+            "tree_overflow_524288": 0,
+            "hermite_body_steps_per_s_65536": 1232202.4,
+        }
+        fresh = {"bench_tree_524288_error": "rung deadline exceeded"}
+        merged = _merge_snapshot_extras(prev, fresh)
+        assert merged["tree_body_steps_per_s_524288_plummer"] == 702353.9
+        assert merged["tree_overflow_524288"] == 0
+        assert merged["bench_tree_524288_error"] == "rung deadline exceeded"
+        # untouched group persists
+        assert merged["hermite_body_steps_per_s_65536"] == 1232202.4
+    finally:
+        sys.path.remove(str(REPO))
+
+
+def test_bench_merge_success_evicts_stale_group():
+    """A fresh success replaces the group's stale values AND clears any
+    stale error key, but never touches other groups."""
+    sys.path.insert(0, str(REPO))
+    try:
+        from bench import _merge_snapshot_extras
+
+        prev = {
+            "tree_body_steps_per_s_524288_plummer": 1.0,
+            "tree_s_per_eval_524288": 9.9,
+            "bench_tree_524288_error": "old failure",
+            "respa_k4_body_steps_per_s_65536": 2067087.3,
+            "respa_k4_drift_65536_10000steps": 3.1e-07,
+        }
+        fresh = {
+            "tree_body_steps_per_s_524288_plummer": 702353.9,
+            # k5 measured this run; k4 skipped for time — its last-good
+            # values must survive (per-K groups, not one respa blob)
+            "respa_k5_body_steps_per_s_65536": 2328646.6,
+            "respa_k5_drift_65536_10000steps": 1.45e-06,
+        }
+        merged = _merge_snapshot_extras(prev, fresh)
+        assert merged["tree_body_steps_per_s_524288_plummer"] == 702353.9
+        assert "tree_s_per_eval_524288" not in merged  # stale pair evicted
+        assert "bench_tree_524288_error" not in merged
+        assert merged["respa_k4_body_steps_per_s_65536"] == 2067087.3
+        assert merged["respa_k5_body_steps_per_s_65536"] == 2328646.6
+    finally:
+        sys.path.remove(str(REPO))
+
+
 def test_bench_cluster_is_virialized():
     sys.path.insert(0, str(REPO))
     try:
