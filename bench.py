@@ -748,36 +748,12 @@ def main() -> None:
             extras["bench_with_potential_error"] = str(e)[:200]
         _checkpoint_result()
 
-    # ---- missing-first rung order: a rung that doesn't run keeps its ----
-    # ---- last-good value via the group-atomic merge                  ----
-
-    # the tree's own regime: concentrated large N (VERDICT r1 #3;
-    # P3M is measured-hopeless here — 163k-body densest cell at 1M).
-    # Staged two-program evaluation: single-program l8 at N>=512k
-    # crashes the platform's remote compile helper (ops/tree.py
-    # tree_acc_potential_staged). Each rung runs in a CHILD PROCESS with a
-    # real deadline and is retried ONCE — the remote-compile helper throws
-    # transient HTTP 500s and has hung outright (it ate BOTH large rungs
-    # in one round, VERDICT r2 #2) — and every success checkpoints.
-    for n_large in (524288, 1048576):
-        if not _fits(f"tree_staged_{n_large}", 240):
-            continue
-        err = None
-        for _attempt in range(2):
-            try:
-                got = _rung_subprocess(
-                    ["tree_staged", str(n_large)],
-                    timeout_s=max(120.0, min(600.0, _time_left())))
-                extras.update(got)
-                err = None
-                break
-            except subprocess.TimeoutExpired:
-                err = "rung deadline exceeded (remote compile hang?)"
-            except Exception as e:  # noqa: BLE001
-                err = str(e)[:200]
-        if err:
-            extras[f"bench_tree_{n_large}_error"] = err
-        _checkpoint_result()
+    # ---- rung order: reliability-first. Every datapoint now has a    ----
+    # ---- last-good value, so the scheduler maximizes FRESHNESS:      ----
+    # ---- cheap warm rungs first, then the contract/drift rungs, and  ----
+    # ---- the hang-prone remote-compile staged-tree rungs LAST, where ----
+    # ---- a hung helper can only eat the tail of the budget (a failed ----
+    # ---- or skipped rung keeps its last-good value via the merge).   ----
 
     # ---- cheap refresh rungs (each well under a minute warm) ----
     if _fits("4096", 70):
@@ -949,6 +925,36 @@ def main() -> None:
             _checkpoint_result()
         except Exception as e:  # noqa: BLE001
             extras["bench_tree_drift_error"] = str(e)[:200]
+
+    # the tree's own regime: concentrated large N (VERDICT r1 #3;
+    # P3M is measured-hopeless here — 163k-body densest cell at 1M).
+    # Staged two-program evaluation: single-program l8 at N>=512k
+    # crashes the platform's remote compile helper (ops/tree.py
+    # tree_acc_potential_staged). Each rung runs in a CHILD PROCESS with
+    # a real deadline. A fast failure (transient HTTP 500) is retried
+    # once; a DEADLINE is not — a hung remote compile hangs again on
+    # immediate retry and just doubles the damage (measured: one hang ate
+    # both large rungs plus 13 skipped cheap rungs before this reorder).
+    for n_large in (524288, 1048576):
+        if not _fits(f"tree_staged_{n_large}", 150):
+            continue
+        err = None
+        for _attempt in range(2):
+            try:
+                got = _rung_subprocess(
+                    ["tree_staged", str(n_large)],
+                    timeout_s=max(120.0, min(600.0, _time_left())))
+                extras.update(got)
+                err = None
+                break
+            except subprocess.TimeoutExpired:
+                err = "rung deadline exceeded (remote compile hang?)"
+                break
+            except Exception as e:  # noqa: BLE001
+                err = str(e)[:200]
+        if err:
+            extras[f"bench_tree_{n_large}_error"] = err
+        _checkpoint_result()
 
     # headline promotion (VERDICT r2 #1): the multirate stepper takes the
     # headline ONLY with >= 2x the exact rate, drift inside the stated
