@@ -823,9 +823,12 @@ def main() -> None:
             extras["bench_131072_error"] = str(e)[:200]
 
     # conservation extras (VERDICT r1 #7): drift per approximate family.
-    # PM on the headline cluster (10k steps, PINNED box — the unpinned
-    # figure in older snapshots predates simulate()'s auto-pinning and
-    # overstates drift ~100x); tree on the headline cluster at a shorter,
+    # PM on the headline cluster (10k steps, PINNED box). The ~9e-3 PM
+    # drift is REAL and pinned-box-confirmed (round-4 re-measurement,
+    # DESIGN.md §10): the cluster's eps is ~10x below the grid-128 cell
+    # spacing, outside PM's collisionless contract, so the drift is
+    # fluctuation-dominated regardless of box anchoring — simulate()
+    # now warns users entering this regime; tree on the headline cluster at a shorter,
     # key-labeled horizon (approximate-force drift is fluctuation-
     # dominated and plateaus early — DESIGN.md); P3M on a uniform box
     # (its regime: the concentrated IC is measured-structurally excluded,

@@ -5,8 +5,6 @@ Usage: python far_one.py N LEVELS ITERS NHWC{0,1} PREC{DEFAULT,HIGH,HIGHEST} [CO
 Appends to benchmarks/studies/far_sweep_r11.jsonl.
 """
 import json
-import os
-import pickle
 import sys
 import time
 
@@ -29,7 +27,11 @@ combine = sys.argv[6] if len(sys.argv) > 6 else None
 with_err = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
 
 T._FAR_NHWC = nhwc
-if combine is not None and hasattr(T, "_FAR_COMBINE"):
+if combine is not None:
+    # no silent-skip guard: a missing attribute would otherwise write a
+    # JSONL row labeled with a combine mode that was never in effect
+    # (advisor r4) — fail loudly instead
+    assert hasattr(T, "_FAR_COMBINE"), "tree module lost _FAR_COMBINE"
     T._FAR_COMBINE = combine
 if prec != "HIGHEST":
     _orig = lax.conv_general_dilated
@@ -45,16 +47,15 @@ t0 = time.time()
 pos_np, _, mass_np = make_plummer(n)
 pos = jnp.asarray(pos_np, jnp.float32)
 mass = jnp.asarray(mass_np, jnp.float32)
-_pk = f"/tmp/probe_{n}_{levels}_columns_32.pkl"
-if os.path.exists(_pk):
-    with open(_pk, "rb") as f:
-        cfg = pickle.load(f)
+import probe_cache
+_d = probe_cache.load(n, levels, "columns", 32)
+if _d is not None:
+    cfg = probe_cache.Budgets(_d)
     print("probe cache hit", flush=True)
 else:
     cfg = tree_cfg_probed(pos_np, levels, dt=1e-4, G=1.0, eps2=1e-6,
                           tree_near="columns", track_potential=False)
-    with open(_pk, "wb") as f:
-        pickle.dump(cfg, f)
+    probe_cache.save(cfg, n, levels, "columns", 32)
 kw = dict(G_grav=1.0, eps2=1e-6, levels=levels, ws=1,
           capacity=cfg.tree_capacity, max_cells=cfg.tree_max_cells,
           max_big=cfg.tree_max_big, max_frontier=cfg.tree_max_frontier,

@@ -29,20 +29,19 @@ pos = jnp.asarray(pos_np, jnp.float32)
 mass = jnp.asarray(mass_np, jnp.float32)
 
 # probe results depend only on (n, levels, near, chunk) for the fixed
-# Plummer seed — cache them on disk so repeat configs skip the ~5 min
-# CPU-backend probe compiles
-import pickle, os
-_pk = f"/tmp/probe_{n}_{levels}_{near}_{chunk}.pkl"
-if os.path.exists(_pk):
-    with open(_pk, "rb") as f:
-        cfg = pickle.load(f)
+# Plummer seed — cache the budget INTEGERS (JSON, repo-local, versioned;
+# see probe_cache.py for why not pickle-in-/tmp) so repeat configs skip
+# the ~5 min CPU-backend probe compiles
+import probe_cache
+_d = probe_cache.load(n, levels, near, chunk)
+if _d is not None:
+    cfg = probe_cache.Budgets(_d)
     print("probe cache hit", flush=True)
 else:
     cfg = tree_cfg_probed(pos_np, levels, dt=1e-4, G=1.0, eps2=1e-6,
                           tree_near=near, tree_chunk=chunk,
                           track_potential=False)
-    with open(_pk, "wb") as f:
-        pickle.dump(cfg, f)
+    probe_cache.save(cfg, n, levels, near, chunk)
 kw = dict(G_grav=1.0, eps2=1e-6, levels=levels, ws=1,
           max_chunks=cfg.tree_max_chunks, near=near, with_potential=False)
 if near == "pairs":

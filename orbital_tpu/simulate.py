@@ -431,6 +431,29 @@ def simulate(
                 "(needs > 4096 with headroom) — the scene is too "
                 "concentrated for P3M; use exact kernels or PM")
         cfg = cfg.replace(p3m_capacity=cap)
+    if force_impl == "pm" and cfg.pm_box is not None and cfg.eps2 > 0:
+        # PM's collisionless contract: the mesh smooths pair forces below
+        # ~one cell spacing h, so the *effective* softening is max(eps, ~h)
+        # (ops/pm.py accuracy contract). When the user's eps is well below
+        # h, the run is in the measured out-of-contract regime — the
+        # headline 65k cluster there shows |dE/E| ~ 9.1e-3 over 10k steps,
+        # ~9000x the exact-kernel budget (DESIGN.md §10) — and previously
+        # got that drift with NO signal. Warn at setup, pointing at the
+        # solvers whose contract covers collisional softening.
+        h_cell = 2.0 * float(cfg.pm_box[3]) / float(pm_grid)
+        eps_i = float(cfg.eps2) ** 0.5
+        if eps_i < 0.5 * h_cell:
+            import warnings
+
+            warnings.warn(
+                f"force_impl='pm': softening ({eps_i:.3g} internal) is "
+                f"below half the mesh cell spacing (h = {h_cell:.3g}) — "
+                "the mesh smooths forces at ~h, so dynamics below the "
+                "grid scale are not resolved and energy drift is "
+                "fluctuation-dominated (measured ~1e-2 over 10k steps in "
+                "this regime, DESIGN.md §10). Use a finer pm_grid, the "
+                "P3M solver (force_impl='p3m'), or the exact kernels.",
+                stacklevel=2)
     if force_impl == "tree":
         if tree_accuracy is not None:
             cfg = _tree_accuracy_probe(

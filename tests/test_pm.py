@@ -203,3 +203,42 @@ def test_simulate_converts_pm_box_to_internal_units(rng):
     assert res.config.pm_box[3] == pytest.approx(
         half_phys / res.rescale.length, rel=1e-6)
     assert res.config.pm_box[3] < 100  # natural units are O(1-10)
+
+
+def _pm_scene(rng, n=256):
+    from orbital_tpu.models.scene import SceneArrays
+
+    pos = rng.uniform(-1e11, 1e11, size=(n, 3))
+    mass = rng.uniform(1e20, 1e22, n)
+    return SceneArrays(pos=pos, vel=np.zeros((n, 3)), mass=mass,
+                       radius=np.zeros(n),
+                       names=[f"b{i}" for i in range(n)],
+                       uuids=[f"u{i}" for i in range(n)])
+
+
+def test_simulate_warns_when_pm_softening_below_cell_spacing(rng):
+    """PM's collisionless contract (DESIGN.md §10): eps well below the
+    mesh cell spacing is the measured 9.1e-3-drift regime — simulate()
+    must warn at setup instead of silently delivering 1e-2-grade drift.
+    reference has no mesh solver; this guards our extension's contract."""
+    arrays = _pm_scene(rng)
+    half_phys = 2e11
+    # grid 32 over half 2e11 -> h = 1.25e10 phys; eps = 1e8 << h/2
+    with pytest.warns(UserWarning, match="cell spacing"):
+        ot.simulate(arrays, steps=1, dt=100.0, softening=1e8,
+                    force_impl="pm", pm_grid=32, precision="f32",
+                    pm_box=(0.0, 0.0, 0.0, half_phys), record_every=1)
+
+
+def test_simulate_no_pm_contract_warning_in_smooth_regime(rng):
+    """eps >= half the cell spacing is inside the contract: no warning."""
+    import warnings as _w
+    arrays = _pm_scene(rng)
+    half_phys = 2e11
+    # h = 1.25e10 phys; eps = 1e10 > h/2 = 6.25e9
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        ot.simulate(arrays, steps=1, dt=100.0, softening=1e10,
+                    force_impl="pm", pm_grid=32, precision="f32",
+                    pm_box=(0.0, 0.0, 0.0, half_phys), record_every=1)
+    assert not [w for w in caught if "cell spacing" in str(w.message)]
