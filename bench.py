@@ -49,6 +49,8 @@ _EXTRA_GROUPS = [
     ("body_steps_per_s_4096", "vs_baseline_4096", "ms_per_step_4096",
      "energy_drift_4096_10000steps", "bench_4096_error"),
     ("ensemble_1024x26solar_body_steps_per_s", "bench_ensemble_error"),
+    ("ensemble_drift_10000steps", "ensemble_drift_member0_10000steps",
+     "bench_ensemble_drift_error"),
     ("body_steps_per_s_65536_with_collision_sweep",
      "vs_baseline_65536_with_collision_sweep", "bench_collisions_error"),
     ("body_steps_per_s_65536_with_resolve", "bench_resolve_error"),
@@ -507,17 +509,17 @@ def bench_tree_staged(n: int, levels: int = 8, iters: int = 1,
     return n / sec, overflow
 
 
-def bench_ensemble(n_ens: int = 1024) -> float:
-    """Config 5: vmapped perturbed solar systems; ensemble body-steps/s."""
+def _make_solar_ensemble(n_ens: int):
+    """The BASELINE config-5 ensemble: n_ens perturbed 26-body solar
+    systems, ds32, natural rescale. Returns (states, cfg, force, n_bodies).
+    Member 0 is the unperturbed control (make_ensemble contract)."""
     import jax
 
     import orbital_tpu as ot
-    from orbital_tpu.engine.integrators import make_step_fn
     from orbital_tpu.engine.rollout import resolve_force_fn
     from orbital_tpu.engine.state import Rescale, make_state
     from orbital_tpu.models.scene import compile_system
     from orbital_tpu.parallel.ensemble import make_ensemble
-    from orbital_tpu.utils.timing import bench_chained
 
     scene = compile_system(ot.solar_system_v2(moons=True), compose_parents=True)
     rs = Rescale.natural(scene.pos, scene.mass, ot.STANDARD.G)
@@ -529,9 +531,61 @@ def bench_ensemble(n_ens: int = 1024) -> float:
     force = resolve_force_fn(cfg, base.n_bodies)
     acc, U = jax.vmap(force)(states.pos, states.mass, states.alive)
     states = states.replace(acc=acc, potential=U)
+    return states, cfg, force, base.n_bodies
+
+
+def bench_ensemble(n_ens: int = 1024) -> float:
+    """Config 5: vmapped perturbed solar systems; ensemble body-steps/s."""
+    import jax
+
+    from orbital_tpu.engine.integrators import make_step_fn
+    from orbital_tpu.utils.timing import bench_chained
+
+    states, cfg, force, n_bodies = _make_solar_ensemble(n_ens)
     vstep = jax.vmap(make_step_fn(cfg, force))
     sec = bench_chained(vstep, states, iters=200, iters_hi=600)
-    return n_ens * base.n_bodies / sec
+    return n_ens * n_bodies / sec
+
+
+def _member_energies_f64(states, G: float, eps2: float) -> np.ndarray:
+    """Per-member total energy in host f64 from a (possibly ds32)
+    ensemble state [E, n, ...]. 26-body pair sums are trivial host-side,
+    so this IS the f64 oracle for the ensemble drift rung."""
+    pos = np.asarray(states.pos, np.float64)
+    vel = np.asarray(states.vel, np.float64)
+    if states.pos_lo is not None:
+        pos = pos + np.asarray(states.pos_lo, np.float64)
+        vel = vel + np.asarray(states.vel_lo, np.float64)
+    mass = (np.asarray(states.mass, np.float64)
+            * np.asarray(states.alive, np.float64))
+    K = 0.5 * np.sum(mass * np.sum(vel * vel, -1), axis=-1)
+    d = pos[:, :, None, :] - pos[:, None, :, :]
+    r = np.sqrt(np.sum(d * d, -1) + eps2)
+    mm = mass[:, :, None] * mass[:, None, :]
+    self_e = np.sum(mass * mass, axis=-1) / np.sqrt(eps2)
+    U = -0.5 * G * (np.sum(mm / r, axis=(1, 2)) - self_e)
+    return K + U
+
+
+def bench_ensemble_drift(n_ens: int = 1024, steps: int = 10000,
+                         chunk: int = 2000) -> tuple[float, float]:
+    """Certify the ensemble config's conservation (VERDICT r4 #2): roll
+    the full 1024x26 solar ensemble for the complete 10k-step horizon and
+    measure per-member |dE/E| via host-f64 start/end energies. Returns
+    (max over members, member-0 control). Chunked so no single XLA
+    program outlives the worker watchdog."""
+    from orbital_tpu.parallel.ensemble import ensemble_rollout
+
+    states, cfg, _, _ = _make_solar_ensemble(n_ens)
+    E0 = _member_energies_f64(states, cfg.G, cfg.eps2)
+    done = 0
+    while done < steps:
+        states, _ = ensemble_rollout(states, cfg, min(chunk, steps - done))
+        float(states.time[0])  # sync: one program per chunk
+        done += min(chunk, steps - done)
+    E1 = _member_energies_f64(states, cfg.G, cfg.eps2)
+    drift = np.abs((E1 - E0) / E0)
+    return float(drift.max()), float(drift[0])
 
 
 def _atomic_write_json(path: str, obj) -> None:
@@ -775,6 +829,17 @@ def main() -> None:
                 bench_ensemble(1024), 1)
         except Exception as e:  # noqa: BLE001
             extras["bench_ensemble_error"] = str(e)[:200]
+        _checkpoint_result()
+    if _fits("ensemble_drift", 150):
+        # certify the >=1e9 aggregate config's drift with a MEASURED
+        # full-horizon number (VERDICT r4 #2): max member |dE/E| over the
+        # same 10k-step horizon as the headline, host-f64 energies
+        try:
+            d_max, d_m0 = bench_ensemble_drift(1024, steps=10000)
+            extras["ensemble_drift_10000steps"] = d_max
+            extras["ensemble_drift_member0_10000steps"] = d_m0
+        except Exception as e:  # noqa: BLE001
+            extras["bench_ensemble_drift_error"] = str(e)[:200]
         _checkpoint_result()
     if _fits("collisions", 60):
         try:

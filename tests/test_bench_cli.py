@@ -124,3 +124,18 @@ def test_bench_cluster_is_virialized():
         assert 2 * K == pytest.approx(U, rel=1e-5)
     finally:
         sys.path.remove(str(REPO))
+
+
+def test_bench_ensemble_drift_small():
+    """The ensemble-drift certification rung (VERDICT r4 #2): a tiny
+    ensemble over a short horizon must return finite, small per-member
+    drift, with the member-0 control no worse than the max."""
+    sys.path.insert(0, str(REPO))
+    try:
+        from bench import bench_ensemble_drift
+
+        d_max, d_m0 = bench_ensemble_drift(4, steps=40, chunk=20)
+        assert np.isfinite(d_max) and np.isfinite(d_m0)
+        assert 0.0 <= d_m0 <= d_max < 1e-4  # short horizon: well under budget
+    finally:
+        sys.path.remove(str(REPO))
