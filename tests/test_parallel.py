@@ -966,3 +966,44 @@ def test_simulate_mesh_respa_matches_single_device(rng):
     out = ot.simulate(scene, mesh=make_mesh(), **kw)
     np.testing.assert_allclose(out.pos, ref.pos, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(out.energy, ref.energy, rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_multiprocess_sharded_step():
+    """The DCN path across REAL process boundaries (VERDICT r4 #6): two
+    jax.distributed processes x 4 virtual CPU devices form one 8-device
+    body mesh, so the sharded step's ppermute ring and psums cross the
+    inter-process transport. Each worker checks its addressable shards
+    bit-for-bit against a process-local unsharded step (dcn_worker.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = str(Path(__file__).resolve().parent / "dcn_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([_sys.executable, worker, str(port), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-2000:]}"
+        assert "PARITY_OK" in out, f"worker {i} no parity:\n{out[-2000:]}"
+    # both processes computed the same global system (same checksum line)
+    lines = [next(ln for ln in o.splitlines() if "PARITY_OK" in ln)
+             for o in outs]
+    assert lines[0] == lines[1]
