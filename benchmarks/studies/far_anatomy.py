@@ -1,12 +1,15 @@
 """One far-phase ANATOMY datapoint: which sub-stage owns the time.
 
-Usage: python far_anatomy.py N LEVELS ITERS STAGE
+Usage: python far_anatomy.py N LEVELS ITERS STAGE [NHWC{0,1}]
   STAGE in:
     pyramid — NGP deposit + coarsen only (chans pyramid, no conv)
     body    — per-body far evaluation only (gather of precomputed finest
               field channels + Taylor step); F_ch are program INPUTS
     grid    — _far_field only (deposit + coarsen + conv + combine),
               chained through channel sums, no body eval
+    grid_noconv — grid with _level_conv stubbed to zeros: isolates the
+              octant pack / unpack / push-combine traffic from the
+              conv arithmetic
     full    — the whole far phase (same program bench_tree_staged times)
 
 Appends a JSON line to benchmarks/studies/far_anatomy_r12.jsonl.
@@ -28,6 +31,7 @@ from orbital_tpu.utils.timing import bench_chained
 
 n, levels, iters = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 stage = sys.argv[4]
+nhwc = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
 
 t0 = time.time()
 pos_np, _, mass_np = make_plummer(n)
@@ -84,7 +88,22 @@ if stage == "pyramid":
             for c in chans[lev]:
                 s = s + jnp.sum(c)
         return p + jnp.float32(1e-20) * s
-elif stage == "grid":
+elif stage in ("grid", "grid_noconv"):
+    T._FAR_NHWC = nhwc
+    if stage == "grid_noconv":
+        _real_conv = T._level_conv
+
+        def _zero_conv(moments, ws, h, G, eps2, order):
+            s = moments.shape[0]
+            out_ch = 8 * T._N_FLD[order]
+            shape = ((s, s, s, out_ch) if T._FAR_NHWC
+                     else (s, out_ch, s, s))
+            # chain through the input so the pack isn't DCE'd
+            return jnp.zeros(shape, jnp.float32) + jnp.float32(
+                1e-30) * jnp.sum(moments)
+
+        T._level_conv = _zero_conv
+
     def step(p):
         _, half, h, origin, _, cell_id = _grid_geom(p)
         chans = _pyramid(p, cell_id)
@@ -94,13 +113,16 @@ elif stage == "grid":
             s = s + jnp.sum(c)
         return p + jnp.float32(1e-20) * s
 elif stage == "body":
-    # F_ch as INPUTS (random field grids): times the per-body far
+    # F_ch ride the bench carry (REAL runtime inputs — as closure
+    # constants the compiler has to ingest 10 x M3 x 4B of literals,
+    # which wedges the remote compile at l8): times the per-body far
     # evaluation alone — channel gathers + Taylor step
     rng = np.random.default_rng(0)
     F_ch0 = tuple(jnp.asarray(rng.normal(size=(M3,)) * 1e-6, f32)
                   for _ in range(10))
 
-    def step_body(p, F_ch):
+    def step(carry):
+        p, F_ch = carry
         _, half, h, origin, cc, cell_id = _grid_geom(p)
         idx_b = jnp.minimum(cell_id, M3)
         zpad = jnp.zeros((1,), f32)
@@ -110,10 +132,9 @@ elif stage == "body":
         centers_b = origin + (cc.astype(f32) + 0.5) * h
         dx = p - centers_b
         a_far = A_b + T._apply_sym(J_b, dx)
-        return p + jnp.float32(1e-20) * a_far
+        return (p + jnp.float32(1e-20) * a_far, F_ch)
 
-    def step(p):
-        return step_body(p, F_ch0)
+    pos = (pos, F_ch0)
 elif stage == "full":
     def step(p):
         a, _, _ = T.tree_acc_potential(p, mass, _phase="far", **kw)
@@ -121,7 +142,7 @@ elif stage == "full":
 else:
     raise SystemExit(f"unknown stage {stage}")
 
-rec = dict(n=n, levels=levels, stage=stage, phase="far")
+rec = dict(n=n, levels=levels, stage=stage, nhwc=nhwc, phase="far")
 try:
     ms = 1e3 * bench_chained(step, pos, iters=iters, iters_hi=iters + 1,
                              repeats=2)

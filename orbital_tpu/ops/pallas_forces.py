@@ -141,6 +141,13 @@ def _build_call(n: int, tile_i: int, tile_j: int, G: float, eps2: float,
 
 
 def _pick_tiles(n: int, tile_i: int, tile_j: int) -> tuple[int, int]:
+    if (tile_i, tile_j) == (DEFAULT_TILE_I, DEFAULT_TILE_J) and n >= 131072:
+        # N-dependent default: the round-12 sweep at N=131072 measures
+        # (2048, 2048) fastest (90.1 ms vs 92.2 at (512, 2048); all nine
+        # geometries cluster 91-117 — benchmarks/studies/
+        # tile_sweep_r12.jsonl). At the 65k headline (512, 2048) stays
+        # best (tile_sweep_r10.jsonl).
+        tile_i = tile_j = 2048
     ti = tile_i
     while ti > 8 and n % ti != 0:
         ti //= 2

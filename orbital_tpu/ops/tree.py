@@ -417,11 +417,19 @@ def _taylor_shift(up, d, dx, dy, dz, order):
              Jyz_c) + tuple(H) + (phi_c,))
 
 
-def _far_field(chans, levels, ws, half, origin, G, eps2, order):
+def _far_field(chans, levels, ws, half, origin, G, eps2, order,
+               finest_octant: bool = False):
     """Conv far field over all levels. Returns F flat finest-grid field
     channels [M^3] (order 1: Ax..Az, Jxx..Jyz, phi; order 2 inserts the
     18 Hessian channels before phi) — expansions about FINEST cell
-    centers. Level combination strategy: see ``_FAR_COMBINE``."""
+    centers. Level combination strategy: see ``_FAR_COMBINE``.
+
+    ``finest_octant``: ``chans[levels]`` is octant-major (see the
+    ``far_id`` construction in :func:`tree_acc_potential`) and the
+    returned finest channels are octant-major too — every finest-level
+    materialization becomes contiguous block slices/concats instead of
+    T(8,128)-hostile interleaves. Only meaningful under the push
+    combine."""
     f32 = jnp.float32
     M = 2 ** levels
     nf = _N_FLD[order]
@@ -431,10 +439,25 @@ def _far_field(chans, levels, ws, half, origin, G, eps2, order):
         m = 2 ** lev
         h_lev = 2.0 * half / m
         mflat = chans[lev][0]
-        # per-axis cell-center coordinates via 3-D iota (no 16.7M-element
-        # integer div/mod chains at the finest level)
-        ctr = [lax.broadcasted_iota(f32, (m, m, m), k).reshape(-1)
-               for k in range(3)]
+        oct_lev = finest_octant and lev == levels
+        if oct_lev:
+            # octant-major cell-center coordinates: coord_k = 2*i_k + o_k
+            # decoded from the (octant, parent) index structure
+            s_ = m // 2
+            o_i = lax.broadcasted_iota(jnp.int32, (8, s_, s_, s_), 0)
+
+            def _coord(k, _s=s_, _o=o_i):
+                i_k = lax.broadcasted_iota(jnp.int32, (8, _s, _s, _s),
+                                           k + 1)
+                return ((i_k << 1) | ((_o >> (2 - k)) & 1)).astype(
+                    f32).reshape(-1)
+
+            ctr = [_coord(k) for k in range(3)]
+        else:
+            # per-axis cell-center coordinates via 3-D iota (no
+            # 16.7M-element integer div/mod chains at the finest level)
+            ctr = [lax.broadcasted_iota(f32, (m, m, m), k).reshape(-1)
+                   for k in range(3)]
         cc = [origin[k] + (ctr[k] + 0.5) * h_lev for k in range(3)]
         # dipole about centers: p = sum(m x) - m c
         pvec = [chans[lev][1 + k] - mflat * cc[k] for k in range(3)]
@@ -447,6 +470,41 @@ def _far_field(chans, levels, ws, half, origin, G, eps2, order):
                             - cc[i] * chans[lev][1 + j]
                             - cc[j] * chans[lev][1 + i]
                             + mflat * cc[i] * cc[j])
+        if oct_lev:
+            # pack from octant-major flats: channel (mo, o) = contiguous
+            # block o of moment mo, already x-major over parents
+            s_ = m // 2
+            parts = [mo_c.reshape(8, s_, s_, s_)[o]
+                     for mo_c in moms for o in range(8)]
+            packed = jnp.stack(parts, axis=3 if _FAR_NHWC else 1)
+            out = _level_conv(packed, ws, h_lev, G, eps2, order)
+
+            def _fslice(o, f, _out=out, _s=s_):
+                ch = o * nf + f
+                blk = (_out[..., ch] if _FAR_NHWC else _out[:, ch])
+                return blk.reshape(-1)
+
+            if acc is None:
+                return tuple(
+                    jnp.concatenate([_fslice(o, f) for o in range(8)])
+                    for f in range(nf))
+            # push the running expansion (about level lev-1 centers,
+            # x-major [s^3] — the same order as the conv's parent axis)
+            # to each child octant with its static +-h/2 delta, add that
+            # octant's conv block, and concatenate: the output is
+            # octant-major by construction, no interleave ever exists
+            F_parts = []
+            for o in range(8):
+                d_o = [jnp.float32(
+                    (0.5 * h_lev) if (o >> (2 - k)) & 1
+                    else (-0.5 * h_lev)) for k in range(3)]
+                sh = _taylor_shift(lambda c: c, acc, d_o[0], d_o[1],
+                                   d_o[2], order)
+                F_parts.append(tuple(sh[f] + _fslice(o, f)
+                                     for f in range(nf)))
+            return tuple(
+                jnp.concatenate([F_parts[o][f] for o in range(8)])
+                for f in range(nf))
         packed = _octant_pack(moms, m)
         out = _level_conv(packed, ws, h_lev, G, eps2, order)
         dF = _unpack_fields(out, nf)
@@ -703,6 +761,31 @@ def tree_acc_potential(
     cell_id = (cc[:, 0] * M + cc[:, 1]) * M + cc[:, 2]
     cell_id = jnp.where(alive_b, cell_id, M3)  # dead bodies -> sentinel
 
+    # Finest-level OCTANT-MAJOR linear index: octant-of-parent major,
+    # x-major parent cell minor (octant o = ox*4 + oy*2 + oz). Under the
+    # default push combine the finest-grid field channels are produced,
+    # deposited, and gathered in THIS order — every finest-level
+    # materialization is then a contiguous block slice/concat instead of
+    # the x-major interleave, whose (s,2,s,2,s,2)-shaped relayouts pad
+    # 64x under T(8,128) tiling (measured ~200 ms of the 476 ms far
+    # phase at 512k/l8 — benchmarks/studies/far_anatomy_r12.jsonl).
+    # The lazy combine accumulates at the finest grid in x-major order
+    # level by level; it keeps the legacy layout end-to-end. The near
+    # phase never reads the far grids — tracing NO octant machinery
+    # there leaves the (expensive, hang-prone) near-program HLO
+    # byte-identical, so cached near compiles survive this change.
+    oct_layout = (_FAR_COMBINE == "push" and _phase != "near")
+    if oct_layout:
+        s_fin = M // 2
+        oct_b = ((cc[:, 0] & 1) * 2 + (cc[:, 1] & 1)) * 2 + (cc[:, 2] & 1)
+        par_b = ((cc[:, 0] >> 1) * s_fin + (cc[:, 1] >> 1)) * s_fin \
+            + (cc[:, 2] >> 1)
+        far_id = jnp.where(alive_b, oct_b * (s_fin ** 3) + par_b, M3)
+        dep_id = far_id
+    else:
+        far_id = None
+        dep_id = cell_id
+
     # ---- multipole pyramid: NGP deposit of (m, m x) + coarsening ----------
     # Channels live as SEPARATE flat [m^3] arrays: a [m^3, C] array feeding
     # a TPU gather/scatter gets relaid out to T(8,128) tiles — C=4 lanes
@@ -713,9 +796,16 @@ def tree_acc_potential(
     if order == 2:
         raw += [m_eff * pos32[:, i] * pos32[:, j] for i, j in _Q6]
     chans = {levels: tuple(
-        jax.ops.segment_sum(c, cell_id, num_segments=M3 + 1)[:M3]
+        jax.ops.segment_sum(c, dep_id, num_segments=M3 + 1)[:M3]
         for c in raw)}
     for lev in range(levels - 1, 1, -1):
+        if lev == levels - 1 and oct_layout:
+            # octant-major finest: the parent sum is a contiguous
+            # axis-0 reduction (children of parent p are the 8 octant
+            # blocks at minor index p) — no strided slicing at all
+            chans[lev] = tuple(
+                c.reshape(8, -1).sum(axis=0) for c in chans[lev + 1])
+            continue
         mm = 2 ** lev
         chans[lev] = tuple(_coarsen2(c, mm) for c in chans[lev + 1])
 
@@ -723,8 +813,9 @@ def tree_acc_potential(
     if _phase == "near":
         F_ch = tuple(jnp.zeros((M3,), f32) for _ in range(_N_FLD[order]))
     else:
-        F_ch = _far_field(chans, levels, ws, half, origin, G, eps2, order)
-    idx_b = jnp.minimum(cell_id, M3)
+        F_ch = _far_field(chans, levels, ws, half, origin, G, eps2, order,
+                          finest_octant=oct_layout)
+    idx_b = jnp.minimum(far_id if oct_layout else cell_id, M3)
     zpad = jnp.zeros((1,), f32)
     Fb = [jnp.concatenate([c, zpad])[idx_b] for c in F_ch]  # F x [N]
     A_b = jnp.stack(Fb[0:3], axis=-1)
@@ -744,8 +835,20 @@ def tree_acc_potential(
         together with a scalar reduced from the same gather chain.)"""
         m = 2 ** levels
         h_l = 2.0 * half / m
-        ctr = [lax.broadcasted_iota(f32, (m, m, m), k).reshape(-1)
-               for k in range(3)]
+        if oct_layout:
+            # chans[levels] and F_ch are both octant-major: centers must
+            # be generated in the same order (same decode as _far_field)
+            s_ = m // 2
+            o_i = lax.broadcasted_iota(jnp.int32, (8, s_, s_, s_), 0)
+            ctr = []
+            for k in range(3):
+                i_k = lax.broadcasted_iota(jnp.int32, (8, s_, s_, s_),
+                                           k + 1)
+                ctr.append(((i_k << 1) | ((o_i >> (2 - k)) & 1)).astype(
+                    f32).reshape(-1))
+        else:
+            ctr = [lax.broadcasted_iota(f32, (m, m, m), k).reshape(-1)
+                   for k in range(3)]
         ccell = [origin[k] + (ctr[k] + 0.5) * h_l for k in range(3)]
         mflat = chans[levels][0]
         p = [chans[levels][1 + k] - mflat * ccell[k] for k in range(3)]
