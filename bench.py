@@ -439,7 +439,7 @@ def _tree_kw_from_cfg(cfg):
 
 
 def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3,
-               near: str = "columns") -> float:
+               near: str = "pairs") -> float:
     """Tree-gravity KDK step rate on a concentrated Plummer sphere (the
     regime P3M's fixed capacity excludes; ops/tree.py conv far field).
     Budgets probe-sized via tree_class_probe."""
@@ -451,10 +451,13 @@ def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3,
 
     pos, vel, mass = make_plummer(n)
     state = make_state(pos, vel, mass, precision="f32")
-    # columns near field: measured-best at l7/65k (117 vs 129 ms/eval,
-    # benchmarks/tree_sweep.jsonl)
+    # pairs/c64 near field: measured-best at l7/65k (21.5 vs 23.9 ms
+    # near-phase, near_sweep_r11.jsonl) — compile-viable at every N
+    # since the round-12 z-trim table fix (_PAIRS_CF)
     cfg = tree_cfg_probed(pos, levels, dt=1e-4, G=1.0, eps2=1e-6,
-                          tree_near=near, track_potential=False)
+                          tree_near=near,
+                          tree_chunk=64 if near == "pairs" else 32,
+                          track_potential=False)
     state = ot.init_forces(state, cfg)
     step = make_step_fn(cfg, resolve_force_fn(cfg, n))
     sec = bench_chained(step, state, iters=iters, iters_hi=3 * iters)
@@ -462,7 +465,7 @@ def bench_tree(n: int = 65536, levels: int = 7, iters: int = 3,
 
 
 def bench_tree_staged(n: int, levels: int = 8, iters: int = 1,
-                      near: str = "columns") -> tuple[float, int]:
+                      near: str = "pairs") -> tuple[float, int]:
     """Large-N tree rate via the STAGED evaluation (ops/tree.py
     tree_acc_potential_staged): the single-program step at levels=8,
     N>=512k reproducibly crashes this platform's remote compile helper,
@@ -481,7 +484,9 @@ def bench_tree_staged(n: int, levels: int = 8, iters: int = 1,
     vel = jnp.asarray(vel_np, jnp.float32)
     mass = jnp.asarray(mass_np, jnp.float32)
     cfg = tree_cfg_probed(pos_np, levels, dt=1e-4, G=1.0, eps2=1e-6,
-                          tree_near=near, track_potential=False)
+                          tree_near=near,
+                          tree_chunk=64 if near == "pairs" else 32,
+                          track_potential=False)
     kw = _tree_kw_from_cfg(cfg)
 
     def phase_step(ph):
@@ -985,7 +990,8 @@ def main() -> None:
     if _fits("tree_drift", 260):
         try:
             cfg_tr = tree_cfg_probed(pos, 7, dt=1e-3, G=1.0, eps2=eps2,
-                                     tree_near="columns", pm_box=box)
+                                     tree_near="pairs", tree_chunk=64,
+                                     pm_box=box)
             st = ot.init_forces(
                 make_state(pos, vel, mass, precision="f32"), cfg_tr)
             extras["tree_drift_65536_1000steps"] = _drift(cfg_tr, st, 1000,

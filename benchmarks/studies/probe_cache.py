@@ -47,7 +47,11 @@ def save(cfg, n, levels, near, chunk, seed=0):
 
 
 class Budgets:
-    """Attribute view over a budget dict (drop-in for the cfg fields)."""
+    """Attribute view over a budget dict (drop-in for the cfg fields).
+    JSON round-trips tuples as lists — restore tuples so values stay
+    hashable as jit static arguments."""
 
     def __init__(self, d):
-        self.__dict__.update(d)
+        self.__dict__.update(
+            {k: tuple(v) if isinstance(v, list) else v
+             for k, v in d.items()})

@@ -1386,6 +1386,16 @@ def _near_columns(pos32, sc, sort_idx, _pack_rows, n, M, ws, eps2, G,
     return idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow
 
 
+# How the pairs/kernel sweeps locate the z-trimmed j-chunk run of a
+# neighbor column: "table" = per-column (column, z-cell) rank table with
+# a length-(M+1) suffix scan; "scan" = legacy global cell-id suffix scan
+# over the full M3-sized grid. Identical semantics (parity-tested); the
+# table form exists because the M3-length associative_scan is the
+# suspected construct wedging the remote compiler on the 512k pairs
+# program. Module flag, not a jit key — clear_cache() between flips.
+_PAIRS_CF = "table"
+
+
 def _pairs_geometry(sc, n, M, ws, C, K_ch):
     """Shared chunk/run geometry of the ``near="pairs"`` sweep (used by
     the kernel and, with a safe K_ch bound, by :func:`tree_pairs_probe`
@@ -1396,8 +1406,12 @@ def _pairs_geometry(sc, n, M, ws, C, K_ch):
     the Z-TRIMMED run of j-chunks: bodies are z-cell-sorted within a
     column, so the j-chunks whose z-cell range can overlap the i-chunk's
     |dz| <= ws band form one consecutive run — located with two element
-    gathers into a cell-id -> first-sorted-position map (scatter-min +
-    one reverse min-scan). Trimming is EXACT (a skipped chunk pair
+    gathers into a (column, z-cell) -> first-sorted-position table (see
+    ``_PAIRS_CF``; the legacy global-cell-id suffix scan over the
+    M3-sized grid reproducibly WEDGED the remote TPU compiler at
+    N >= 512k — swapping it for the per-column table with a
+    length-(M+1) axis scan made the same program compile in seconds,
+    near_sweep_r11.jsonl). Trimming is EXACT (a skipped chunk pair
     contains no in-band pair by monotonicity); on concentrated cores it
     drops ~60-70% of the chunk pairs the untrimmed sweep would pad over
     (measured census: keep-fraction 0.43 at 65k/l7, 0.34 at 262k/l8,
@@ -1408,7 +1422,7 @@ def _pairs_geometry(sc, n, M, ws, C, K_ch):
     cnt [K_ch, 9] / S_ch`` (trimmed 9-neighborhood j-chunk totals)."""
     M2, M3 = M * M, M * M * M
     col_s = jnp.minimum(sc // M, M2)  # sorted ascending; dead -> M2
-    first_c, _ = _segment_bounds(col_s)
+    first_c, last_c = _segment_bounds(col_s)
     rank_c = jnp.arange(n, dtype=jnp.int32) - first_c
     valid_b = col_s < M2
     is_first_c = (rank_c == 0) & valid_b
@@ -1428,12 +1442,31 @@ def _pairs_geometry(sc, n, M, ws, C, K_ch):
         jnp.where(is_first_c, col_s, M2)].set(
         jnp.where(is_first_c, first_c, n))
 
-    # cell id -> first sorted position with cell >= id (dead bodies sort
-    # last at M3, so cellfirst[M3] is exactly the live-body count)
     pos_i = jnp.arange(n, dtype=jnp.int32)
-    cf = jnp.full((M3 + 2,), n, jnp.int32).at[
-        jnp.minimum(sc, M3)].min(pos_i)
-    cellfirst = lax.associative_scan(jnp.minimum, cf, reverse=True)
+    if _PAIRS_CF == "table":
+        # (column, z-cell) -> first sorted position with that column and
+        # z-cell >= z, as a [M2+1, M+1] TABLE: scatter-min of global
+        # positions + a LENGTH-(M+1) suffix min-scan along the z axis.
+        # Semantically equal to the global cellfirst below (columns are
+        # contiguous in the sort, and queries are clamped to the column
+        # end via colend) but the scan is 3 orders of magnitude shorter
+        # than the M3-sized one — the suspected construct behind the
+        # 512k pairs remote-compile hang (near_sweep_r11.jsonl).
+        zrow = jnp.where(valid_b, sc % M, M)
+        rt = jnp.full((M2 + 1, M + 1), n, jnp.int32).at[
+            jnp.where(valid_b, col_s, M2), zrow].min(pos_i)
+        rt = lax.associative_scan(jnp.minimum, rt, reverse=True, axis=1)
+        rt_flat = rt.reshape(-1)
+        colend = jnp.full((M2 + 1,), n, jnp.int32).at[
+            jnp.where(is_first_c, col_s, M2)].set(
+            jnp.where(is_first_c, last_c, n))
+        cellfirst = None
+    else:
+        # cell id -> first sorted position with cell >= id (dead bodies
+        # sort last at M3, so cellfirst[M3] is exactly the live count)
+        cf = jnp.full((M3 + 2,), n, jnp.int32).at[
+            jnp.minimum(sc, M3)].min(pos_i)
+        cellfirst = lax.associative_scan(jnp.minimum, cf, reverse=True)
 
     # per-chunk z-cell bounds (z-cells are monotone within a column)
     z_s = jnp.where(valid_b, sc % M, 0)
@@ -1454,8 +1487,13 @@ def _pairs_geometry(sc, n, M, ws, C, K_ch):
         nx, ny = cx + a, cy + b
         ok = ((0 <= nx) & (nx < M) & (0 <= ny) & (ny < M) & chunk_valid)
         nc = jnp.where(ok, nx * M + ny, M2)
-        p_lo = cellfirst[jnp.minimum(nc * M + zb_lo, M3 + 1)]
-        p_hi = cellfirst[jnp.minimum(nc * M + zb_hi, M3 + 1)]
+        if _PAIRS_CF == "table":
+            ce = colend[nc]
+            p_lo = jnp.minimum(rt_flat[nc * (M + 1) + zb_lo], ce)
+            p_hi = jnp.minimum(rt_flat[nc * (M + 1) + zb_hi], ce)
+        else:
+            p_lo = cellfirst[jnp.minimum(nc * M + zb_lo, M3 + 1)]
+            p_hi = cellfirst[jnp.minimum(nc * M + zb_hi, M3 + 1)]
         base_p = colfirst[nc]
         lo_q = jnp.where(ok, (p_lo - base_p) // C, 0)
         hi_q = jnp.where(ok, -(-(p_hi - base_p) // C), 0)

@@ -71,6 +71,18 @@ def _tree_budget_cfg(cfg: SimConfig, state: NBodyState, *, tree_near,
                 break
     tree_levels = int(tree_levels)
     cfg = cfg.replace(tree_levels=tree_levels)
+    if tree_near == "auto":
+        # measured rule (near_sweep_r11.jsonl, post-compile-fix rows):
+        # the z-trimmed octave-padded pairs sweep wins at 65k/l7 (21.5
+        # vs 23.9 ms), 512k/l8 (209 vs 284) and 1M/l8 (379 vs 727);
+        # chunk 64 beats 32 at 65k. Below that scale columns stays (the
+        # small-N regimes were never measured for pairs, and columns'
+        # probe is cheaper).
+        tree_near = ("pairs" if (state.n_bodies >= 65536
+                                 and tree_levels >= 7) else "columns")
+        if tree_near == "pairs" and cfg.tree_chunk == 32:
+            cfg = cfg.replace(tree_chunk=64)
+        cfg = cfg.replace(tree_near=tree_near)
     tree_ws = cfg.tree_ws
     # budgets are per-CELL under near="cells", per-COLUMN under
     # near="columns", per-CHUNK-OCTAVE under near="pairs" — probe at
@@ -222,7 +234,7 @@ def simulate(
     tree_ws: int = 1,
     tree_order: int = 1,
     tree_accuracy: Optional[float] = None,
-    tree_near: str = "columns",
+    tree_near: str = "auto",
     tree_chunk: int = 32,
     tree_wl_rj: int = 8,
     respa_k: int = 8,
