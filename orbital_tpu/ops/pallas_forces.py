@@ -128,8 +128,10 @@ def _build_call(n: int, tile_i: int, tile_j: int, G: float, eps2: float,
         out_shape=jax.ShapeDtypeStruct((n, _PACK), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            # default scoped limit (16 MB) is marginal at N >= 131072
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # default scoped limit (16 MB) is marginal at N >= 131072;
+            # the measured-best (2048, 2048) geometry at 131k needs
+            # 66.1 MB (compile error at 64 MB), so the cap sits at 96
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pair * n * n,

@@ -302,9 +302,15 @@ class SimConfig:
             raise ValueError(f"bad force_impl: {self.force_impl!r}")
         if self.tree_ws not in (1, 2):
             raise ValueError(f"tree_ws must be 1 or 2, got {self.tree_ws}")
-        if self.tree_near not in ("cells", "columns", "pairs", "kernel"):
-            raise ValueError(f"tree_near must be 'cells', 'columns', "
-                             f"'pairs', or 'kernel', got {self.tree_near}")
+        # "auto" is a simulate()-level value: _tree_budget_cfg resolves it
+        # (pairs/c64 at N >= 65536 with levels >= 7, else columns) before
+        # any force layer sees the config; tree_acc_potential itself
+        # rejects it
+        if self.tree_near not in ("auto", "cells", "columns", "pairs",
+                                  "kernel"):
+            raise ValueError(f"tree_near must be 'auto', 'cells', "
+                             f"'columns', 'pairs', or 'kernel', "
+                             f"got {self.tree_near}")
         if self.tree_near == "kernel" and \
                 (self.tree_wl_rj * self.tree_chunk) % 128 != 0:
             raise ValueError(
