@@ -941,6 +941,22 @@ def main() -> None:
                 extras["bench_pm_drift_error"] = str(e)[:200]
         _checkpoint_result()
 
+    # tree drift BEFORE the respa ladder: the round-12 near-mode flip
+    # (pairs/c64) changed the measured config, so this rung must land
+    # fresh even when the wall budget dies inside the ~380 s respa rungs
+    if _fits("tree_drift", 260):
+        try:
+            cfg_tr = tree_cfg_probed(pos, 7, dt=1e-3, G=1.0, eps2=eps2,
+                                     tree_near="pairs", tree_chunk=64,
+                                     pm_box=box)
+            st = ot.init_forces(
+                make_state(pos, vel, mass, precision="f32"), cfg_tr)
+            extras["tree_drift_65536_1000steps"] = _drift(cfg_tr, st, 1000,
+                                                          eps2, 0.25)
+            _checkpoint_result()
+        except Exception as e:  # noqa: BLE001
+            extras["bench_tree_drift_error"] = str(e)[:200]
+
     # multirate (RESPA) promotion-contract rungs: candidates under the
     # measured drift wall (drift ~ K^2..K^3.7, 1e-6 budget -> K <= 5 at
     # rc = 5 eps; M*K = 16 is the free frozen-geometry window at
@@ -986,19 +1002,6 @@ def main() -> None:
             _checkpoint_result()
         except Exception as e:  # noqa: BLE001
             extras["bench_p3m_drift_error"] = str(e)[:200]
-
-    if _fits("tree_drift", 260):
-        try:
-            cfg_tr = tree_cfg_probed(pos, 7, dt=1e-3, G=1.0, eps2=eps2,
-                                     tree_near="pairs", tree_chunk=64,
-                                     pm_box=box)
-            st = ot.init_forces(
-                make_state(pos, vel, mass, precision="f32"), cfg_tr)
-            extras["tree_drift_65536_1000steps"] = _drift(cfg_tr, st, 1000,
-                                                          eps2, 0.25)
-            _checkpoint_result()
-        except Exception as e:  # noqa: BLE001
-            extras["bench_tree_drift_error"] = str(e)[:200]
 
     # the tree's own regime: concentrated large N (VERDICT r1 #3;
     # P3M is measured-hopeless here — 163k-body densest cell at 1M).
