@@ -32,6 +32,8 @@ from orbital_tpu.utils.timing import bench_chained
 n, levels, iters = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 stage = sys.argv[4]
 nhwc = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+import orbital_tpu.ops.tree as _T_flag
+_T_flag._FAR_NHWC = nhwc  # module flag — applies to every stage
 
 t0 = time.time()
 pos_np, _, mass_np = make_plummer(n)
@@ -89,7 +91,6 @@ if stage == "pyramid":
                 s = s + jnp.sum(c)
         return p + jnp.float32(1e-20) * s
 elif stage in ("grid", "grid_noconv"):
-    T._FAR_NHWC = nhwc
     if stage == "grid_noconv":
         _real_conv = T._level_conv
 

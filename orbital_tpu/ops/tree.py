@@ -892,9 +892,16 @@ def tree_acc_potential(
                 jnp.zeros((), jnp.int32))
 
     # sorted-body machinery (near field): occupied-cell lists come from
-    # the N sorted bodies, never from grid-sized scans
-    sort_idx = jnp.argsort(cell_id)
-    sc = cell_id[sort_idx]
+    # the N sorted bodies, never from grid-sized scans. ONE multi-payload
+    # stable sort carries the packed-row source channels along with the
+    # keys: the former argsort + post-hoc gathers paid ~50 ns/row for
+    # pos32[sort_idx] (~50 ms at 1M — a third of the measured 130 ms
+    # pairs geometry phase, near_anatomy_r12.jsonl) while the radix sort
+    # itself is ~1 ms; payloads ride the sort for ~free.
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    sc, px_s, py_s, pz_s, m_srt, sort_idx = lax.sort(
+        (cell_id, pos32[:, 0], pos32[:, 1], pos32[:, 2], m_eff, iota_n),
+        dimension=0, num_keys=1, is_stable=True)
     if near == "cells":
         # cell-granularity lists; the columns sweep builds its own at
         # column granularity, so none of this is traced there
@@ -911,10 +918,7 @@ def tree_acc_potential(
             jnp.minimum(occ_idx, M3)].set(
             jnp.where(occ_idx < M3, jnp.arange(K, dtype=jnp.int32), K))
 
-    # packed-row sources in sorted-body order (one [n,3] row gather + two
-    # element gathers — ~0.5% of what the old table-gather pack cost)
-    pos_srt = pos32[sort_idx]
-    m_srt = m_eff[sort_idx]
+    # packed-row sources in sorted-body order (sort payloads from above)
     idx_srt = sort_idx.astype(f32)
 
     def _pack_rows(slot_b, rank_b, keep_b, Kcap, Wd):
@@ -934,8 +938,7 @@ def tree_acc_potential(
                                 jnp.zeros((Wd,), f32),
                                 jnp.full((Wd,), float(n), f32)])
         P = jnp.broadcast_to(sent, (Kcap + 1, 5 * Wd))
-        cols = (pos_srt[:, 0], pos_srt[:, 1], pos_srt[:, 2], m_srt,
-                idx_srt)
+        cols = (px_s, py_s, pz_s, m_srt, idx_srt)
         sentv = (1e30, 1e30, 1e30, 0.0, float(n))
         for c, (v, sv) in enumerate(zip(cols, sentv)):
             P = P.at[s, c * Wd + r].set(jnp.where(keep_b, v, sv),
@@ -944,6 +947,7 @@ def tree_acc_potential(
 
     if near == "kernel":
         from orbital_tpu.ops.tree_near_wl import _near_wl
+        pos_srt = jnp.stack([px_s, py_s, pz_s], axis=-1)
         idx_flat, acc_flat, pe_flat, cap_overflow, cell_overflow = \
             _near_wl(
                 sc, pos_srt, m_srt, sort_idx, n, M, ws, eps2, G,
